@@ -1,0 +1,38 @@
+"""Dual file+console logging (reference utils.py:9-20).
+
+File handler at DEBUG, console at INFO, same as the reference's
+``setup_logging`` — but without mutating the root logger config globally more
+than once (the reference calls ``logging.basicConfig`` which is a no-op on
+re-entry; we handle repeated setup explicitly for tests).
+"""
+
+from __future__ import annotations
+
+import logging
+
+_CONFIGURED = False
+
+
+def setup_logging(log_file: str = "log.txt") -> logging.Logger:
+    global _CONFIGURED
+    root = logging.getLogger()
+    if _CONFIGURED:
+        return root
+    root.setLevel(logging.DEBUG)
+
+    fh = logging.FileHandler(log_file, mode="w")
+    fh.setLevel(logging.DEBUG)
+    fh.setFormatter(
+        logging.Formatter(
+            "%(asctime)s - %(levelname)s - %(message)s", datefmt="%Y-%m-%d %H:%M:%S"
+        )
+    )
+    root.addHandler(fh)
+
+    console = logging.StreamHandler()
+    console.setLevel(logging.INFO)
+    console.setFormatter(logging.Formatter("%(message)s"))
+    root.addHandler(console)
+
+    _CONFIGURED = True
+    return root
