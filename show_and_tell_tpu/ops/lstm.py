@@ -1,0 +1,237 @@
+"""Fused LSTM cell — the framework's hottest op.
+
+The reference reaches cuDNN's fused LSTM through ``nn.LSTM``
+(models.py:36) and ``nn.LSTMCell`` (model2.py:28). Here the cell is a single
+Pallas TPU kernel: the 4-gate matmul (MXU) and the sigmoid/tanh/cell-update
+elementwise chain (VPU) execute in one VMEM-resident pass, gridded over
+(batch, hidden) tiles so weights stream through VMEM once per step.
+
+Math (torch gate order i, f, g, o; single fused bias b = b_ih + b_hh):
+
+    z = [x, h] @ W + b            W: [I+H, 4H]
+    i, f, o = sigmoid(z_i, z_f, z_o);  g = tanh(z_g)
+    c' = f*c + i*g;  h' = o*tanh(c')
+
+Training uses the same kernel under ``jax.custom_vjp``: the backward pass
+recomputes gates from residuals (rematerialisation — cheap FLOPs for HBM
+bandwidth, the standard TPU trade) in plain JAX, which XLA fuses into the two
+backward matmuls.
+
+Shapes are padded to hardware tiles inside the wrapper; callers keep natural
+shapes. On non-TPU backends (CPU tests) the pure-JAX cell runs instead —
+results are numerically identical up to fp accumulation order.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Params = Dict[str, jax.Array]
+
+_PALLAS_ENABLED: Optional[bool] = None  # None = auto (TPU backend only)
+_INTERPRET = False  # run kernels in interpreter mode (CPU testing)
+
+
+def set_pallas_enabled(flag: Optional[bool], interpret: bool = False) -> None:
+    """Force (True/False) or reset to auto (None) the Pallas fast path."""
+    global _PALLAS_ENABLED, _INTERPRET
+    _PALLAS_ENABLED = flag
+    _INTERPRET = interpret
+
+
+def pallas_active() -> bool:
+    if _PALLAS_ENABLED is not None:
+        return _PALLAS_ENABLED
+    return jax.default_backend() == "tpu"
+
+
+def init_lstm_params(
+    key: jax.Array, input_size: int, hidden_size: int, dtype=jnp.float32
+) -> Params:
+    """U(-1/sqrt(H), 1/sqrt(H)) init (torch nn.LSTM default, models.py:36)."""
+    k = 1.0 / np.sqrt(hidden_size)
+    kw, kb = jax.random.split(key)
+    return {
+        "w": jax.random.uniform(
+            kw, (input_size + hidden_size, 4 * hidden_size), dtype, -k, k
+        ),
+        "b": jax.random.uniform(kb, (4 * hidden_size,), dtype, -k, k),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Pure-JAX cell (reference math; CPU fallback + ground truth for kernel tests)
+# ---------------------------------------------------------------------------
+
+
+def lstm_cell_reference(
+    params: Params, x: jax.Array, h: jax.Array, c: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    hx = jnp.concatenate([x, h], axis=-1)
+    z = hx @ params["w"] + params["b"]
+    hidden = h.shape[-1]
+    zi, zf, zg, zo = jnp.split(z, 4, axis=-1)
+    i = jax.nn.sigmoid(zi)
+    f = jax.nn.sigmoid(zf)
+    g = jnp.tanh(zg)
+    o = jax.nn.sigmoid(zo)
+    c_new = f * c + i * g
+    h_new = o * jnp.tanh(c_new)
+    del hidden
+    return h_new, c_new
+
+
+# ---------------------------------------------------------------------------
+# Pallas fused kernel
+# ---------------------------------------------------------------------------
+
+
+def _cell_kernel(hx_ref, c_ref, wi, wf, wg, wo, b_ref, h_out, c_out):
+    hx = hx_ref[:]
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    b = b_ref[:]  # [4, T]
+    zi = dot(hx, wi[:]) + b[0:1, :]
+    zf = dot(hx, wf[:]) + b[1:2, :]
+    zg = dot(hx, wg[:]) + b[2:3, :]
+    zo = dot(hx, wo[:]) + b[3:4, :]
+    i = jax.nn.sigmoid(zi)
+    f = jax.nn.sigmoid(zf)
+    g = jnp.tanh(zg)
+    o = jax.nn.sigmoid(zo)
+    c_new = f * c_ref[:].astype(jnp.float32) + i * g
+    h_out[:] = (o * jnp.tanh(c_new)).astype(h_out.dtype)
+    c_out[:] = c_new.astype(c_out.dtype)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _pick_tile(h: int) -> int:
+    for t in (512, 256, 128):
+        if h % t == 0:
+            return t
+    return 0
+
+
+def _lstm_cell_pallas_impl(
+    w: jax.Array, b: jax.Array, x: jax.Array, h: jax.Array, c: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    B = x.shape[0]
+    I = x.shape[1]
+    H = h.shape[1]
+    T = _pick_tile(H)
+    assert T, f"hidden={H} not a multiple of 128"
+
+    hx = jnp.concatenate([x, h], axis=-1)
+    sub = 16 if hx.dtype == jnp.bfloat16 else 8
+    Bp = _round_up(B, sub)
+    if Bp != B:
+        hx = jnp.pad(hx, ((0, Bp - B), (0, 0)))
+        c = jnp.pad(c, ((0, Bp - B), (0, 0)))
+    BT = min(Bp, 256)
+    while Bp % BT:
+        BT //= 2
+    b4 = b.reshape(4, H)  # rows: gate i, f, g, o
+
+    grid = (Bp // BT, H // T)
+    nj = H // T
+    wspec = lambda g: pl.BlockSpec(  # noqa: E731
+        (I + H, T), lambda i, j, g=g: (0, g * nj + j), memory_space=pltpu.VMEM
+    )
+    h_new, c_new = pl.pallas_call(
+        _cell_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((BT, I + H), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BT, T), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            wspec(0),
+            wspec(1),
+            wspec(2),
+            wspec(3),
+            pl.BlockSpec((4, T), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((BT, T), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BT, T), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Bp, H), h.dtype),
+            jax.ShapeDtypeStruct((Bp, H), c.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Bp * (I + H) * 4 * H,
+            bytes_accessed=(I + H) * 4 * H * w.dtype.itemsize
+            + 2 * Bp * (I + H + 2 * H) * hx.dtype.itemsize,
+            transcendentals=5 * Bp * H,
+        ),
+        interpret=_INTERPRET,
+    )(hx, c, w, w, w, w, b4)
+    return h_new[:B], c_new[:B]
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp wrapper: pallas forward, rematerialised pure-JAX backward
+# ---------------------------------------------------------------------------
+
+
+@jax.custom_vjp
+def _fused_cell(w, b, x, h, c):
+    return _lstm_cell_pallas_impl(w, b, x, h, c)
+
+
+def _fused_cell_fwd(w, b, x, h, c):
+    out = _lstm_cell_pallas_impl(w, b, x, h, c)
+    return out, (w, b, x, h, c, out[1])
+
+
+def _fused_cell_bwd(res, grads):
+    w, b, x, h, c, c_new = res
+    dh_new, dc_new = grads
+    I = x.shape[-1]
+    hx = jnp.concatenate([x, h], axis=-1)
+    z = hx @ w + b
+    zi, zf, zg, zo = jnp.split(z, 4, axis=-1)
+    i = jax.nn.sigmoid(zi)
+    f = jax.nn.sigmoid(zf)
+    g = jnp.tanh(zg)
+    o = jax.nn.sigmoid(zo)
+    tc = jnp.tanh(c_new)
+    do = dh_new * tc
+    dc = dc_new + dh_new * o * (1.0 - tc * tc)
+    di = dc * g
+    df = dc * c
+    dg = dc * i
+    dc_prev = dc * f
+    dz = jnp.concatenate(
+        [
+            di * i * (1.0 - i),
+            df * f * (1.0 - f),
+            dg * (1.0 - g * g),
+            do * o * (1.0 - o),
+        ],
+        axis=-1,
+    )
+    dhx = dz @ w.T
+    dw = hx.T @ dz
+    db = jnp.sum(dz, axis=0)
+    return dw, db, dhx[:, :I], dhx[:, I:], dc_prev
+
+
+_fused_cell.defvjp(_fused_cell_fwd, _fused_cell_bwd)
+
+
+def lstm_cell(
+    params: Params, x: jax.Array, h: jax.Array, c: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """One LSTM step. Pallas-fused on TPU, pure JAX elsewhere."""
+    if pallas_active() and _pick_tile(h.shape[-1]):
+        return _fused_cell(params["w"], params["b"], x, h, c)
+    return lstm_cell_reference(params, x, h, c)

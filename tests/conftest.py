@@ -7,12 +7,24 @@ emulating 8 host devices, per SURVEY.md §4. This must run before any
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force-set (not setdefault): the host environment pre-sets JAX_PLATFORMS to
+# the TPU plugin, which would make "CPU" tests silently run on the real chip.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# The host image's sitecustomize imports jax and registers the TPU plugin
+# before conftest runs, so env vars alone are too late — override the live
+# config as well.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", jax.default_backend()
+assert len(jax.devices()) == 8, jax.devices()
 
 import sys
 
