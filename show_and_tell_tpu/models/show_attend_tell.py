@@ -1,0 +1,174 @@
+"""Show-Attend-and-Tell: VGG16 feature grid + additive soft attention + LSTM.
+
+The flagship model — the one the reference actually trains (train.py:37
+constructs ``ShowAttendTellModel`` from model2.py). Capability parity map:
+
+- Encoder: frozen VGG16 trunk to conv5_2+ReLU -> [B, 196, 512] patch grid
+  (model2.py:15-16,43-44; frozen via model2.py:87-89 -> ``stop_gradient``).
+- ``ctx_enc = features @ image_att_w`` precomputed once per image
+  (model2.py:45).
+- LSTM state init from the mean feature through two Linears
+  (model2.py:21-22,67-71).
+- Per step: additive attention (model2.py:73-78, incl. the faithful *mean*
+  pooling quirk), LSTMCell over [emb; context] (model2.py:58-59), output head
+  ``classifier(c2o(context) + h2o(h))`` (model2.py:80-85). The reference's
+  Dropout(p=0.5) is declared but never applied in forward (model2.py:33) —
+  we expose ``dropout_rate`` defaulting to 0 to match actual behavior.
+- Scheduled sampling implemented per the config knobs (config.py:50-57);
+  the reference defines but comments out the schedule (train.py:109-113).
+
+Intended-behavior fixes (documented deviations, SURVEY.md §7 "hard parts" #6):
+- Greedy decode feeds each step the *fresh* attention context; the reference
+  reuses the previous step's context in the LSTM input (model2.py:102-109
+  computes ``rnn_input`` one iteration late).
+- Decode starts from ``<start>`` (=id 1; the reference's ``torch.ones`` start
+  hack, model2.py:93, lands on the same id).
+
+TPU design: full-batch masked ``lax.scan`` over time replaces the reference's
+per-step batch truncation over ``pack_padded_sequence.batch_sizes``
+(model2.py:54-62) — static shapes for XLA; padding-step waste is reclaimed by
+length-bucketing in the data pipeline. The LSTM cell is the fused Pallas
+kernel.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from show_and_tell_tpu.config import Config
+from show_and_tell_tpu.models import encoders
+from show_and_tell_tpu.models.layers import dense, dropout, embedding_lookup, uniform_dense
+from show_and_tell_tpu.ops.attention import additive_attention, encode_features, init_attention_params
+from show_and_tell_tpu.ops.lstm import init_lstm_params, lstm_cell
+
+Params = Dict
+
+
+class ShowAttendTellModel:
+    def __init__(self, cfg: Config, vocab_size: int, dropout_rate: float = 0.0):
+        self.cfg = cfg
+        self.vocab_size = vocab_size
+        self.dropout_rate = dropout_rate
+        self.encoder_name = "vgg16"
+        self.feature_dim = 512  # VGG conv5 channels
+        self.num_patches = (cfg.crop_size // 16) ** 2  # 196 for 224 input
+
+    # --- init -------------------------------------------------------------
+
+    def init(self, key: jax.Array) -> Tuple[Params, Params]:
+        cfg = self.cfg
+        D, H, E, V = self.feature_dim, cfg.hidden_size, cfg.embed_size, self.vocab_size
+        ks = jax.random.split(key, 8)
+        trainable = {
+            "att": init_attention_params(ks[0], D, H, D),
+            "init_h": uniform_dense(ks[1], D, H),
+            "init_c": uniform_dense(ks[2], D, H),
+            "embed": jax.random.uniform(ks[3], (V, E), jnp.float32, -0.1, 0.1),
+            # LSTMCell input is [emb; context] = E + D (model2.py:28,58)
+            "lstm": init_lstm_params(ks[4], E + D, H),
+            "c2o": uniform_dense(ks[5], D, E),
+            "h2o": uniform_dense(ks[6], H, E),
+            "classifier": uniform_dense(ks[7], E, V),
+        }
+        frozen = encoders.init_encoder("vgg16", jax.random.fold_in(key, 99))
+        return trainable, frozen
+
+    # --- encoder ----------------------------------------------------------
+
+    def backbone_features(self, frozen: Params, images: jax.Array) -> jax.Array:
+        """[B, 224, 224, 3] -> [B, 196, 512], gradient-stopped."""
+        return jax.lax.stop_gradient(encoders.vgg16_features(frozen, images))
+
+    def init_lstm_state(self, trainable: Params, features: jax.Array):
+        """Mean feature through two Linears (model2.py:67-71)."""
+        mean = jnp.mean(features, axis=1)
+        return dense(trainable["init_h"], mean), dense(trainable["init_c"], mean)
+
+    # --- one decoder step -------------------------------------------------
+
+    def _step(self, trainable, features, ctx_enc, h, c, emb, rng=None):
+        context, alpha = additive_attention(trainable["att"], features, ctx_enc, h)
+        rnn_in = jnp.concatenate([emb, context], axis=-1)
+        h, c = lstm_cell(trainable["lstm"], rnn_in, h, c)
+        out = dense(trainable["c2o"], context) + dense(trainable["h2o"], h)
+        out = dropout(rng, out, self.dropout_rate)
+        logits = dense(trainable["classifier"], out)
+        return h, c, logits, alpha
+
+    # --- training forward -------------------------------------------------
+
+    def decode_train(
+        self,
+        trainable: Params,
+        features: jax.Array,  # [B, 196, 512]
+        captions: jax.Array,  # [B, T] int32
+        lengths: jax.Array,  # [B]
+        rng: Optional[jax.Array] = None,
+        ss_prob: float | jax.Array = 0.0,
+    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        """Teacher-forced (optionally scheduled-sampled) logits.
+
+        Step t consumes token ``captions[:, t]`` and is scored against
+        ``captions[:, t+1]`` (model2.py:54-62 alignment); mask ``t < len-1``.
+        Returns ``(logits [B, T-1, V], mask [B, T-1], alphas [B, T-1, L])``.
+        """
+        B, T = captions.shape
+        ctx_enc = encode_features(trainable["att"], features)
+        h, c = self.init_lstm_state(trainable, features)
+        tokens = jnp.swapaxes(captions[:, :-1], 0, 1)  # [T-1, B]
+        steps = jnp.arange(T - 1)
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        step_rngs = jax.random.split(rng, T - 1)
+
+        def step(carry, xs):
+            h, c, prev_pred = carry
+            tok, t, r = xs
+            r_ss, r_do = jax.random.split(r)
+            # Scheduled sampling: with prob ss_prob use the model's own
+            # previous prediction instead of ground truth (never at t=0,
+            # where the input is <start>).
+            use_model = (
+                jax.random.uniform(r_ss, (B,)) < ss_prob
+            ) & (t > 0)
+            tok = jnp.where(use_model, prev_pred, tok)
+            emb = embedding_lookup(trainable["embed"], tok)
+            h, c, logits, alpha = self._step(
+                trainable, features, ctx_enc, h, c, emb,
+                r_do if self.dropout_rate > 0 else None,
+            )
+            return (h, c, jnp.argmax(logits, axis=-1)), (logits, alpha)
+
+        (_, _, _), (logits, alphas) = jax.lax.scan(
+            step,
+            (h, c, jnp.zeros((B,), jnp.int32)),
+            (tokens, steps, step_rngs),
+        )
+        logits = jnp.swapaxes(logits, 0, 1)  # [B, T-1, V]
+        alphas = jnp.swapaxes(alphas, 0, 1)  # [B, T-1, L]
+        mask = jnp.arange(T - 1)[None, :] < (lengths[:, None] - 1)
+        return logits, mask, alphas
+
+    # --- decoding step interface -----------------------------------------
+
+    def make_decode_state(self, trainable: Params, features: jax.Array):
+        """features [B, 196, 512] -> (step_fn, carry, first_logits=None).
+
+        Decoding starts from the ``<start>`` token (id 1); the carry packs
+        (h, c, features, ctx_enc) so beam search can tile it per beam.
+        """
+        ctx_enc = encode_features(trainable["att"], features)
+        h, c = self.init_lstm_state(trainable, features)
+        carry = {"h": h, "c": c, "features": features, "ctx_enc": ctx_enc}
+
+        def step_fn(carry, token_ids):
+            emb = embedding_lookup(trainable["embed"], token_ids)
+            h, c, logits, _ = self._step(
+                trainable, carry["features"], carry["ctx_enc"], carry["h"], carry["c"], emb
+            )
+            return {**carry, "h": h, "c": c}, logits
+
+        return step_fn, carry, None

@@ -1,0 +1,133 @@
+"""Greedy + beam search invariants (reference has only greedy; beam is new —
+model2.py:113-114 is an empty stub)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from show_and_tell_tpu.config import Config
+from show_and_tell_tpu.decode import beam_search, greedy_decode
+from show_and_tell_tpu.models.registry import build_model
+from show_and_tell_tpu.utils.vocab import END_ID, PAD_ID, START_ID
+
+V = 17
+
+
+def _markov_step_fn(key, V, B):
+    """Deterministic step: logits depend only on the previous token (a fixed
+    transition matrix) — lets tests recompute any sequence's score exactly."""
+    logits_table = jax.random.normal(key, (V, V)) * 2.0
+
+    def step_fn(carry, token_ids):
+        return carry, logits_table[token_ids]
+
+    return step_fn, logits_table
+
+
+def test_greedy_shapes_and_determinism():
+    step_fn, _ = _markov_step_fn(jax.random.PRNGKey(0), V, 4)
+    ids1 = greedy_decode(step_fn, {}, batch=4, max_len=6)
+    ids2 = greedy_decode(step_fn, {}, batch=4, max_len=6)
+    assert ids1.shape == (4, 6)
+    np.testing.assert_array_equal(np.asarray(ids1), np.asarray(ids2))
+
+
+def test_beam1_equals_greedy():
+    step_fn, _ = _markov_step_fn(jax.random.PRNGKey(1), V, 3)
+    g = greedy_decode(step_fn, {}, batch=3, max_len=5)
+    b, _ = beam_search(step_fn, {}, batch=3, beam_size=1, max_len=5)
+    np.testing.assert_array_equal(np.asarray(g), np.asarray(b))
+
+
+def test_beam_score_is_sequence_logprob():
+    step_fn, table = _markov_step_fn(jax.random.PRNGKey(2), V, 2)
+    ids, scores = beam_search(step_fn, {}, batch=2, beam_size=4, max_len=5)
+    logp = np.asarray(jax.nn.log_softmax(table, axis=-1))
+    for b in range(2):
+        seq = [int(t) for t in np.asarray(ids[b])]
+        prev = START_ID
+        total = 0.0
+        for t in seq:
+            if t == PAD_ID:
+                break
+            total += logp[prev, t]
+            prev = t
+            if t == END_ID:
+                break
+        np.testing.assert_allclose(total, float(scores[b]), atol=1e-4)
+
+
+def test_beam_beats_or_matches_greedy_score():
+    step_fn, table = _markov_step_fn(jax.random.PRNGKey(3), V, 2)
+    logp = np.asarray(jax.nn.log_softmax(table, axis=-1))
+
+    def score(seq):
+        prev, tot = START_ID, 0.0
+        for t in seq:
+            if t == PAD_ID:
+                break
+            tot += logp[prev, t]
+            prev = t
+            if t == END_ID:
+                break
+        return tot
+
+    g = np.asarray(greedy_decode(step_fn, {}, batch=2, max_len=5))
+    ids, _ = beam_search(step_fn, {}, batch=2, beam_size=8, max_len=5)
+    for b in range(2):
+        assert score(list(np.asarray(ids[b]))) >= score(list(g[b])) - 1e-5
+
+
+def test_beam_end_freezing():
+    """Once a beam emits <end> it only appends <pad> and its score is frozen."""
+    # Transition matrix that makes <end> overwhelmingly likely from token 5.
+    table = np.full((V, V), -10.0, np.float32)
+    table[START_ID, 5] = 10.0
+    table[5, END_ID] = 10.0
+    table[END_ID] = -10.0  # anything after <end> would tank the score
+
+    def step_fn(carry, token_ids):
+        return carry, jnp.asarray(table)[token_ids]
+
+    ids, scores = beam_search(step_fn, {}, batch=1, beam_size=3, max_len=6)
+    seq = list(np.asarray(ids[0]))
+    assert seq[0] == 5 and seq[1] == END_ID
+    assert all(t == PAD_ID for t in seq[2:])
+
+
+def test_beam_with_model_step():
+    """Beam search through the real Show-Attend-Tell step function."""
+    cfg = Config(embed_size=16, hidden_size=24, num_layers=1, crop_size=32)
+    m = build_model(cfg.replace(model="show_attend_tell"), V)
+    trainable, _ = m.init(jax.random.PRNGKey(0))
+    feats = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 512))
+    step_fn, carry, first = m.make_decode_state(trainable, feats)
+    assert first is None
+    ids, scores = jax.jit(
+        lambda c: beam_search(step_fn, c, batch=2, beam_size=3, max_len=7)
+    )(carry)
+    assert ids.shape == (2, 7)
+    assert scores.shape == (2,)
+    g = greedy_decode(step_fn, carry, batch=2, max_len=7)
+    assert g.shape == (2, 7)
+
+
+def test_show_tell_first_logits_path():
+    cfg = Config(
+        embed_size=16, hidden_size=24, num_layers=2, crop_size=32, model="show_tell"
+    )
+    m = build_model(cfg, V)
+    trainable, _ = m.init(jax.random.PRNGKey(0))
+    feats = jax.random.normal(jax.random.PRNGKey(1), (3, m.feature_dim))
+    step_fn, carry, first = m.make_decode_state(trainable, m.init_batch_stats(), feats)
+    assert first.shape == (3, V)
+    g = greedy_decode(step_fn, carry, batch=3, max_len=5, first_logits=first)
+    assert g.shape == (3, 5)
+    # token 0 must be argmax of the image-feature step (models.py:58-62)
+    np.testing.assert_array_equal(
+        np.asarray(g[:, 0]), np.asarray(jnp.argmax(first, axis=-1))
+    )
+    ids, _ = beam_search(
+        step_fn, carry, batch=3, beam_size=3, max_len=5, first_logits=first
+    )
+    assert ids.shape == (3, 5)
