@@ -1,0 +1,75 @@
+"""Checkpointing: best-metric-gated model saves + full info histories.
+
+Reference layout (train.py:156-196): every ``save_checkpoint_every``
+iterations it writes ``infos.pkl`` with
+``{total_iter, iter, epoch, best_val_score, opt, val_result_history,
+loss_history, lr_history}``, and — only when the gate metric improves
+(CIDEr if language_eval==1, else −val_loss, train.py:169-177) —
+``model-best.pth`` + ``infos-best.pkl``.
+
+This build keeps the same layout and gating but serialises params as
+msgpack (``flax.serialization``) and infos as JSON — inspectable,
+version-stable, and free of pickle's arbitrary-code-execution load hazard.
+Unlike the reference's ``load_model``/``load_optimizer`` stubs
+(train.py:60-64), loading is implemented.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+from flax import serialization
+
+INFOS = "infos.json"
+INFOS_BEST = "infos-best.json"
+MODEL_BEST = "model-best.msgpack"
+
+
+def save_infos(expr_dir: str, infos: Dict, best: bool = False) -> str:
+    os.makedirs(expr_dir, exist_ok=True)
+    path = os.path.join(expr_dir, INFOS_BEST if best else INFOS)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(infos, f, indent=1, default=str)
+    os.replace(tmp, path)  # atomic: a crash never leaves a torn file
+    return path
+
+
+def load_infos(expr_dir: str, best: bool = False) -> Optional[Dict]:
+    path = os.path.join(expr_dir, INFOS_BEST if best else INFOS)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def save_best(expr_dir: str, params: Any, batch_stats: Any, infos: Dict) -> str:
+    """Write model-best + infos-best (the train.py:191-196 pair)."""
+    os.makedirs(expr_dir, exist_ok=True)
+    blob = serialization.to_bytes(
+        {"params": params, "batch_stats": batch_stats}
+    )
+    path = os.path.join(expr_dir, MODEL_BEST)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, path)
+    save_infos(expr_dir, infos, best=True)
+    return path
+
+
+def load_best_params(
+    expr_dir: str, params_template: Any, batch_stats_template: Any
+) -> Optional[Tuple[Any, Any]]:
+    path = os.path.join(expr_dir, MODEL_BEST)
+    if not os.path.exists(path):
+        return None
+    with open(path, "rb") as f:
+        blob = f.read()
+    restored = serialization.from_bytes(
+        {"params": params_template, "batch_stats": batch_stats_template}, blob
+    )
+    return restored["params"], restored["batch_stats"]

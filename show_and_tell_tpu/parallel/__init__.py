@@ -1,0 +1,6 @@
+from show_and_tell_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    shard_batch,
+    replicate,
+    param_shardings,
+)

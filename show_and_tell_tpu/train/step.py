@@ -1,0 +1,135 @@
+"""The jitted SPMD training step.
+
+Optimizer semantics mirror the reference exactly:
+- per-element gradient clamp to ±grad_clip *before* Adam (train.py:88-91
+  ``param.grad.data.clamp_``; optax.clip is the same element-wise clamp),
+- Adam over trainable params only (train.py:55-56 filters requires_grad;
+  here frozen backbone params simply live outside the optimized tree),
+- learning rate passed per step so the host-side epoch schedule
+  (schedule.lr_for_epoch) sets it, like the reference's ``set_lr``.
+
+TPU design: one ``jax.jit``-compiled function; the batch arrives sharded over
+the mesh ``data`` axis, params replicated (or TP-sharded on ``model``), and
+XLA inserts the gradient psum over ICI — no hand-written collectives. Buffers
+are donated so parameters update in place in HBM.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from show_and_tell_tpu.config import Config
+from show_and_tell_tpu.train.losses import masked_cross_entropy
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    batch_stats: Any  # ShowTell encoder BN running stats (None for SAT)
+    step: jax.Array  # int32 scalar
+
+
+def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    # clip -> adam; lr applied at update time via the scale-by-lr trick so the
+    # host schedule can change it without re-jitting.
+    return optax.chain(
+        optax.clip(cfg.grad_clip),
+        optax.scale_by_adam(),
+        optax.scale(-1.0),
+    )
+
+
+def make_train_state(cfg: Config, params: Any, batch_stats: Any = None) -> TrainState:
+    tx = make_optimizer(cfg)
+    return TrainState(
+        params=params,
+        opt_state=tx.init(params),
+        batch_stats=batch_stats,
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_train_step(
+    model,
+    cfg: Config,
+    donate: bool = True,
+) -> Callable:
+    """Builds ``step(state, frozen, batch, lr, ss_prob, rng) -> (state, metrics)``.
+
+    ``batch`` needs ``captions`` [B,T] int32 and ``lengths`` [B] int32, plus
+    either precomputed ``features`` or raw ``images`` (run through the frozen
+    backbone inside the step, on device).
+    """
+    tx = make_optimizer(cfg)
+    is_sat = type(model).__name__ == "ShowAttendTellModel"
+
+    def loss_fn(params, batch_stats, frozen, batch, ss_prob, rng):
+        captions, lengths = batch["captions"], batch["lengths"]
+        if "features" in batch:
+            features = batch["features"]
+        else:
+            features = model.backbone_features(frozen, batch["images"])
+        if is_sat:
+            logits, mask, _ = model.decode_train(
+                params, features, captions, lengths, rng, ss_prob
+            )
+            new_stats = batch_stats
+        else:
+            feat_embed, new_stats = model.encode(
+                params, batch_stats, features, train=True
+            )
+            logits, mask = model.decode_train(params, feat_embed, captions, lengths)
+        loss, count = masked_cross_entropy(logits, captions[:, 1:], mask)
+        return loss, (new_stats, count)
+
+    def step(state: TrainState, frozen, batch, lr, ss_prob, rng):
+        (loss, (new_stats, count)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, frozen, batch, ss_prob, rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        updates = jax.tree.map(lambda u: u * lr, updates)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            params=params,
+            opt_state=opt_state,
+            batch_stats=new_stats,
+            step=state.step + 1,
+        )
+        metrics = {"loss": loss, "perplexity": jnp.exp(loss), "tokens": count}
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_loss_step(model, cfg: Config) -> Callable:
+    """Teacher-forced validation loss (eval.py:91-95).
+
+    NOTE: the reference evaluates with full ``lengths`` while training uses
+    ``lengths - 1`` (eval.py:91 vs train.py:134-135) — a latent inconsistency.
+    We use the training convention (mask t < len-1) in both, documented as an
+    intended-behavior fix (SURVEY.md §7 hard-part #6).
+    """
+    is_sat = type(model).__name__ == "ShowAttendTellModel"
+
+    def step(params, batch_stats, frozen, batch):
+        captions, lengths = batch["captions"], batch["lengths"]
+        if "features" in batch:
+            features = batch["features"]
+        else:
+            features = model.backbone_features(frozen, batch["images"])
+        if is_sat:
+            logits, mask, _ = model.decode_train(params, features, captions, lengths)
+        else:
+            feat_embed, _ = model.encode(params, batch_stats, features, train=False)
+            logits, mask = model.decode_train(params, feat_embed, captions, lengths)
+        loss, count = masked_cross_entropy(logits, captions[:, 1:], mask)
+        return loss, count
+
+    return jax.jit(step)

@@ -1,0 +1,226 @@
+"""Training runtime — the reference ``Trainer`` (train.py:20-197) rebuilt SPMD.
+
+Epoch/iteration semantics preserved:
+- epochs run 1..max_epochs (train.py:97); resume skips completed
+  epochs/iterations from the saved infos (train.py:70-85,98-99,119-120),
+- per-epoch LR step decay + scheduled-sampling schedule (train.py:101-113 /
+  schedule.py; sampling actually implemented here),
+- loss/perplexity logged every ``log_step`` (train.py:151-154),
+- every ``save_checkpoint_every`` total iterations: validation, histories,
+  best-checkpoint gate on CIDEr (language_eval==1) or −val_loss
+  (train.py:156-196).
+
+What's different (TPU-native):
+- the step is one jitted SPMD program over the mesh (parallel/mesh.py)
+  instead of ``nn.DataParallel`` scatter/gather,
+- pretrained-weight loading is real (the reference's ``load_model``/
+  ``load_optimizer`` are empty stubs, train.py:60-64),
+- step time and throughput are measured *and reported* (the reference
+  times steps and discards the numbers, train.py:123-124,148-149).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Callable, Iterable, Optional
+
+import jax
+import numpy as np
+
+from show_and_tell_tpu import ckpt
+from show_and_tell_tpu.config import Config
+from show_and_tell_tpu.obs.meters import StepTimer, ThroughputMeter
+from show_and_tell_tpu.parallel import mesh as mesh_lib
+from show_and_tell_tpu.train.schedule import lr_for_epoch, ss_prob_for_epoch
+from show_and_tell_tpu.train.step import make_eval_loss_step, make_train_state, make_train_step
+from show_and_tell_tpu.utils.rng import KeyChain
+
+log = logging.getLogger(__name__)
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: Config,
+        model,
+        trainloader: Iterable,
+        validloader: Optional[Iterable] = None,
+        eval_fn: Optional[Callable] = None,
+        mesh=None,
+    ):
+        """``eval_fn(params, batch_stats, frozen) -> (val_loss, predictions,
+        lang_stats)`` — injected by the eval driver (evalsuite.driver);
+        ``lang_stats`` must contain 'CIDEr' when cfg.language_eval == 1."""
+        self.cfg = cfg
+        self.model = model
+        self.trainloader = trainloader
+        self.validloader = validloader
+        self.eval_fn = eval_fn
+        self.mesh = mesh if mesh is not None else mesh_lib.make_mesh(
+            cfg.num_devices, cfg.model_parallel
+        )
+        self.keys = KeyChain(cfg.random_seed)
+
+        params, frozen = model.init(self.keys.key("init"))
+        batch_stats = (
+            model.init_batch_stats() if hasattr(model, "init_batch_stats") else None
+        )
+
+        # Pretrained-weight resume (config.py:33-36 surface; real here).
+        if cfg.load_pretrained and cfg.load_model_path:
+            restored = ckpt.load_best_params(cfg.load_model_path, params, batch_stats)
+            if restored is not None:
+                params, batch_stats = restored
+                log.info("loaded pretrained params from %s", cfg.load_model_path)
+
+        params = mesh_lib.place_params(self.mesh, params)
+        self.frozen = mesh_lib.replicate(self.mesh, frozen)
+        self.state = make_train_state(cfg, params, batch_stats)
+        self.train_step = make_train_step(model, cfg, donate=cfg.donate)
+        self.eval_loss_step = make_eval_loss_step(model, cfg)
+        self.timer = StepTimer()
+        self.throughput = ThroughputMeter()
+
+    # ------------------------------------------------------------------
+
+    def _shard(self, batch):
+        return mesh_lib.shard_batch(self.mesh, batch)
+
+    def train(self) -> dict:
+        cfg = self.cfg
+        infos = {}
+        if cfg.start_from is not None and not cfg.load_pretrained:
+            loaded = ckpt.load_infos(cfg.start_from)
+            if loaded:
+                infos = loaded
+                restored = ckpt.load_best_params(
+                    cfg.start_from, self.state.params, self.state.batch_stats
+                )
+                if restored is not None:
+                    self.state = self.state.replace(
+                        params=restored[0], batch_stats=restored[1]
+                    )
+                log.info("resuming from %s", cfg.start_from)
+
+        total_iteration = infos.get("total_iter", 0)
+        loaded_iteration = infos.get("iter", 0)
+        loaded_epoch = infos.get("epoch", 1)
+        val_result_history = infos.get("val_result_history", {})
+        loss_history = infos.get("loss_history", {})
+        lr_history = infos.get("lr_history", {})
+        best_val_score = infos.get("best_val_score") if cfg.load_best_score else None
+
+        for epoch in range(1, 1 + cfg.max_epochs):
+            if epoch < loaded_epoch:
+                continue
+            lr = lr_for_epoch(cfg, epoch)
+            ss_prob = ss_prob_for_epoch(cfg, epoch)
+            self.cfg = cfg = cfg.replace(current_lr=lr, ss_prob=ss_prob)
+
+            for it, batch in enumerate(self.trainloader):
+                it += 1
+                if epoch == loaded_epoch and it <= loaded_iteration:
+                    continue
+                total_iteration += 1
+
+                self.timer.start()
+                rng = self.keys.key("train", epoch, it)
+                self.state, metrics = self.train_step(
+                    self.state, self.frozen, self._shard(batch), lr, ss_prob, rng
+                )
+                dt = self.timer.stop(metrics["loss"])
+                bsz = int(np.asarray(batch["captions"]).shape[0])
+                self.throughput.update(bsz, dt)
+
+                if it % cfg.log_step == 0:
+                    loss = float(metrics["loss"])
+                    log.info(
+                        "Epoch [%d/%d], Step [%d], Loss: %.4f, Perplexity: %5.4f, "
+                        "%.1f img/s, %.0f ms/step",
+                        epoch,
+                        cfg.max_epochs,
+                        it,
+                        loss,
+                        float(np.exp(loss)),
+                        self.throughput.items_per_sec,
+                        1000 * (self.timer.avg_s or 0),
+                    )
+
+                if total_iteration % cfg.save_checkpoint_every == 0:
+                    best_val_score = self._checkpoint(
+                        epoch,
+                        it,
+                        total_iteration,
+                        float(metrics["loss"]),
+                        lr,
+                        best_val_score,
+                        val_result_history,
+                        loss_history,
+                        lr_history,
+                        infos,
+                    )
+            loaded_iteration = 0  # after the resume epoch, run all iterations
+
+        return infos
+
+    # ------------------------------------------------------------------
+
+    def _checkpoint(
+        self,
+        epoch,
+        it,
+        total_iteration,
+        train_loss,
+        lr,
+        best_val_score,
+        val_result_history,
+        loss_history,
+        lr_history,
+        infos,
+    ):
+        cfg = self.cfg
+        val_loss, predictions, lang_stats = None, [], {}
+        if self.eval_fn is not None:
+            val_loss, predictions, lang_stats = self.eval_fn(
+                self.state.params, self.state.batch_stats, self.frozen
+            )
+        val_result_history[str(total_iteration)] = {
+            "loss": val_loss,
+            "lang_stats": lang_stats,
+        }
+        loss_history[str(total_iteration)] = train_loss
+        lr_history[str(total_iteration)] = lr
+
+        if cfg.language_eval == 1 and lang_stats:
+            current_score = lang_stats.get("CIDEr")
+        elif val_loss is not None:
+            current_score = -val_loss
+        else:
+            current_score = -train_loss
+
+        best_flag = best_val_score is None or (
+            current_score is not None and current_score > best_val_score
+        )
+        if best_flag:
+            best_val_score = current_score
+
+        infos.update(
+            total_iter=total_iteration,
+            iter=it,
+            epoch=epoch,
+            best_val_score=best_val_score,
+            opt=cfg.to_dict(),
+            val_result_history=val_result_history,
+            loss_history=loss_history,
+            lr_history=lr_history,
+        )
+        ckpt.save_infos(cfg.expr_dir, infos)
+        if best_flag:
+            ckpt.save_best(
+                cfg.expr_dir,
+                jax.device_get(self.state.params),
+                jax.device_get(self.state.batch_stats),
+                infos,
+            )
+            log.info("model saved to %s (score %.4f)", cfg.expr_dir, current_score or 0)
+        return best_val_score

@@ -1,0 +1,148 @@
+"""Trainer runtime: schedules, checkpoint gating, resume, histories."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from show_and_tell_tpu import ckpt
+from show_and_tell_tpu.config import Config
+from show_and_tell_tpu.models.registry import build_model
+from show_and_tell_tpu.train.schedule import lr_for_epoch, ss_prob_for_epoch
+from show_and_tell_tpu.train.trainer import Trainer
+
+V = 19
+
+
+def test_lr_schedule_matches_reference_formula():
+    # train.py:101-107: decay by rate^((epoch-start)//every) once epoch > start
+    cfg = Config(
+        learning_rate=1e-3,
+        learning_rate_decay_start=1,
+        learning_rate_decay_every=3,
+        learning_rate_decay_rate=0.8,
+    )
+    assert lr_for_epoch(cfg, 1) == 1e-3
+    assert lr_for_epoch(cfg, 2) == pytest.approx(1e-3 * 0.8 ** 0)
+    assert lr_for_epoch(cfg, 4) == pytest.approx(1e-3 * 0.8 ** 1)
+    assert lr_for_epoch(cfg, 7) == pytest.approx(1e-3 * 0.8 ** 2)
+    assert lr_for_epoch(Config(learning_rate_decay_start=-1), 10) == 1e-3
+
+
+def test_ss_schedule():
+    cfg = Config(
+        scheduled_sampling_start=2,
+        scheduled_sampling_increase_every=5,
+        scheduled_sampling_increase_prob=0.05,
+        scheduled_sampling_max_prob=0.25,
+    )
+    assert ss_prob_for_epoch(cfg, 1) == 0.0
+    assert ss_prob_for_epoch(cfg, 3) == 0.0  # (3-2)//5 = 0
+    assert ss_prob_for_epoch(cfg, 7) == pytest.approx(0.05)
+    assert ss_prob_for_epoch(cfg, 100) == 0.25
+    assert ss_prob_for_epoch(Config(), 100) == 0.0  # default off
+
+
+def _loader(n_batches=4, B=8, T=6, L=4):
+    batches = []
+    for i in range(n_batches):
+        k = jax.random.PRNGKey(i)
+        captions = (
+            jax.random.randint(k, (B, T), 4, V).astype(jnp.int32).at[:, 0].set(1)
+        )
+        batches.append(
+            {
+                "captions": np.asarray(captions),
+                "lengths": np.full((B,), T, np.int32),
+                "features": np.asarray(
+                    jax.random.normal(jax.random.fold_in(k, 1), (B, L, 512))
+                ),
+            }
+        )
+    return batches
+
+
+def small_cfg(tmp_path, **kw):
+    base = dict(
+        embed_size=16,
+        hidden_size=32,
+        num_layers=1,
+        crop_size=32,
+        max_epochs=2,
+        save_checkpoint_every=4,
+        log_step=2,
+        expr_dir=str(tmp_path),
+        language_eval=0,
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+def test_trainer_end_to_end(tmp_path):
+    cfg = small_cfg(tmp_path)
+    model = build_model(cfg, V)
+    evals = []
+
+    def eval_fn(params, batch_stats, frozen):
+        evals.append(1)
+        return 2.0, [{"image_id": 1, "caption": "a"}], {}
+
+    t = Trainer(cfg, model, _loader(), eval_fn=eval_fn)
+    t.train()
+    # 2 epochs x 4 batches = 8 iters; checkpoint every 4 -> 2 evals
+    assert len(evals) == 2
+    infos = ckpt.load_infos(cfg.expr_dir)
+    assert infos["total_iter"] == 8
+    assert infos["epoch"] == 2
+    assert os.path.exists(os.path.join(cfg.expr_dir, "model-best.msgpack"))
+    assert infos["best_val_score"] == -2.0  # language_eval=0 -> -val_loss gate
+    assert len(infos["loss_history"]) == 2
+
+
+def test_trainer_cider_gate(tmp_path):
+    cfg = small_cfg(tmp_path, language_eval=1)
+    model = build_model(cfg, V)
+    scores = iter([0.5, 0.3])  # second eval is worse -> no new best
+
+    def eval_fn(params, batch_stats, frozen):
+        return 2.0, [], {"CIDEr": next(scores)}
+
+    t = Trainer(cfg, model, _loader(), eval_fn=eval_fn)
+    t.train()
+    infos = ckpt.load_infos(cfg.expr_dir)
+    best = ckpt.load_infos(cfg.expr_dir, best=True)
+    assert infos["best_val_score"] == 0.5
+    assert best["total_iter"] == 4  # best checkpoint from the first eval
+
+
+def test_trainer_resume_skips_iterations(tmp_path):
+    cfg = small_cfg(tmp_path, max_epochs=1)
+    model = build_model(cfg, V)
+    t = Trainer(cfg, model, _loader(), eval_fn=lambda *a: (1.0, [], {}))
+    t.train()
+    infos = ckpt.load_infos(cfg.expr_dir)
+    assert infos["total_iter"] == 4
+
+    # Resume in a fresh trainer from the same dir with more epochs.
+    cfg2 = small_cfg(tmp_path, max_epochs=2, start_from=str(tmp_path))
+    steps = []
+    t2 = Trainer(cfg2, model, _loader(), eval_fn=lambda *a: (1.0, [], {}))
+    t2.train()
+    infos2 = ckpt.load_infos(cfg.expr_dir)
+    # epoch 1 fully skipped (4 iters done), epoch 2 adds 4 more
+    assert infos2["total_iter"] == 8
+    assert infos2["epoch"] == 2
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = small_cfg(tmp_path)
+    model = build_model(cfg, V)
+    params, _ = model.init(jax.random.PRNGKey(0))
+    ckpt.save_best(str(tmp_path), params, None, {"total_iter": 1})
+    tmpl = jax.tree.map(jnp.zeros_like, params)
+    restored, _ = ckpt.load_best_params(str(tmp_path), tmpl, None)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
