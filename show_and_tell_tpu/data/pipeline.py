@@ -1,0 +1,143 @@
+"""Host-side input pipeline: parallel decode + prefetch.
+
+Replaces torch ``DataLoader(num_workers, collate_fn)`` (data_loader.py:64-77).
+Design for keeping a TPU fed:
+
+- a thread pool decodes the *next* batches' images (PIL -> uint8
+  [256, 256, 3]) while the device runs the current step; ``prefetch_depth``
+  batches are in flight (double buffering by default),
+- images cross the host->device boundary as uint8 (augmentation happens on
+  device, transforms.py), captions as int32,
+- batches come from the length-bucketed dataset, so every (bucket, batch)
+  shape is static and hits a cached compilation,
+- a ``features`` source (dict cocoid -> array, or .npz path) bypasses image
+  IO entirely for precomputed-encoder workflows (BASELINE.json config 2).
+
+The loader object is re-iterable: each ``iter()`` is a fresh epoch with a
+fresh deterministic shuffle (epoch counter folds into the seed).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+from show_and_tell_tpu.data.dataset import CocoCaptionDataset
+
+
+def _load_image(path: str, size: int = 256) -> np.ndarray:
+    from PIL import Image
+
+    img = Image.open(path).convert("RGB")
+    if img.size != (size, size):
+        img = img.resize((size, size))
+    return np.asarray(img, dtype=np.uint8)
+
+
+class Loader:
+    def __init__(
+        self,
+        dataset: CocoCaptionDataset,
+        batch_size: int,
+        shuffle: bool = True,
+        num_workers: int = 2,
+        prefetch_depth: int = 2,
+        seed: int = 123,
+        load_images: bool = True,
+        features: Optional[Dict] = None,
+        image_size: int = 256,
+        drop_remainder: bool = False,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.prefetch_depth = max(1, prefetch_depth)
+        self.seed = seed
+        self.load_images = load_images
+        self.features = features
+        self.image_size = image_size
+        self.drop_remainder = drop_remainder
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        return self.dataset.num_batches(self.batch_size, self.drop_remainder)
+
+    def _materialize(self, plan: Dict) -> Dict:
+        idx, pad_len = plan["indices"], plan["pad_len"]
+        captions, lengths = self.dataset.encode_indices(idx, pad_len)
+        meta = self.dataset.batch_meta(idx)
+        batch = {
+            "captions": captions,
+            "lengths": lengths,
+            "imgids": meta["imgids"],
+            "cocoids": meta["cocoids"],
+        }
+        if self.features is not None:
+            batch["features"] = np.stack(
+                [np.asarray(self.features[c]) for c in meta["cocoids"]]
+            ).astype(np.float32)
+        elif self.load_images:
+            batch["images"] = np.stack(
+                [_load_image(p, self.image_size) for p in meta["paths"]]
+            )
+        return batch
+
+    def __iter__(self) -> Iterator[Dict]:
+        rng = np.random.default_rng(self.seed + self._epoch)
+        self._epoch += 1
+        plans = list(
+            self.dataset.iter_index_batches(
+                self.batch_size, self.shuffle, rng, self.drop_remainder
+            )
+        )
+        if not plans:
+            return
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_depth)
+        stop = threading.Event()
+
+        def producer():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                futures = [pool.submit(self._materialize, p) for p in plans]
+                for fut in futures:
+                    if stop.is_set():
+                        break
+                    q.put(fut)
+            q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                yield item.result()
+        finally:
+            stop.set()
+
+
+def make_loader(
+    cfg,
+    dataset: CocoCaptionDataset,
+    mode: str = "train",
+    features: Optional[Dict] = None,
+    load_images: bool = True,
+) -> Loader:
+    """Loader factory mirroring the reference's ``get_loader`` surface
+    (data_loader.py:64-77): batch size / workers / shuffle from config."""
+    return Loader(
+        dataset,
+        batch_size=cfg.batch_size,
+        shuffle=(mode == "train"),
+        num_workers=cfg.num_workers,
+        prefetch_depth=cfg.prefetch_depth,
+        seed=cfg.random_seed,
+        load_images=load_images,
+        features=features,
+        drop_remainder=(mode == "train"),
+    )

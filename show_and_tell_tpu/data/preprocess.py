@@ -1,0 +1,154 @@
+"""Offline preprocessing: Karpathy-split COCO JSON -> vocab + caption records.
+
+Behavior parity with the reference pipeline (preprocess.py):
+- vocabulary from token counts with ``count >= word_count_threshold``
+  (default 5; preprocess.py:71,153), special tokens first in the exact order
+  ``<pad>,<start>,<end>,<unk>`` (preprocess.py:75-78),
+- caption stats printout (total words, bad-word %, UNK %, length histogram;
+  preprocess.py:31-49 — note the reference's stats use ``<=`` for bad words
+  while the vocab keeps ``>=``, so threshold-count words appear in both;
+  reproduced as-is),
+- one output record **per sentence** with
+  ``{split, imgid, cocoid, file_path, final_caption, sentids}``
+  (preprocess.py:109-128),
+- records sorted by caption length ascending (preprocess.py:133) — in this
+  build that ordering also seeds the length-bucketing that replaces
+  sort+pack,
+- optional image resize to 256x256 with grayscale->RGB promotion
+  (preprocess.py:86-101; squash resize, not aspect-preserving),
+- the COCO-integrity check of 616,767 total captions (preprocess.py:130) is
+  an opt-in flag rather than a hard assert so non-COCO datasets work.
+
+Outputs are JSON (+Vocabulary JSON), not pickles.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from collections import Counter
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from show_and_tell_tpu.config import Config
+from show_and_tell_tpu.utils.vocab import Vocabulary
+
+log = logging.getLogger(__name__)
+
+COCO_TOTAL_CAPTIONS = 616767
+
+
+def print_stats(words: Dict[str, int], sent_lengths: Dict[int, int], threshold: int) -> None:
+    total_words = sum(words.values())
+    bad_words = [w for w, n in words.items() if n <= threshold]
+    vocab_words = [w for w, n in words.items() if n > threshold]
+    bad_count = sum(words[w] for w in bad_words)
+    log.info("total words: %d", total_words)
+    log.info(
+        "number of bad words: %d/%d = %.2f%%",
+        len(bad_words), len(words), len(bad_words) * 100.0 / max(len(words), 1),
+    )
+    log.info("number of words in vocab would be %d", len(vocab_words))
+    log.info(
+        "number of UNKs: %d/%d = %.2f%%",
+        bad_count, total_words, bad_count * 100.0 / max(total_words, 1),
+    )
+    if sent_lengths:
+        max_len = max(sent_lengths)
+        sum_len = sum(sent_lengths.values())
+        log.info("max length sentence in raw data: %d", max_len)
+        for i in range(max_len + 1):
+            n = sent_lengths.get(i, 0)
+            log.info("%2d: %10d   %f%%", i, n, n * 100.0 / sum_len)
+
+
+def build_vocab(
+    caption_json: str, word_count_threshold: int = 5, show_stats: bool = True
+) -> Tuple[Vocabulary, List[dict]]:
+    """Returns ``(vocab, images)`` from a Karpathy-format caption JSON."""
+    if not os.path.exists(caption_json):
+        raise FileNotFoundError(caption_json)
+    with open(caption_json) as f:
+        imgs = json.load(f)["images"]
+    log.info("Load annotations from %s", caption_json)
+
+    counter: Counter = Counter()
+    sent_lengths: Dict[int, int] = {}
+    for img in imgs:
+        for sentence in img["sentences"]:
+            counter.update(sentence["tokens"])
+            n = len(sentence["tokens"])
+            sent_lengths[n] = sent_lengths.get(n, 0) + 1
+
+    if show_stats:
+        print_stats(dict(counter), sent_lengths, word_count_threshold)
+
+    words = [w for w, cnt in counter.items() if cnt >= word_count_threshold]
+    vocab = Vocabulary.from_words(words)
+    return vocab, imgs
+
+
+def resize_image(img_path: str, out_path: str, size: int = 256) -> bool:
+    """Squash-resize to size x size, promoting grayscale to RGB."""
+    try:
+        from PIL import Image
+
+        img = Image.open(img_path)
+        img = img.resize((size, size))
+        arr = np.asarray(img)
+        if arr.ndim == 2:
+            arr = np.stack([arr] * 3, axis=-1)
+            img = Image.fromarray(arr)
+        elif arr.ndim == 3 and arr.shape[-1] == 4:
+            img = img.convert("RGB")
+        img.save(out_path)
+        return True
+    except Exception as e:  # mirror the swallow-and-report contract
+        log.warning("resize failed for %s: %s", img_path, e)
+        return False
+
+
+def preprocess(cfg: Config, resize_images: bool = False, data_root: str = "data") -> Tuple[str, str]:
+    """Full offline pass. Returns (vocab_path, data_json_path)."""
+    vocab, imgs = build_vocab(
+        cfg.caption_json, cfg.word_count_threshold, cfg.print_stats
+    )
+
+    out: List[dict] = []
+    for i, img in enumerate(imgs):
+        save_path = os.path.join(data_root, img.get("filepath", ""), img["filename"])
+        if resize_images:
+            src = os.path.join(cfg.images_root, img.get("filepath", ""), img["filename"])
+            os.makedirs(os.path.dirname(save_path), exist_ok=True)
+            if not resize_image(src, save_path):
+                raise RuntimeError(f"failed resizing image {src}")
+        base = {
+            "split": img["split"],
+            "imgid": img["imgid"],
+            "cocoid": img.get("cocoid", img["imgid"]),
+            "file_path": save_path,
+        }
+        for si, sentence in enumerate(img["sentences"]):
+            rec = dict(base)
+            rec["final_caption"] = sentence["tokens"]
+            rec["sentids"] = img["sentids"][si] if "sentids" in img else si
+            out.append(rec)
+
+    if cfg.caption_json and len(out) != COCO_TOTAL_CAPTIONS:
+        log.warning(
+            "caption count %d != COCO's %d (fine for non-COCO data)",
+            len(out), COCO_TOTAL_CAPTIONS,
+        )
+
+    out.sort(key=lambda x: len(x["final_caption"]))
+
+    os.makedirs(os.path.dirname(cfg.vocab_path) or ".", exist_ok=True)
+    vocab.save(cfg.vocab_path)
+    os.makedirs(os.path.dirname(cfg.output_json) or ".", exist_ok=True)
+    with open(cfg.output_json, "w") as f:
+        json.dump(out, f)
+    log.info("saved vocab (%d words) to %s", len(vocab), cfg.vocab_path)
+    log.info("saved %d caption records to %s", len(out), cfg.output_json)
+    return cfg.vocab_path, cfg.output_json
