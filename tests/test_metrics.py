@@ -1,0 +1,212 @@
+"""Metric suite: hand-computed golden values + semantic invariants.
+
+Golden values are derived analytically from the reference scorer formulas
+(pycocoevalcap/{bleu,cider,rouge}), since the vendored Py2 scorers cannot
+execute under Python 3."""
+
+import math
+
+import numpy as np
+import pytest
+
+from show_and_tell_tpu.metrics.bleu import Bleu
+from show_and_tell_tpu.metrics.cider import Cider
+from show_and_tell_tpu.metrics.meteor import Meteor, meteor_sentence, porter_stem
+from show_and_tell_tpu.metrics.rouge import Rouge, lcs_length
+from show_and_tell_tpu.metrics.spice import Spice, SpiceUnavailable, set_backend
+from show_and_tell_tpu.metrics.tokenizer import PTBTokenizer, tokenize_caption
+
+
+# --- BLEU -------------------------------------------------------------------
+
+
+def test_bleu_identical():
+    gts = {1: ["a man rides a horse"]}
+    res = {1: ["a man rides a horse"]}
+    score, per_img = Bleu(4).compute_score(gts, res)
+    for s in score:
+        assert s == pytest.approx(1.0, abs=1e-6)
+
+
+def test_bleu_golden_short_hyp():
+    # hyp "the cat sat" vs ref "the cat sat on the mat" (hand-derived from
+    # bleu_scorer.py formulas: all precisions 1 up to n=3, 4-gram guess=0,
+    # brevity penalty exp(1 - 1/(3/6)) = exp(-1)).
+    gts = {1: ["the cat sat on the mat"]}
+    res = {1: ["the cat sat"]}
+    score, _ = Bleu(4).compute_score(gts, res)
+    bp = math.exp(-1.0)
+    assert score[0] == pytest.approx(bp, rel=1e-5)
+    assert score[1] == pytest.approx(bp, rel=1e-5)
+    assert score[2] == pytest.approx(bp, rel=1e-5)
+    # 4-gram: (tiny/small) = 1e-6 -> fourth root = 10^{-1.5}
+    assert score[3] == pytest.approx(bp * 10 ** -1.5, rel=1e-4)
+
+
+def test_bleu_clipping():
+    # "the the the" vs "the cat": correct_1 clipped to ref max count 1
+    gts = {1: ["the cat"]}
+    res = {1: ["the the the"]}
+    score, _ = Bleu(4).compute_score(gts, res)
+    assert score[0] == pytest.approx(1.0 / 3.0, rel=1e-5)
+
+
+def test_bleu_closest_reflen():
+    # two refs len 2 and 6; hyp len 3 -> closest reflen is 2 -> no brevity
+    # penalty; unigram correct = {cat, sat} = 2 of 3
+    gts = {1: ["a cat", "a cat sat on a mat"], 2: ["a dog", "b c"]}
+    res = {1: ["the cat sat"], 2: ["a dog"]}
+    score, per_img = Bleu(4).compute_score(gts, res)
+    assert per_img[0][0] == pytest.approx(2.0 / 3.0, rel=1e-4)
+
+
+def test_bleu_multi_image_corpus():
+    gts = {1: ["a b c"], 2: ["d e f"]}
+    res = {1: ["a b c"], 2: ["d e f"]}
+    score, per_img = Bleu(4).compute_score(gts, res)
+    assert score[0] == pytest.approx(1.0, abs=1e-6)
+    assert len(per_img[0]) == 2
+
+
+# --- CIDEr ------------------------------------------------------------------
+
+
+def test_cider_identical_two_images():
+    # Hand-derived: identical hyp/ref, distinct across images -> per n in
+    # {1,2} similarity 1, n in {3,4} zero (no such ngrams) -> mean 0.5 * 10.
+    gts = {1: ["a b"], 2: ["c d"]}
+    res = {1: ["a b"], 2: ["c d"]}
+    score, scores = Cider().compute_score(gts, res)
+    assert score == pytest.approx(5.0, rel=1e-6)
+    np.testing.assert_allclose(scores, [5.0, 5.0], rtol=1e-6)
+
+
+def test_cider_idf_downweights_common_ngrams():
+    # 'a b' appears in both images' refs -> df=2 -> idf = log2-log2 = 0
+    # so a matching-but-common caption scores 0.
+    gts = {1: ["a b"], 2: ["a b"]}
+    res = {1: ["a b"], 2: ["a b"]}
+    score, _ = Cider().compute_score(gts, res)
+    assert score == pytest.approx(0.0, abs=1e-9)
+
+
+def test_cider_length_penalty():
+    # same content, hyp longer by filler -> gaussian penalty reduces score
+    gts = {1: ["a b c d"], 2: ["x y z w"]}
+    res_exact = {1: ["a b c d"], 2: ["x y z w"]}
+    res_long = {1: ["a b c d e f g h"], 2: ["x y z w q r s t"]}
+    s_exact, _ = Cider().compute_score(gts, res_exact)
+    s_long, _ = Cider().compute_score(gts, res_long)
+    assert s_long < s_exact
+
+
+# --- ROUGE-L ----------------------------------------------------------------
+
+
+def test_lcs():
+    assert lcs_length("a b c d".split(), "a c d".split()) == 3
+    assert lcs_length([], ["a"]) == 0
+    assert lcs_length(["x"], ["y"]) == 0
+
+
+def test_rouge_golden():
+    # lcs=3, P=1, R=0.5, beta=1.2 -> F = 2.44*0.5 / (0.5 + 1.44) = 0.628866
+    gts = {1: ["the cat sat on the mat"]}
+    res = {1: ["the cat sat"]}
+    score, _ = Rouge().compute_score(gts, res)
+    assert score == pytest.approx((1 + 1.2 ** 2) * 0.5 / (0.5 + 1.2 ** 2), rel=1e-6)
+
+
+def test_rouge_max_over_refs():
+    gts = {1: ["a b c", "totally different words here"]}
+    res = {1: ["a b c"]}
+    score, _ = Rouge().compute_score(gts, res)
+    assert score == pytest.approx(1.0)
+
+
+# --- METEOR -----------------------------------------------------------------
+
+
+def test_porter_stemmer():
+    assert porter_stem("running") == "run"
+    assert porter_stem("caresses") == "caress"
+    assert porter_stem("ponies") == "poni"
+    assert porter_stem("cats") == "cat"
+    assert porter_stem("relational") == "relat"
+    assert porter_stem("hopping") == "hop"
+
+
+def test_meteor_identical():
+    assert meteor_sentence("a man rides a horse", ["a man rides a horse"]) == pytest.approx(1.0)
+
+
+def test_meteor_stem_stage():
+    # 'running' matches 'run' only via the stem stage (weight 0.6)
+    s = meteor_sentence("dog running", ["dog runs"])
+    assert 0 < s < 1.0
+
+
+def test_meteor_order_sensitivity():
+    # scrambled hypothesis -> more chunks -> fragmentation penalty
+    good = meteor_sentence("a man rides a horse", ["a man rides a horse"])
+    scrambled = meteor_sentence("horse a rides man a", ["a man rides a horse"])
+    assert scrambled < good
+
+
+def test_meteor_multi_ref_max():
+    s1 = meteor_sentence("a cat", ["a cat", "completely different"])
+    s2 = meteor_sentence("a cat", ["a cat"])
+    assert s1 == pytest.approx(s2)
+
+
+def test_meteor_api():
+    score, scores = Meteor().compute_score({1: ["a b"], 2: ["c d"]}, {1: ["a b"], 2: ["x y"]})
+    assert len(scores) == 2
+    assert score == pytest.approx(np.mean(scores))
+
+
+# --- SPICE ------------------------------------------------------------------
+
+
+def test_spice_unavailable_contract():
+    with pytest.raises(SpiceUnavailable):
+        Spice().compute_score({1: ["a"]}, {1: ["a"]})
+    assert Spice(strict=False).compute_score({1: ["a"]}, {1: ["a"]}) == (None, None)
+
+
+def test_spice_backend_hook():
+    set_backend(lambda gts, res: (0.42, [0.42]))
+    try:
+        assert Spice().compute_score({1: ["a"]}, {1: ["a"]})[0] == 0.42
+        assert Spice().available()
+    finally:
+        set_backend(None)
+
+
+# --- PTB tokenizer ----------------------------------------------------------
+
+
+def test_tokenizer_lowercase_and_punct_strip():
+    assert tokenize_caption("A man, riding a horse.") == "a man riding a horse"
+    assert tokenize_caption("Hello!!!") == "hello"
+
+
+def test_tokenizer_contractions():
+    assert tokenize_caption("He doesn't run") == "he does n't run"
+    assert tokenize_caption("The man's hat") == "the man 's hat"
+
+
+def test_tokenizer_brackets_removed():
+    # -LRB-/-RRB- are produced then stripped (both in PUNCTUATIONS)
+    assert tokenize_caption("a (small) dog") == "a small dog"
+
+
+def test_tokenizer_api_contract():
+    tk = PTBTokenizer()
+    out = tk.tokenize(
+        {
+            7: [{"caption": "A dog runs."}, {"caption": "Dogs, running!"}],
+            8: [{"caption": "Cat."}],
+        }
+    )
+    assert out == {7: ["a dog runs", "dogs running"], 8: ["cat"]}
