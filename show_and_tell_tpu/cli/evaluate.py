@@ -1,0 +1,60 @@
+"""Standalone evaluation entry point (the reference's ``eval.py`` used as a
+library had no CLI; this adds one for the common serving/eval workflow).
+
+Usage::
+
+    python -m show_and_tell_tpu.cli.evaluate --data_json data/data.json \
+        --vocab_path data/vocab.json --load_model_path experiment/u/e \
+        --ann_file captions_val2014.json --beam_size 3
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import sys
+
+from show_and_tell_tpu import ckpt
+from show_and_tell_tpu.config import parse_config
+from show_and_tell_tpu.data.dataset import CocoCaptionDataset
+from show_and_tell_tpu.data.pipeline import make_loader
+from show_and_tell_tpu.evalsuite.driver import evaluation
+from show_and_tell_tpu.models.registry import build_model
+from show_and_tell_tpu.utils.logging import setup_logging
+from show_and_tell_tpu.utils.rng import KeyChain
+from show_and_tell_tpu.utils.vocab import Vocabulary
+
+log = logging.getLogger(__name__)
+
+
+def main(argv=None):
+    cfg = parse_config(argv if argv is not None else sys.argv[1:])
+    setup_logging("eval_log.txt")
+    vocab = Vocabulary.load(cfg.vocab_path)
+    with open(cfg.data_json) as f:
+        records = json.load(f)
+    val_ds = CocoCaptionDataset(records, vocab, "val", cfg.max_caption_len, cfg.num_buckets)
+    loader = make_loader(cfg, val_ds, mode="val")
+
+    model = build_model(cfg, len(vocab))
+    params, frozen = model.init(KeyChain(cfg.random_seed).key("init"))
+    batch_stats = model.init_batch_stats() if hasattr(model, "init_batch_stats") else None
+    if cfg.load_model_path:
+        restored = ckpt.load_best_params(cfg.load_model_path, params, batch_stats)
+        if restored is None:
+            raise SystemExit(f"no checkpoint found in {cfg.load_model_path}")
+        params, batch_stats = restored
+
+    mode = "beam" if cfg.beam_size > 1 else "greedy"
+    val_loss, preds, stats = evaluation(
+        model, cfg, params, batch_stats, frozen, loader, vocab,
+        mode=mode, ann_file=cfg.ann_file,
+    )
+    log.info("val loss: %.4f", val_loss)
+    for k, v in stats.items():
+        log.info("%s: %.4f", k, v)
+    return val_loss, preds, stats
+
+
+if __name__ == "__main__":
+    main()

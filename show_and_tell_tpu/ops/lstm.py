@@ -114,9 +114,14 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _pick_tile(h: int) -> int:
+def _pick_tile(h: int, in_h: int = 0, itemsize: int = 4) -> int:
+    """Largest H-tile in {512, 256, 128} dividing h whose 4 weight blocks
+    ([in_h, T] each) fit a ~4MB VMEM budget — Mosaic double-buffers every
+    input block, so the footprint is ~2x this plus activations within the
+    ~16MB/core scoped limit."""
+    budget = 4 * 1024 * 1024
     for t in (512, 256, 128):
-        if h % t == 0:
+        if h % t == 0 and (in_h == 0 or 4 * in_h * t * itemsize <= budget):
             return t
     return 0
 
@@ -127,8 +132,8 @@ def _lstm_cell_pallas_impl(
     B = x.shape[0]
     I = x.shape[1]
     H = h.shape[1]
-    T = _pick_tile(H)
-    assert T, f"hidden={H} not a multiple of 128"
+    T = _pick_tile(H, I + H, w.dtype.itemsize)
+    assert T, f"hidden={H} not tileable"
 
     hx = jnp.concatenate([x, h], axis=-1)
     sub = 16 if hx.dtype == jnp.bfloat16 else 8
@@ -141,26 +146,28 @@ def _lstm_cell_pallas_impl(
         BT //= 2
     b4 = b.reshape(4, H)  # rows: gate i, f, g, o
 
-    grid = (Bp // BT, H // T)
+    # Grid order (j, i): the batch index i is innermost, so each weight tile
+    # stays resident in VMEM while every batch tile streams past it.
+    grid = (H // T, Bp // BT)
     nj = H // T
     wspec = lambda g: pl.BlockSpec(  # noqa: E731
-        (I + H, T), lambda i, j, g=g: (0, g * nj + j), memory_space=pltpu.VMEM
+        (I + H, T), lambda j, i, g=g: (0, g * nj + j), memory_space=pltpu.VMEM
     )
     h_new, c_new = pl.pallas_call(
         _cell_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((BT, I + H), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BT, T), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BT, I + H), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BT, T), lambda j, i: (i, j), memory_space=pltpu.VMEM),
             wspec(0),
             wspec(1),
             wspec(2),
             wspec(3),
-            pl.BlockSpec((4, T), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, T), lambda j, i: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((BT, T), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BT, T), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BT, T), lambda j, i: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BT, T), lambda j, i: (i, j), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((Bp, H), h.dtype),
@@ -232,6 +239,9 @@ def lstm_cell(
     params: Params, x: jax.Array, h: jax.Array, c: jax.Array
 ) -> Tuple[jax.Array, jax.Array]:
     """One LSTM step. Pallas-fused on TPU, pure JAX elsewhere."""
-    if pallas_active() and _pick_tile(h.shape[-1]):
+    tile = _pick_tile(
+        h.shape[-1], x.shape[-1] + h.shape[-1], params["w"].dtype.itemsize
+    )
+    if pallas_active() and tile:
         return _fused_cell(params["w"], params["b"], x, h, c)
     return lstm_cell_reference(params, x, h, c)

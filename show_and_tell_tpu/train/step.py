@@ -25,6 +25,7 @@ import optax
 from flax import struct
 
 from show_and_tell_tpu.config import Config
+from show_and_tell_tpu.data.transforms import eval_transform, train_transform
 from show_and_tell_tpu.train.losses import masked_cross_entropy
 
 
@@ -72,13 +73,19 @@ def make_train_step(
 
     def loss_fn(params, batch_stats, frozen, batch, ss_prob, rng):
         captions, lengths = batch["captions"], batch["lengths"]
+        rng_aug, rng_ss = jax.random.split(rng)
         if "features" in batch:
             features = batch["features"]
         else:
-            features = model.backbone_features(frozen, batch["images"])
+            images = batch["images"]
+            if images.dtype == jnp.uint8:
+                # on-device RandomCrop+HFlip+Normalize (main.py:26-30),
+                # fused into the step
+                images = train_transform(rng_aug, images, cfg.crop_size)
+            features = model.backbone_features(frozen, images)
         if is_sat:
             logits, mask, _ = model.decode_train(
-                params, features, captions, lengths, rng, ss_prob
+                params, features, captions, lengths, rng_ss, ss_prob
             )
             new_stats = batch_stats
         else:
@@ -123,7 +130,10 @@ def make_eval_loss_step(model, cfg: Config) -> Callable:
         if "features" in batch:
             features = batch["features"]
         else:
-            features = model.backbone_features(frozen, batch["images"])
+            images = batch["images"]
+            if images.dtype == jnp.uint8:
+                images = eval_transform(images, cfg.crop_size)
+            features = model.backbone_features(frozen, images)
         if is_sat:
             logits, mask, _ = model.decode_train(params, features, captions, lengths)
         else:
