@@ -29,9 +29,9 @@ import numpy as np
 
 REFERENCE_GPU_IMG_S = 120.0  # estimated; see module docstring
 
-BATCH = 64
+BATCH = 512
 N_WARMUP = 2
-N_ITERS = 10
+N_ITERS = 6
 
 
 def main() -> None:
@@ -45,7 +45,7 @@ def main() -> None:
 
     cfg = Config(
         embed_size=512, hidden_size=1024, crop_size=224, beam_size=3,
-        max_decode_len=20,
+        max_decode_len=20, dtype="bfloat16",
     )
     vocab_size = 10000
     model = build_model(cfg, vocab_size)
@@ -83,7 +83,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "captioning throughput beam=3 (VGG16+SAT, 224px, b64)",
+                "metric": "captioning throughput beam=3 (VGG16+SAT, 224px, b512)",
                 "value": round(img_s, 2),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(img_s / REFERENCE_GPU_IMG_S, 3),

@@ -102,7 +102,7 @@ class Config:
     ann_file: Optional[str] = None
 
     # --- TPU compute knobs ---
-    dtype: str = "bfloat16"  # activations/compute dtype; params stay fp32
+    dtype: str = "float32"  # compute dtype; "bfloat16" = MXU-native mixed precision
     use_pallas: Optional[bool] = None  # None = auto (pallas on TPU backend)
     donate: bool = True  # donate train-state buffers across steps
 

@@ -154,6 +154,16 @@ def embedding_lookup(table: jax.Array, ids: jax.Array) -> jax.Array:
     return jnp.take(table, ids, axis=0)
 
 
+def cast_tree(tree, dtype):
+    """Cast every float leaf to ``dtype`` (params stay fp32 in the optimizer;
+    this is the compute-dtype cast applied inside the differentiated
+    function, so gradients come back fp32 automatically)."""
+    return jax.tree.map(
+        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        tree,
+    )
+
+
 def dropout(key: Optional[jax.Array], x: jax.Array, rate: float) -> jax.Array:
     if key is None or rate <= 0.0:
         return x

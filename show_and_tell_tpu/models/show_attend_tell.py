@@ -40,7 +40,13 @@ import jax.numpy as jnp
 
 from show_and_tell_tpu.config import Config
 from show_and_tell_tpu.models import encoders
-from show_and_tell_tpu.models.layers import dense, dropout, embedding_lookup, uniform_dense
+from show_and_tell_tpu.models.layers import (
+    cast_tree,
+    dense,
+    dropout,
+    embedding_lookup,
+    uniform_dense,
+)
 from show_and_tell_tpu.ops.attention import additive_attention, encode_features, init_attention_params
 from show_and_tell_tpu.ops.lstm import init_lstm_params, lstm_cell
 
@@ -55,6 +61,11 @@ class ShowAttendTellModel:
         self.encoder_name = "vgg16"
         self.feature_dim = 512  # VGG conv5 channels
         self.num_patches = (cfg.crop_size // 16) ** 2  # 196 for 224 input
+        # Compute dtype: bf16 matmuls (MXU native) with fp32 params, fp32 LSTM
+        # cell state and fp32 softmax/log-softmax — the standard TPU mixed-
+        # precision recipe. Params live fp32 in the optimizer; casts happen
+        # inside the differentiated function.
+        self.cdtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
 
     # --- init -------------------------------------------------------------
 
@@ -79,7 +90,12 @@ class ShowAttendTellModel:
     # --- encoder ----------------------------------------------------------
 
     def backbone_features(self, frozen: Params, images: jax.Array) -> jax.Array:
-        """[B, 224, 224, 3] -> [B, 196, 512], gradient-stopped."""
+        """[B, 224, 224, 3] -> [B, 196, 512], gradient-stopped.
+
+        The trunk runs in the compute dtype end to end (conv weights are cast
+        per-op by layers.conv2d); bf16 doubles MXU throughput and halves the
+        HBM weight traffic of the frozen VGG."""
+        images = images.astype(self.cdtype)
         return jax.lax.stop_gradient(encoders.vgg16_features(frozen, images))
 
     def init_lstm_state(self, trainable: Params, features: jax.Array):
@@ -90,6 +106,9 @@ class ShowAttendTellModel:
     # --- one decoder step -------------------------------------------------
 
     def _step(self, trainable, features, ctx_enc, h, c, emb, rng=None):
+        """One decode step. ``trainable``/``features``/``ctx_enc``/``emb``
+        arrive pre-cast to the compute dtype; ``h`` is compute-dtype, ``c``
+        stays fp32 (mixed-precision recurrence)."""
         context, alpha = additive_attention(trainable["att"], features, ctx_enc, h)
         rnn_in = jnp.concatenate([emb, context], axis=-1)
         h, c = lstm_cell(trainable["lstm"], rnn_in, h, c)
@@ -97,6 +116,18 @@ class ShowAttendTellModel:
         out = dropout(rng, out, self.dropout_rate)
         logits = dense(trainable["classifier"], out)
         return h, c, logits, alpha
+
+    def _cast_for_compute(self, trainable, features):
+        """Cast params + per-image tensors to the compute dtype once per
+        call (outside the time loop); keep the LSTM bias fp32 (it adds into
+        the fp32 gate accumulator)."""
+        cd = self.cdtype
+        t = dict(trainable)
+        for k in ("att", "embed", "c2o", "h2o", "classifier"):
+            t[k] = cast_tree(trainable[k], cd)
+        t["lstm"] = {"w": trainable["lstm"]["w"].astype(cd), "b": trainable["lstm"]["b"]}
+        features = features.astype(cd)
+        return t, features
 
     # --- training forward -------------------------------------------------
 
@@ -116,8 +147,10 @@ class ShowAttendTellModel:
         Returns ``(logits [B, T-1, V], mask [B, T-1], alphas [B, T-1, L])``.
         """
         B, T = captions.shape
+        trainable, features = self._cast_for_compute(trainable, features)
         ctx_enc = encode_features(trainable["att"], features)
         h, c = self.init_lstm_state(trainable, features)
+        c = c.astype(jnp.float32)  # cell state accumulates in fp32
         tokens = jnp.swapaxes(captions[:, :-1], 0, 1)  # [T-1, B]
         steps = jnp.arange(T - 1)
         if rng is None:
@@ -160,8 +193,10 @@ class ShowAttendTellModel:
         Decoding starts from the ``<start>`` token (id 1); the carry packs
         (h, c, features, ctx_enc) so beam search can tile it per beam.
         """
+        trainable, features = self._cast_for_compute(trainable, features)
         ctx_enc = encode_features(trainable["att"], features)
         h, c = self.init_lstm_state(trainable, features)
+        c = c.astype(jnp.float32)
         carry = {"h": h, "c": c, "features": features, "ctx_enc": ctx_enc}
 
         def step_fn(carry, token_ids):

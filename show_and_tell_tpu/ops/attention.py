@@ -71,7 +71,10 @@ def additive_attention(
     h_proj = hidden @ params["w_hh"] + params["b_hh"]  # [B, D]
     h_att = jnp.tanh(ctx_enc + h_proj[:, None, :])  # [B, L, D]
     e = jnp.einsum("bld,d->bl", h_att, params["w_att"])  # [B, L]
-    alpha = jax.nn.softmax(e, axis=-1)
+    alpha = jax.nn.softmax(e.astype(jnp.float32), axis=-1)  # softmax in fp32
     # Reference uses mean over L, not sum (model2.py:77) — kept faithfully.
-    context = jnp.einsum("bl,bld->bd", alpha, features) / features.shape[1]
+    context = (
+        jnp.einsum("bl,bld->bd", alpha.astype(features.dtype), features)
+        / features.shape[1]
+    )
     return context, alpha

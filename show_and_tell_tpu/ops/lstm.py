@@ -85,7 +85,8 @@ def lstm_cell_reference(
     c_new = f * c + i * g
     h_new = o * jnp.tanh(c_new)
     del hidden
-    return h_new, c_new
+    # Match carry dtypes (h may be bf16 compute dtype while c stays fp32).
+    return h_new.astype(h.dtype), c_new.astype(c.dtype)
 
 
 # ---------------------------------------------------------------------------
