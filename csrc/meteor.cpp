@@ -1,0 +1,308 @@
+// METEOR scorer — C++ fast path.
+//
+// The reference drives meteor-1.5.jar through a persistent JVM subprocess
+// and a stdio line protocol guarded by a lock
+// (pycocoevalcap/meteor/meteor.py:18-56). This library is a native port of
+// the framework's METEOR implementation (show_and_tell_tpu/metrics/meteor.py
+// — exact + Porter-stem stages, METEOR 1.5 English parameters), exposed via
+// a C ABI for ctypes. tests/test_native.py asserts bit-equality with the
+// Python reference implementation.
+//
+// Build: make -C csrc   (produces libmeteor.so)
+
+#include <algorithm>
+#include <cmath>
+#include <cstdlib>
+#include <cstring>
+#include <set>
+#include <string>
+#include <vector>
+
+namespace {
+
+constexpr double ALPHA = 0.85;
+constexpr double BETA = 0.2;
+constexpr double GAMMA = 0.6;
+constexpr double DELTA = 0.75;
+constexpr double W_EXACT = 1.0;
+constexpr double W_STEM = 0.6;
+
+const std::set<std::string>& function_words() {
+  static const std::set<std::string> fw = {
+      "a", "an", "the", "this", "that", "these", "those", "some", "any",
+      "each", "every", "no", "all", "both", "half", "i", "you", "he", "she",
+      "it", "we", "they", "me", "him", "her", "us", "them", "my", "your",
+      "his", "its", "our", "their", "mine", "yours", "hers", "ours",
+      "theirs", "myself", "yourself", "himself", "herself", "itself",
+      "ourselves", "themselves", "who", "whom", "whose", "which", "what",
+      "and", "or", "but", "nor", "so", "yet", "for", "if", "while",
+      "although", "though", "because", "since", "unless", "until", "when",
+      "where", "as", "than", "whether", "in", "on", "at", "by", "with",
+      "from", "to", "of", "off", "over", "under", "above", "below",
+      "between", "among", "through", "during", "before", "after", "about",
+      "against", "into", "onto", "upon", "out", "up", "down", "is", "am",
+      "are", "was", "were", "be", "been", "being", "do", "does", "did",
+      "have", "has", "had", "will", "would", "shall", "should", "may",
+      "might", "can", "could", "must", "not", "n't", "'s", "'m", "'re",
+      "'ve", "'ll", "'d", "there", "here", "now", "then", "also", "just",
+      "only", "very", "too", "quite", "rather"};
+  return fw;
+}
+
+// --- Porter stemmer (faithful port of metrics/meteor.py) -------------------
+
+bool is_cons(const std::string& w, size_t i) {
+  char ch = w[i];
+  if (ch == 'a' || ch == 'e' || ch == 'i' || ch == 'o' || ch == 'u') return false;
+  if (ch == 'y') return i == 0 || !is_cons(w, i - 1);
+  return true;
+}
+
+int measure(const std::string& stem) {
+  int m = 0;
+  char prev = 0;
+  for (size_t i = 0; i < stem.size(); ++i) {
+    char cur = is_cons(stem, i) ? 'c' : 'v';
+    if (prev == 'v' && cur == 'c') ++m;
+    prev = cur;
+  }
+  return m;
+}
+
+bool has_vowel(const std::string& stem) {
+  for (size_t i = 0; i < stem.size(); ++i)
+    if (!is_cons(stem, i)) return true;
+  return false;
+}
+
+bool ends_double_cons(const std::string& w) {
+  size_t n = w.size();
+  return n >= 2 && w[n - 1] == w[n - 2] && is_cons(w, n - 1);
+}
+
+bool cvc(const std::string& w) {
+  size_t n = w.size();
+  if (n < 3) return false;
+  if (!(is_cons(w, n - 3) && !is_cons(w, n - 2) && is_cons(w, n - 1))) return false;
+  char last = w[n - 1];
+  return last != 'w' && last != 'x' && last != 'y';
+}
+
+bool ends_with(const std::string& w, const std::string& suf) {
+  return w.size() >= suf.size() &&
+         w.compare(w.size() - suf.size(), suf.size(), suf) == 0;
+}
+
+std::string chop(const std::string& w, size_t n) { return w.substr(0, w.size() - n); }
+
+std::string porter_stem(const std::string& word) {
+  if (word.size() <= 2) return word;
+  std::string w = word;
+
+  // Step 1a
+  if (ends_with(w, "sses")) w = chop(w, 2);
+  else if (ends_with(w, "ies")) w = chop(w, 2);
+  else if (ends_with(w, "ss")) {}
+  else if (ends_with(w, "s")) w = chop(w, 1);
+
+  // Step 1b
+  bool flag = false;
+  if (ends_with(w, "eed")) {
+    if (measure(chop(w, 3)) > 0) w = chop(w, 1);
+  } else if (ends_with(w, "ed") && has_vowel(chop(w, 2))) {
+    w = chop(w, 2);
+    flag = true;
+  } else if (ends_with(w, "ing") && has_vowel(chop(w, 3))) {
+    w = chop(w, 3);
+    flag = true;
+  }
+  if (flag) {
+    if (ends_with(w, "at") || ends_with(w, "bl") || ends_with(w, "iz")) w += "e";
+    else if (ends_double_cons(w) && !ends_with(w, "l") && !ends_with(w, "s") &&
+             !ends_with(w, "z"))
+      w = chop(w, 1);
+    else if (measure(w) == 1 && cvc(w)) w += "e";
+  }
+
+  // Step 1c
+  if (ends_with(w, "y") && has_vowel(chop(w, 1))) w = chop(w, 1) + "i";
+
+  // Step 2
+  {
+    static const std::vector<std::pair<std::string, std::string>> step2 = {
+        {"ational", "ate"}, {"tional", "tion"}, {"enci", "ence"},
+        {"anci", "ance"},   {"izer", "ize"},    {"abli", "able"},
+        {"alli", "al"},     {"entli", "ent"},   {"eli", "e"},
+        {"ousli", "ous"},   {"ization", "ize"}, {"ation", "ate"},
+        {"ator", "ate"},    {"alism", "al"},    {"iveness", "ive"},
+        {"fulness", "ful"}, {"ousness", "ous"}, {"aliti", "al"},
+        {"iviti", "ive"},   {"biliti", "ble"}};
+    for (const auto& p : step2) {
+      if (ends_with(w, p.first)) {
+        if (measure(chop(w, p.first.size())) > 0)
+          w = chop(w, p.first.size()) + p.second;
+        break;
+      }
+    }
+  }
+
+  // Step 3
+  {
+    static const std::vector<std::pair<std::string, std::string>> step3 = {
+        {"icate", "ic"}, {"ative", ""}, {"alize", "al"}, {"iciti", "ic"},
+        {"ical", "ic"},  {"ful", ""},   {"ness", ""}};
+    for (const auto& p : step3) {
+      if (ends_with(w, p.first)) {
+        if (measure(chop(w, p.first.size())) > 0)
+          w = chop(w, p.first.size()) + p.second;
+        break;
+      }
+    }
+  }
+
+  // Step 4 (incl. the for/else "ion" clause of the Python reference)
+  {
+    static const std::vector<std::string> step4 = {
+        "al",   "ance", "ence", "er",  "ic",  "able", "ible", "ant", "ement",
+        "ment", "ent",  "ou",   "ism", "ate", "iti",  "ous",  "ive", "ize"};
+    bool matched = false;
+    for (const auto& suf : step4) {
+      if (ends_with(w, suf)) {
+        std::string stem = chop(w, suf.size());
+        if (measure(stem) > 1) w = stem;
+        matched = true;
+        break;
+      }
+    }
+    if (!matched) {
+      if (ends_with(w, "ion") && w.size() > 3 &&
+          (w[w.size() - 4] == 's' || w[w.size() - 4] == 't') &&
+          measure(chop(w, 3)) > 1)
+        w = chop(w, 3);
+    }
+  }
+
+  // Step 5a
+  if (ends_with(w, "e")) {
+    std::string stem = chop(w, 1);
+    int m = measure(stem);
+    if (m > 1 || (m == 1 && !cvc(stem))) w = stem;
+  }
+  // Step 5b
+  if (measure(w) > 1 && ends_double_cons(w) && ends_with(w, "l")) w = chop(w, 1);
+  return w;
+}
+
+// --- alignment + sentence score -------------------------------------------
+
+std::vector<std::string> split_ws(const std::string& s) {
+  std::vector<std::string> out;
+  size_t i = 0;
+  while (i < s.size()) {
+    while (i < s.size() && s[i] == ' ') ++i;
+    size_t j = i;
+    while (j < s.size() && s[j] != ' ') ++j;
+    if (j > i) out.push_back(s.substr(i, j - i));
+    i = j;
+  }
+  return out;
+}
+
+double word_weight(const std::string& w) {
+  return function_words().count(w) ? 1.0 - DELTA : DELTA;
+}
+
+struct Match {
+  int i, j;
+  double w;
+};
+
+double score_pair(const std::vector<std::string>& hyp,
+                  const std::vector<std::string>& ref) {
+  if (hyp.empty() || ref.empty()) return 0.0;
+  std::vector<bool> used_h(hyp.size(), false), used_r(ref.size(), false);
+  std::vector<Match> matches;
+
+  for (int stage = 0; stage < 2; ++stage) {
+    double sw = stage == 0 ? W_EXACT : W_STEM;
+    std::vector<std::string> rk(ref.size());
+    for (size_t j = 0; j < ref.size(); ++j)
+      rk[j] = stage == 0 ? ref[j] : porter_stem(ref[j]);
+    for (size_t i = 0; i < hyp.size(); ++i) {
+      if (used_h[i]) continue;
+      std::string hk = stage == 0 ? hyp[i] : porter_stem(hyp[i]);
+      for (size_t j = 0; j < ref.size(); ++j) {
+        if (!used_r[j] && hk == rk[j]) {
+          matches.push_back({(int)i, (int)j, sw});
+          used_h[i] = true;
+          used_r[j] = true;
+          break;
+        }
+      }
+    }
+  }
+  if (matches.empty()) return 0.0;
+
+  double w_hyp_total = 0, w_ref_total = 0, m_hyp = 0, m_ref = 0;
+  for (const auto& w : hyp) w_hyp_total += word_weight(w);
+  for (const auto& w : ref) w_ref_total += word_weight(w);
+  for (const auto& m : matches) {
+    m_hyp += m.w * word_weight(hyp[m.i]);
+    m_ref += m.w * word_weight(ref[m.j]);
+  }
+  if (w_hyp_total == 0 || w_ref_total == 0) return 0.0;
+  double P = m_hyp / w_hyp_total;
+  double R = m_ref / w_ref_total;
+  if (P + R == 0) return 0.0;
+  double fmean = P * R / (ALPHA * P + (1 - ALPHA) * R);
+
+  std::sort(matches.begin(), matches.end(),
+            [](const Match& a, const Match& b) {
+              return a.i < b.i || (a.i == b.i && a.j < b.j);
+            });
+  int chunks = 1;
+  for (size_t k = 1; k < matches.size(); ++k) {
+    if (!(matches[k].i == matches[k - 1].i + 1 &&
+          matches[k].j == matches[k - 1].j + 1))
+      ++chunks;
+  }
+  double penalty = 0.0;
+  if (chunks > 1 || matches.size() < hyp.size()) {
+    double frag = (double)chunks / matches.size();
+    penalty = GAMMA * std::pow(frag, BETA);
+  }
+  return (1.0 - penalty) * fmean;
+}
+
+}  // namespace
+
+extern "C" {
+
+char* meteor_stem(const char* word) {
+  std::string s = porter_stem(word);
+  char* out = static_cast<char*>(std::malloc(s.size() + 1));
+  std::memcpy(out, s.c_str(), s.size() + 1);
+  return out;
+}
+
+void meteor_free(char* p) { std::free(p); }
+
+// refs are joined with '\x01'. Returns max over references.
+double meteor_score(const char* hypothesis, const char* refs_joined) {
+  std::vector<std::string> hyp = split_ws(hypothesis);
+  if (hyp.empty()) return 0.0;
+  double best = 0.0;
+  std::string refs(refs_joined);
+  size_t start = 0;
+  while (start <= refs.size()) {
+    size_t end = refs.find('\x01', start);
+    if (end == std::string::npos) end = refs.size();
+    std::vector<std::string> ref = split_ws(refs.substr(start, end - start));
+    best = std::max(best, score_pair(hyp, ref));
+    if (end == refs.size()) break;
+    start = end + 1;
+  }
+  return best;
+}
+
+}  // extern "C"

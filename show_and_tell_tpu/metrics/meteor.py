@@ -278,11 +278,64 @@ def meteor_sentence(hypothesis: str, references: Sequence[str]) -> float:
 class Meteor:
     def compute_score(self, gts: Dict, res: Dict):
         assert sorted(gts.keys()) == sorted(res.keys())
+        sentence_fn = _cpp_meteor_sentence if _cpp_available() else meteor_sentence
         scores = []
         for img_id in sorted(gts.keys()):
             assert len(res[img_id]) == 1
-            scores.append(meteor_sentence(res[img_id][0], gts[img_id]))
+            scores.append(sentence_fn(res[img_id][0], gts[img_id]))
         return float(np.mean(scores)), scores
 
     def method(self):
         return "METEOR"
+
+
+# --- C++ fast path (csrc/meteor.cpp via ctypes) -----------------------------
+
+_CPP_LIB = None
+_CPP_CHECKED = False
+
+
+def _cpp_available() -> bool:
+    global _CPP_LIB, _CPP_CHECKED
+    if _CPP_CHECKED:
+        return _CPP_LIB is not None
+    _CPP_CHECKED = True
+    try:
+        import ctypes
+        import os
+
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+            "csrc",
+            "libmeteor.so",
+        )
+        if not os.path.exists(path):
+            return False
+        lib = ctypes.CDLL(path)
+        lib.meteor_score.restype = ctypes.c_double
+        lib.meteor_score.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+        lib.meteor_stem.restype = ctypes.c_void_p
+        lib.meteor_stem.argtypes = [ctypes.c_char_p]
+        lib.meteor_free.argtypes = [ctypes.c_void_p]
+        _CPP_LIB = lib
+        return True
+    except Exception:
+        _CPP_LIB = None
+        return False
+
+
+def _cpp_meteor_sentence(hypothesis: str, references: Sequence[str]) -> float:
+    joined = "\x01".join(references)
+    return float(
+        _CPP_LIB.meteor_score(hypothesis.encode("utf-8", "ignore"), joined.encode("utf-8", "ignore"))
+    )
+
+
+def _cpp_stem(word: str) -> str:
+    import ctypes
+
+    ptr = _CPP_LIB.meteor_stem(word.encode())
+    try:
+        return ctypes.cast(ptr, ctypes.c_char_p).value.decode()
+    finally:
+        _CPP_LIB.meteor_free(ptr)
