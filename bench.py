@@ -61,10 +61,12 @@ def main() -> None:
         feats = model.backbone_features(
             frozen, eval_transform(images_u8, cfg.crop_size)
         )
-        step_fn, carry, first = model.make_decode_state(params, feats)
+        step_fn, carry, first = model.make_decode_state(
+            params, feats, beam_size=cfg.beam_size
+        )
         ids, _ = beam_search(
             step_fn, carry, BATCH, beam_size=cfg.beam_size,
-            max_len=cfg.max_decode_len, first_logits=first,
+            max_len=cfg.max_decode_len, first_logits=first, tile=False,
         )
         return ids
 

@@ -66,14 +66,20 @@ def beam_search(
     max_len: int = 20,
     length_penalty: float = 0.0,
     first_logits: Optional[jax.Array] = None,
+    tile: bool = True,
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns ``(ids [B, max_len], scores [B])`` for the best beam.
 
-    ``carry`` holds per-image state ``[B, ...]``; it is tiled to ``[B*k, ...]``
-    internally. ``step_fn`` must accept the flat ``[B*k]`` token batch.
+    ``carry`` holds per-image state ``[B, ...]`` and is tiled to
+    ``[B*k, ...]`` internally; pass ``tile=False`` when the caller already
+    produced ``[B*k, ...]`` state (models pre-tile their large static
+    tensors into the step closure so only the cheap recurrent state is
+    gathered each step). ``step_fn`` must accept the flat ``[B*k]`` token
+    batch.
     """
     B, k = batch, beam_size
-    carry = _tile_beams(carry, k)
+    if tile:
+        carry = _tile_beams(carry, k)
 
     if first_logits is not None:
         # Image-feature step already ran (Show-and-Tell): its logits seed the

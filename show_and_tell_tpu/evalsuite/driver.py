@@ -66,17 +66,22 @@ def make_caption_fn(
 
     @jax.jit
     def fn(params, batch_stats, features):
+        B = features.shape[0]
         if is_sat:
-            step_fn, carry, first = model.make_decode_state(params, features)
+            k = beam if mode == "beam" else 1
+            step_fn, carry, first = model.make_decode_state(
+                params, features, beam_size=k
+            )
+            tile = False  # SAT pre-tiles (static tensors live in the closure)
         else:
             step_fn, carry, first = model.make_decode_state(
                 params, batch_stats, features
             )
-        B = features.shape[0]
+            tile = True
         if mode == "beam":
             ids, _ = beam_search(
                 step_fn, carry, B, beam_size=beam, max_len=max_len,
-                first_logits=first,
+                first_logits=first, tile=tile,
             )
             return ids
         return greedy_decode(step_fn, carry, B, max_len, first_logits=first)

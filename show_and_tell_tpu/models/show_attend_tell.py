@@ -47,7 +47,12 @@ from show_and_tell_tpu.models.layers import (
     embedding_lookup,
     uniform_dense,
 )
-from show_and_tell_tpu.ops.attention import additive_attention, encode_features, init_attention_params
+from show_and_tell_tpu.ops.attention import (
+    additive_attention,
+    additive_attention_beamed,
+    encode_features,
+    init_attention_params,
+)
 from show_and_tell_tpu.ops.lstm import init_lstm_params, lstm_cell
 
 Params = Dict
@@ -187,23 +192,45 @@ class ShowAttendTellModel:
 
     # --- decoding step interface -----------------------------------------
 
-    def make_decode_state(self, trainable: Params, features: jax.Array):
+    def make_decode_state(
+        self, trainable: Params, features: jax.Array, beam_size: int = 1
+    ):
         """features [B, 196, 512] -> (step_fn, carry, first_logits=None).
 
-        Decoding starts from the ``<start>`` token (id 1); the carry packs
-        (h, c, features, ctx_enc) so beam search can tile it per beam.
-        """
+        Decoding starts from the ``<start>`` token (id 1). The carry holds
+        only the recurrent (h, c); the large per-image tensors (features,
+        ctx_enc — identical across a beam group) live in the step closure,
+        pre-tiled when ``beam_size > 1``, so beam search never re-gathers
+        hundreds of MB of static data per step (pass ``tile=False`` to
+        ``beam_search``)."""
         trainable, features = self._cast_for_compute(trainable, features)
         ctx_enc = encode_features(trainable["att"], features)
         h, c = self.init_lstm_state(trainable, features)
         c = c.astype(jnp.float32)
-        carry = {"h": h, "c": c, "features": features, "ctx_enc": ctx_enc}
+        if beam_size > 1:
+            # Recurrent state is per-beam; image tensors stay untiled and the
+            # beamed attention broadcasts over the beam axis (one HBM read of
+            # features/ctx_enc per step regardless of k).
+            h = jnp.repeat(h, beam_size, axis=0)
+            c = jnp.repeat(c, beam_size, axis=0)
+        carry = {"h": h, "c": c}
+        k = beam_size
 
         def step_fn(carry, token_ids):
             emb = embedding_lookup(trainable["embed"], token_ids)
-            h, c, logits, _ = self._step(
-                trainable, carry["features"], carry["ctx_enc"], carry["h"], carry["c"], emb
-            )
-            return {**carry, "h": h, "c": c}, logits
+            h, c = carry["h"], carry["c"]
+            if k > 1:
+                context, _ = additive_attention_beamed(
+                    trainable["att"], features, ctx_enc, h, k
+                )
+            else:
+                context, _ = additive_attention(
+                    trainable["att"], features, ctx_enc, h
+                )
+            rnn_in = jnp.concatenate([emb, context], axis=-1)
+            h, c = lstm_cell(trainable["lstm"], rnn_in, h, c)
+            out = dense(trainable["c2o"], context) + dense(trainable["h2o"], h)
+            logits = dense(trainable["classifier"], out)
+            return {"h": h, "c": c}, logits
 
         return step_fn, carry, None

@@ -78,3 +78,29 @@ def additive_attention(
         / features.shape[1]
     )
     return context, alpha
+
+
+def additive_attention_beamed(
+    params: Params,
+    features: jax.Array,  # [B, L, D] — UNtiled
+    ctx_enc: jax.Array,  # [B, L, D]
+    hidden: jax.Array,  # [B*k, H] beam-major
+    k: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Beam-search attention without tiling the image tensors.
+
+    All k beams of an image share features/ctx_enc; broadcasting over a beam
+    axis reads each [B, L, D] tensor once per step instead of k times —
+    the HBM-bandwidth win that makes wide beams cheap on TPU. Returns
+    ``(context [B*k, D], alpha [B*k, L])`` matching the tiled layout.
+    """
+    B, L, D = features.shape
+    h_proj = hidden @ params["w_hh"] + params["b_hh"]  # [B*k, D]
+    h_proj = h_proj.reshape(B, k, 1, D)
+    h_att = jnp.tanh(ctx_enc[:, None, :, :] + h_proj)  # [B, k, L, D]
+    e = jnp.einsum("bkld,d->bkl", h_att, params["w_att"])
+    alpha = jax.nn.softmax(e.astype(jnp.float32), axis=-1)  # [B, k, L]
+    context = (
+        jnp.einsum("bkl,bld->bkd", alpha.astype(features.dtype), features) / L
+    )
+    return context.reshape(B * k, D), alpha.reshape(B * k, L)

@@ -101,15 +101,20 @@ def test_beam_with_model_step():
     m = build_model(cfg.replace(model="show_attend_tell"), V)
     trainable, _ = m.init(jax.random.PRNGKey(0))
     feats = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 512))
-    step_fn, carry, first = m.make_decode_state(trainable, feats)
+    step_fn_b, carry_b, first = m.make_decode_state(trainable, feats, beam_size=3)
     assert first is None
     ids, scores = jax.jit(
-        lambda c: beam_search(step_fn, c, batch=2, beam_size=3, max_len=7)
-    )(carry)
+        lambda c: beam_search(step_fn_b, c, batch=2, beam_size=3, max_len=7, tile=False)
+    )(carry_b)
     assert ids.shape == (2, 7)
     assert scores.shape == (2,)
+    step_fn, carry, _ = m.make_decode_state(trainable, feats)
     g = greedy_decode(step_fn, carry, batch=2, max_len=7)
     assert g.shape == (2, 7)
+    # beam-1 through the pre-tiled path must equal greedy
+    step_fn1, carry1, _ = m.make_decode_state(trainable, feats, beam_size=1)
+    b1, _ = beam_search(step_fn1, carry1, batch=2, beam_size=1, max_len=7, tile=False)
+    np.testing.assert_array_equal(np.asarray(g), np.asarray(b1))
 
 
 def test_show_tell_first_logits_path():
