@@ -230,7 +230,14 @@ def _fused_cell_bwd(res, grads):
     dhx = dz @ w.T
     dw = hx.T @ dz
     db = jnp.sum(dz, axis=0)
-    return dw, db, dhx[:, :I], dhx[:, I:], dc_prev
+    # Cotangents must match primal dtypes (w/x/h may be bf16 compute dtype).
+    return (
+        dw.astype(w.dtype),
+        db.astype(b.dtype),
+        dhx[:, :I].astype(x.dtype),
+        dhx[:, I:].astype(h.dtype),
+        dc_prev.astype(c.dtype),
+    )
 
 
 _fused_cell.defvjp(_fused_cell_fwd, _fused_cell_bwd)

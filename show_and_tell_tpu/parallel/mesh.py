@@ -49,13 +49,24 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _single_device(mesh: Mesh):
+    """On a 1-device mesh, plain placement — identical semantics, and it
+    avoids the (observed) heavy per-step overhead NamedSharding layouts incur
+    on single-chip relay backends."""
+    return mesh.devices.size == 1
+
+
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
     """Place every array leaf with its batch dim sharded over ``data``."""
+    if _single_device(mesh):
+        return jax.tree.map(jax.device_put, batch)
     s = batch_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, s), batch)
 
 
 def replicate(mesh: Mesh, tree: Any) -> Any:
+    if _single_device(mesh):
+        return jax.tree.map(jax.device_put, tree)
     r = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, r), tree)
 
@@ -94,5 +105,7 @@ def param_shardings(mesh: Mesh, params: Any) -> Any:
 
 
 def place_params(mesh: Mesh, params: Any) -> Any:
+    if _single_device(mesh):
+        return jax.tree.map(jax.device_put, params)
     shardings = param_shardings(mesh, params)
     return jax.tree.map(jax.device_put, params, shardings)
