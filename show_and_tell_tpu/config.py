@@ -105,6 +105,7 @@ class Config:
     dtype: str = "float32"  # compute dtype; "bfloat16" = MXU-native mixed precision
     use_pallas: Optional[bool] = None  # None = auto (pallas on TPU backend)
     donate: bool = True  # donate train-state buffers across steps
+    skip_nonfinite: bool = True  # failure detection: drop updates w/ NaN/inf grads
 
     # Derived at runtime, persisted for the record (reference train.py:103-107).
     current_lr: float = 1e-3

@@ -60,3 +60,27 @@ def train_transform(rng: jax.Array, images_u8: jax.Array, crop: int, dtype=jnp.f
 def eval_transform(images_u8: jax.Array, crop: int, dtype=jnp.float32) -> jax.Array:
     """CenterCrop + Normalize (main.py:32-36), fused on device."""
     return normalize(center_crop(images_u8, crop), dtype)
+
+
+def resize_bilinear(images: jax.Array, size: int) -> jax.Array:
+    """On-device batched bilinear resize to size x size (the squash-resize
+    the reference does offline with scipy.misc.imresize, preprocess.py:88).
+    Lets the pipeline ingest native-resolution frames without a host resize
+    pass."""
+    B, H, W, C = images.shape
+    out = jax.image.resize(
+        images.astype(jnp.float32), (B, size, size, C), method="bilinear"
+    )
+    return out
+
+
+def resize_transform(
+    images: jax.Array, size: int, crop: int, train: bool = False,
+    rng: jax.Array = None, dtype=jnp.float32,
+) -> jax.Array:
+    """Full fused device path: resize -> (random|center) crop/flip ->
+    normalize."""
+    x = resize_bilinear(images, size)
+    if train:
+        return normalize(random_crop_flip(rng, x, crop), dtype)
+    return normalize(center_crop(x, crop), dtype)

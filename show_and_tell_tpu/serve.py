@@ -1,0 +1,131 @@
+"""High-level captioning API — the serving front door.
+
+The reference has no inference entry point beyond the eval loop; this gives
+the one-call path a production user wants::
+
+    captioner = Captioner.from_checkpoint(cfg, "experiment/u/e", vocab)
+    captions = captioner.caption_paths(["img1.jpg", "img2.jpg"])
+
+Design: one jitted program per (batch-bucket, decode-mode); inputs are
+uint8 images (resized host-side to 256x256 by PIL or pre-batched arrays);
+center-crop/normalize/backbone/beam all run on device. Short batches are
+padded to the bucket size so every request shape hits a cached compilation.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import numpy as np
+
+from show_and_tell_tpu import ckpt
+from show_and_tell_tpu.config import Config
+from show_and_tell_tpu.data.pipeline import _load_image
+from show_and_tell_tpu.data.transforms import eval_transform
+from show_and_tell_tpu.decode import beam_search, greedy_decode
+from show_and_tell_tpu.models.registry import build_model
+from show_and_tell_tpu.utils.rng import KeyChain
+from show_and_tell_tpu.utils.vocab import Vocabulary
+
+
+class Captioner:
+    def __init__(
+        self,
+        cfg: Config,
+        model,
+        params,
+        frozen,
+        vocab: Vocabulary,
+        batch_stats=None,
+        bucket_sizes: Sequence[int] = (1, 8, 32, 128),
+    ):
+        self.cfg = cfg
+        self.model = model
+        self.params = params
+        self.frozen = frozen
+        self.vocab = vocab
+        self.batch_stats = batch_stats
+        self.bucket_sizes = sorted(bucket_sizes)
+        self._fns: Dict = {}
+
+    @classmethod
+    def from_checkpoint(
+        cls, cfg: Config, expr_dir: Optional[str], vocab: Vocabulary, **kw
+    ) -> "Captioner":
+        model = build_model(cfg, len(vocab))
+        params, frozen = model.init(KeyChain(cfg.random_seed).key("init"))
+        batch_stats = (
+            model.init_batch_stats() if hasattr(model, "init_batch_stats") else None
+        )
+        if expr_dir:
+            restored = ckpt.load_best_params(expr_dir, params, batch_stats)
+            if restored is not None:
+                params, batch_stats = restored
+        return cls(cfg, model, params, frozen, vocab, batch_stats, **kw)
+
+    # ------------------------------------------------------------------
+
+    def _bucket(self, n: int) -> int:
+        for b in self.bucket_sizes:
+            if n <= b:
+                return b
+        return self.bucket_sizes[-1]
+
+    def _fn(self, batch: int, mode: str):
+        key = (batch, mode)
+        if key in self._fns:
+            return self._fns[key]
+        model, cfg = self.model, self.cfg
+        is_sat = type(model).__name__ == "ShowAttendTellModel"
+
+        @jax.jit
+        def fn(params, batch_stats, frozen, images_u8):
+            feats = model.backbone_features(
+                frozen, eval_transform(images_u8, cfg.crop_size)
+            )
+            if is_sat:
+                k = cfg.beam_size if mode == "beam" else 1
+                step_fn, carry, first = model.make_decode_state(params, feats, k)
+                tile = False
+            else:
+                step_fn, carry, first = model.make_decode_state(
+                    params, batch_stats, feats
+                )
+                tile = True
+            if mode == "beam":
+                ids, _ = beam_search(
+                    step_fn, carry, batch, beam_size=cfg.beam_size,
+                    max_len=cfg.max_decode_len, first_logits=first, tile=tile,
+                )
+                return ids
+            return greedy_decode(
+                step_fn, carry, batch, cfg.max_decode_len, first_logits=first
+            )
+
+        self._fns[key] = fn
+        return fn
+
+    # ------------------------------------------------------------------
+
+    def caption_images(self, images_u8: np.ndarray, mode: str = "beam") -> List[str]:
+        """images_u8 [N, 256, 256, 3] uint8 -> N caption strings."""
+        n = images_u8.shape[0]
+        out: List[str] = []
+        i = 0
+        while i < n:
+            b = self._bucket(n - i)
+            chunk = images_u8[i : i + b]
+            if chunk.shape[0] < b:  # pad to the bucket's static shape
+                pad = np.repeat(chunk[-1:], b - chunk.shape[0], axis=0)
+                chunk = np.concatenate([chunk, pad], axis=0)
+            ids = np.asarray(
+                self._fn(b, mode)(self.params, self.batch_stats, self.frozen, chunk)
+            )
+            out.extend(self.vocab.decode_batch(ids)[: min(b, n - i)])
+            i += b
+        return out
+
+    def caption_paths(self, paths: Sequence[str], mode: str = "beam") -> List[str]:
+        images = np.stack([_load_image(p) for p in paths])
+        return self.caption_images(images, mode)

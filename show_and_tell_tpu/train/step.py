@@ -100,16 +100,35 @@ def make_train_step(
         (loss, (new_stats, count)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params, state.batch_stats, frozen, batch, ss_prob, rng)
+        grad_norm = optax.global_norm(grads)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         updates = jax.tree.map(lambda u: u * lr, updates)
         params = optax.apply_updates(state.params, updates)
+        if cfg.skip_nonfinite:
+            # Failure detection (absent from the reference, SURVEY.md §5):
+            # a non-finite gradient anywhere drops this step's update —
+            # params and optimizer state are carried forward unchanged.
+            finite = jnp.isfinite(grad_norm)
+            params = jax.tree.map(
+                lambda new, old: jnp.where(finite, new, old), params, state.params
+            )
+            opt_state = jax.tree.map(
+                lambda new, old: jnp.where(finite, new, old),
+                opt_state,
+                state.opt_state,
+            )
         new_state = TrainState(
             params=params,
             opt_state=opt_state,
             batch_stats=new_stats,
             step=state.step + 1,
         )
-        metrics = {"loss": loss, "perplexity": jnp.exp(loss), "tokens": count}
+        metrics = {
+            "loss": loss,
+            "perplexity": jnp.exp(loss),
+            "tokens": count,
+            "grad_norm": grad_norm,
+        }
         return new_state, metrics
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())

@@ -1,0 +1,115 @@
+"""Serving API + failure-detection guard + scaled (BASELINE #5) config."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from show_and_tell_tpu.config import Config
+from show_and_tell_tpu.models.registry import build_model
+from show_and_tell_tpu.serve import Captioner
+from show_and_tell_tpu.utils.vocab import Vocabulary
+
+
+def _vocab():
+    return Vocabulary.from_words(["a", "man", "rides", "horse", "dog"])
+
+
+def test_captioner_batching_and_modes():
+    cfg = Config(
+        embed_size=16, hidden_size=32, crop_size=32, max_decode_len=4, beam_size=2
+    )
+    vocab = _vocab()
+    cap = Captioner.from_checkpoint(cfg, None, vocab, bucket_sizes=(2, 4))
+    images = (np.random.default_rng(0).random((5, 40, 40, 3)) * 255).astype(np.uint8)
+    for mode in ("greedy", "beam"):
+        caps = cap.caption_images(images, mode=mode)
+        assert len(caps) == 5
+        assert all(isinstance(c, str) for c in caps)
+    # 5 images with buckets (2,4): uses 4 + 2(padded) -> two compiled fns
+    assert (4, "beam") in cap._fns and (2, "beam") in cap._fns
+
+
+def test_captioner_show_tell():
+    cfg = Config(
+        embed_size=16, hidden_size=32, crop_size=32, max_decode_len=4,
+        model="show_tell", beam_size=2,
+    )
+    cap = Captioner.from_checkpoint(cfg, None, _vocab(), bucket_sizes=(2,))
+    images = (np.random.default_rng(0).random((2, 40, 40, 3)) * 255).astype(np.uint8)
+    assert len(cap.caption_images(images, mode="beam")) == 2
+
+
+def test_nonfinite_guard_skips_update():
+    from show_and_tell_tpu.train.step import make_train_state, make_train_step
+
+    cfg = Config(embed_size=16, hidden_size=32, crop_size=32, skip_nonfinite=True)
+    model = build_model(cfg, 9)
+    params, frozen = model.init(jax.random.PRNGKey(0))
+    state = make_train_state(cfg, params)
+    step = make_train_step(model, cfg, donate=False)
+    B, T, L = 4, 5, 4
+    batch = {
+        "captions": np.ones((B, T), np.int32),
+        "lengths": np.full((B,), T, np.int32),
+        # NaN features -> NaN loss/grads -> update must be dropped
+        "features": np.full((B, L, 512), np.nan, np.float32),
+    }
+    new_state, metrics = step(state, frozen, batch, 1e-2, 0.0, jax.random.PRNGKey(0))
+    assert not np.isfinite(float(metrics["grad_norm"]))
+    for a, b in zip(jax.tree.leaves(new_state.params), jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and a healthy batch does update
+    batch["features"] = np.random.default_rng(0).random((B, L, 512)).astype(np.float32)
+    s2, m2 = step(state, frozen, batch, 1e-2, 0.0, jax.random.PRNGKey(0))
+    assert np.isfinite(float(m2["grad_norm"]))
+    changed = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(s2.params), jax.tree.leaves(state.params))
+    )
+    assert changed
+
+
+def test_scaled_config_inception_dp():
+    """BASELINE.json config 5: Inception-v3 encoder + 2-layer LSTM,
+    data-parallel over the virtual 8-device mesh."""
+    from show_and_tell_tpu.parallel import mesh as mesh_lib
+    from show_and_tell_tpu.train.step import make_train_state, make_train_step
+
+    cfg = Config(
+        model="show_tell", encoder="inception_v3", embed_size=16,
+        hidden_size=32, num_layers=2, crop_size=139,
+    )
+    model = build_model(cfg, 9)
+    assert model.feature_dim == 2048
+    mesh = mesh_lib.make_mesh()
+    params, frozen = model.init(jax.random.PRNGKey(0))
+    params = mesh_lib.place_params(mesh, params)
+    frozen = mesh_lib.replicate(mesh, frozen)
+    state = make_train_state(cfg, params, model.init_batch_stats())
+    step = make_train_step(model, cfg, donate=False)
+    B, T = 8, 5
+    rng = np.random.default_rng(0)
+    batch = mesh_lib.shard_batch(
+        mesh,
+        {
+            "images": rng.integers(0, 256, (B, 150, 150, 3), dtype=np.uint8),
+            "captions": np.concatenate(
+                [np.ones((B, 1), np.int32), rng.integers(4, 9, (B, T - 1), dtype=np.int32)], 1
+            ),
+            "lengths": np.full((B,), T, np.int32),
+        },
+    )
+    state, metrics = step(state, frozen, batch, 1e-3, 0.0, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_device_resize_transform():
+    from show_and_tell_tpu.data.transforms import resize_transform
+
+    imgs = (np.random.default_rng(0).random((2, 100, 80, 3)) * 255).astype(np.uint8)
+    out = resize_transform(jnp.asarray(imgs), size=64, crop=56)
+    assert out.shape == (2, 56, 56, 3)
+    out_t = resize_transform(
+        jnp.asarray(imgs), size=64, crop=56, train=True, rng=jax.random.PRNGKey(0)
+    )
+    assert out_t.shape == (2, 56, 56, 3)
