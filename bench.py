@@ -73,12 +73,20 @@ def main() -> None:
     # NB: completion is forced by a device->host transfer of the ids each
     # iteration (what a real serving loop does anyway) — on the remote-relay
     # backend ``block_until_ready`` alone does not await device completion.
+    # The loop is double-buffered: batch i+1 is enqueued (async dispatch)
+    # before batch i's ids are fetched, overlapping host round-trips with
+    # device compute exactly as a serving loop would.
     for _ in range(N_WARMUP):
         np.asarray(caption(params, frozen, images))
 
     t0 = time.perf_counter()
+    prev = None
     for _ in range(N_ITERS):
-        ids = np.asarray(caption(params, frozen, images))
+        cur = caption(params, frozen, images)
+        if prev is not None:
+            np.asarray(prev)
+        prev = cur
+    np.asarray(prev)
     dt = time.perf_counter() - t0
 
     img_s = BATCH * N_ITERS / dt
