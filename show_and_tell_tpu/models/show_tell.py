@@ -29,7 +29,13 @@ import jax.numpy as jnp
 
 from show_and_tell_tpu.config import Config
 from show_and_tell_tpu.models import encoders
-from show_and_tell_tpu.models.layers import batch_norm_inference, batch_norm_train, dense, embedding_lookup
+from show_and_tell_tpu.models.layers import (
+    batch_norm_inference,
+    batch_norm_train,
+    cast_tree,
+    dense,
+    embedding_lookup,
+)
 from show_and_tell_tpu.ops.lstm import init_lstm_params, lstm_cell
 
 Params = Dict
@@ -43,6 +49,8 @@ class ShowTellModel:
         self.vocab_size = vocab_size
         self.encoder_name = cfg.encoder if cfg.encoder != "vgg16" else "resnet152"
         self.feature_dim = encoders.encoder_feature_dim(self.encoder_name)
+        # bf16 matmuls / fp32 params+BN+cell-state (see show_attend_tell.py)
+        self.cdtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
 
     # --- init -------------------------------------------------------------
 
@@ -89,7 +97,19 @@ class ShowTellModel:
     def backbone_features(self, frozen: Params, images: jax.Array) -> jax.Array:
         """[B, 224, 224, 3] -> [B, feature_dim], gradient-stopped."""
         apply = encoders.encoder_apply(self.encoder_name)
-        return jax.lax.stop_gradient(apply(frozen, images))
+        return jax.lax.stop_gradient(apply(frozen, images.astype(self.cdtype)))
+
+    def _cast_for_compute(self, trainable: Params) -> Params:
+        """Compute-dtype cast of the decoder matmul weights (LSTM bias and
+        BN stay fp32)."""
+        cd = self.cdtype
+        t = dict(trainable)
+        t["embed"] = trainable["embed"].astype(cd)
+        t["out"] = cast_tree(trainable["out"], cd)
+        t["lstm"] = [
+            {"w": lp["w"].astype(cd), "b": lp["b"]} for lp in trainable["lstm"]
+        ]
+        return t
 
     def encode(
         self,
@@ -122,7 +142,7 @@ class ShowTellModel:
     def zero_state(self, batch: int):
         H = self.cfg.hidden_size
         return [
-            (jnp.zeros((batch, H)), jnp.zeros((batch, H)))
+            (jnp.zeros((batch, H), self.cdtype), jnp.zeros((batch, H)))
             for _ in range(self.cfg.num_layers)
         ]
 
@@ -140,6 +160,8 @@ class ShowTellModel:
         the exact pairing of train.py:134-139 applied to models.py:47-54.
         Returns ``(logits [B, T-1, V], mask [B, T-1])``.
         """
+        trainable = self._cast_for_compute(trainable)
+        feat_embed = feat_embed.astype(self.cdtype)
         emb = embedding_lookup(trainable["embed"], captions[:, :-1])  # [B,T-1,E]
         inputs = jnp.concatenate([feat_embed[:, None, :], emb[:, :-1, :]], axis=1)
         # inputs[t] = feature if t==0 else emb(c_{t-1}); T-1 steps total.
@@ -166,6 +188,8 @@ class ShowTellModel:
         ids via ``step_fn``.
         """
         f, _ = self.encode(trainable, batch_stats, features, train=False)
+        trainable = self._cast_for_compute(trainable)
+        f = f.astype(self.cdtype)
         state = self.zero_state(features.shape[0])
         out, state = self._run_lstm_stack(trainable, f, state)
         first_logits = dense(trainable["out"], out)
