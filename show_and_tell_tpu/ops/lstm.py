@@ -20,6 +20,17 @@ backward matmuls.
 Shapes are padded to hardware tiles inside the wrapper; callers keep natural
 shapes. On non-TPU backends (CPU tests) the pure-JAX cell runs instead —
 results are numerically identical up to fp accumulation order.
+
+STATUS — measured on TPU v5e (B=1536, I=H=1024, bf16, 50-step scan): the
+pure-JAX cell compiles to ~82 us/step under XLA (which fuses the gate
+nonlinearities and cell update into the matmul epilogue with near-roofline
+weight streaming); this kernel reaches ~170 us/step across several
+tile/grid layouts (batch-major and weight-major grids, 2-4MB tile budgets).
+XLA wins at every shape tried, so ``pallas_active()`` defaults to OFF and
+the XLA cell is the production path — per the design rule "don't
+hand-schedule what the compiler already does". The kernel stays as the
+measured baseline (opt in via ``set_pallas_enabled(True)`` or
+``Config.use_pallas``), fully tested for numerics and gradients.
 """
 
 from __future__ import annotations
@@ -49,7 +60,9 @@ def set_pallas_enabled(flag: Optional[bool], interpret: bool = False) -> None:
 def pallas_active() -> bool:
     if _PALLAS_ENABLED is not None:
         return _PALLAS_ENABLED
-    return jax.default_backend() == "tpu"
+    # Default OFF: XLA's fused lowering measured ~2x faster than the hand
+    # kernel at production shapes (see module docstring STATUS).
+    return False
 
 
 def init_lstm_params(
@@ -120,7 +133,7 @@ def _pick_tile(h: int, in_h: int = 0, itemsize: int = 4) -> int:
     ([in_h, T] each) fit a ~4MB VMEM budget — Mosaic double-buffers every
     input block, so the footprint is ~2x this plus activations within the
     ~16MB/core scoped limit."""
-    budget = 4 * 1024 * 1024
+    budget = 2 * 1024 * 1024
     for t in (512, 256, 128):
         if h % t == 0 and (in_h == 0 or 4 * in_h * t * itemsize <= budget):
             return t
@@ -142,9 +155,13 @@ def _lstm_cell_pallas_impl(
     if Bp != B:
         hx = jnp.pad(hx, ((0, Bp - B), (0, 0)))
         c = jnp.pad(c, ((0, Bp - B), (0, 0)))
-    BT = min(Bp, 256)
+    # Batch tile: as large as VMEM allows (hx block is BT x (I+H)). A small
+    # BT forces hx to re-stream once per weight tile (grid j), multiplying
+    # activation traffic by H/T — measured 2x slower than XLA at BT=256.
+    bytes_per_row = (I + H) * hx.dtype.itemsize
+    BT = min(Bp, max(sub, (3 * 1024 * 1024) // max(bytes_per_row, 1)))
     while Bp % BT:
-        BT //= 2
+        BT -= sub
     b4 = b.reshape(4, H)  # rows: gate i, f, g, o
 
     # Grid order (j, i): the batch index i is innermost, so each weight tile

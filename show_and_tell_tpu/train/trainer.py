@@ -60,6 +60,10 @@ class Trainer:
             cfg.num_devices, cfg.model_parallel
         )
         self.keys = KeyChain(cfg.random_seed)
+        if cfg.use_pallas is not None:
+            from show_and_tell_tpu.ops.lstm import set_pallas_enabled
+
+            set_pallas_enabled(cfg.use_pallas)
 
         params, frozen = model.init(self.keys.key("init"))
         batch_stats = (
