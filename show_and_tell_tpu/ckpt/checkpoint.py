@@ -73,3 +73,29 @@ def load_best_params(
         {"params": params_template, "batch_stats": batch_stats_template}, blob
     )
     return restored["params"], restored["batch_stats"]
+
+
+# --- full train-state checkpoints (params + optimizer moments + step) -------
+# The reference can only restart from weights (its ``load_optimizer`` is an
+# empty stub, train.py:63-64), so a resumed run loses the Adam moments. These
+# save/restore the complete TrainState for bit-continuous resume.
+
+STATE_LAST = "state-last.msgpack"
+
+
+def save_train_state(expr_dir: str, state: Any) -> str:
+    os.makedirs(expr_dir, exist_ok=True)
+    path = os.path.join(expr_dir, STATE_LAST)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(serialization.to_bytes(jax.device_get(state)))
+    os.replace(tmp, path)
+    return path
+
+
+def load_train_state(expr_dir: str, state_template: Any) -> Optional[Any]:
+    path = os.path.join(expr_dir, STATE_LAST)
+    if not os.path.exists(path):
+        return None
+    with open(path, "rb") as f:
+        return serialization.from_bytes(state_template, f.read())

@@ -84,6 +84,7 @@ class Config:
     # --- Decoding (reference models.py:60 / model2.py:100: hard 20-step cap) ---
     max_decode_len: int = 20
     beam_size: int = 3  # reference declares beam search but stubs it
+    length_penalty: float = 0.0  # GNMT ((5+len)/6)^alpha; 0 = raw sum-logprob
 
     # --- Preprocessing (reference preprocess.py:144-156) ---
     caption_json: Optional[str] = None
@@ -106,6 +107,10 @@ class Config:
     use_pallas: Optional[bool] = None  # None = auto (pallas on TPU backend)
     donate: bool = True  # donate train-state buffers across steps
     skip_nonfinite: bool = True  # failure detection: drop updates w/ NaN/inf grads
+
+    # --- Observability ---
+    profile_dir: Optional[str] = None  # jax.profiler trace output dir
+    profile_step: int = -1  # trace this training iteration (-1 = never)
 
     # Derived at runtime, persisted for the record (reference train.py:103-107).
     current_lr: float = 1e-3

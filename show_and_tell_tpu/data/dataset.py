@@ -40,6 +40,7 @@ class CocoCaptionDataset:
         split: str = "train",
         max_caption_len: int = 57,
         num_buckets: int = 4,
+        host_shard=None,  # (process_index, process_count) for multi-host IO
     ):
         if isinstance(records, str):
             with open(records) as f:
@@ -49,6 +50,9 @@ class CocoCaptionDataset:
         self.max_caption_len = max_caption_len
         # split filter: data_loader.py:21
         self.data = [r for r in records if r["split"] == split]
+        if host_shard is not None and host_shard[1] > 1:
+            idx, n = host_shard
+            self.data = self.data[idx::n]  # disjoint per-host record shards
         self._build_buckets(num_buckets)
 
     def _build_buckets(self, num_buckets: int) -> None:

@@ -82,6 +82,7 @@ def make_caption_fn(
             ids, _ = beam_search(
                 step_fn, carry, B, beam_size=beam, max_len=max_len,
                 first_logits=first, tile=tile,
+                length_penalty=cfg.length_penalty,
             )
             return ids
         return greedy_decode(step_fn, carry, B, max_len, first_logits=first)

@@ -1,0 +1,63 @@
+"""Multi-host (multi-process) scaling support.
+
+Single-host multi-chip needs nothing beyond ``make_mesh`` — ``jax.devices()``
+covers the whole slice. Across hosts (v5e pods, DCN-connected slices):
+
+1. each process calls :func:`initialize` first (JAX distributed runtime),
+2. ``make_mesh`` then sees the *global* device set and lays the ``data``
+   axis out over all chips,
+3. the dataset shards records per host (``CocoCaptionDataset(host_shard=
+   host_shard_info())``) so input IO scales with hosts,
+4. :func:`globalize_batch` assembles each host's local batch into a global
+   ``jax.Array`` sharded over the mesh ``data`` axis
+   (``make_array_from_process_local_data``) — the jitted SPMD step is then
+   identical to the single-host one; gradient psum rides ICI within a slice
+   and DCN between slices, both inserted by XLA.
+
+The reference has no multi-host story at all (single-process DataParallel,
+train.py:44).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+
+from show_and_tell_tpu.parallel import mesh as mesh_lib
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Bring up the JAX distributed runtime (no-op if already initialised
+    or single-process). Arguments default to cluster auto-detection."""
+    if jax.process_count() > 1:
+        return
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (RuntimeError, ValueError):
+        pass  # single-process / already initialised
+
+
+def host_shard_info() -> Tuple[int, int]:
+    """(process_index, process_count) — feed to the dataset's host_shard."""
+    return jax.process_index(), jax.process_count()
+
+
+def globalize_batch(mesh, local_batch: Any) -> Any:
+    """Per-host local batch -> global data-sharded jax.Array tree.
+
+    On a single process this is exactly ``shard_batch``."""
+    if jax.process_count() == 1:
+        return mesh_lib.shard_batch(mesh, local_batch)
+    sharding = mesh_lib.batch_sharding(mesh)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sharding, x), local_batch
+    )

@@ -97,6 +97,7 @@ class Captioner:
                 ids, _ = beam_search(
                     step_fn, carry, batch, beam_size=cfg.beam_size,
                     max_len=cfg.max_decode_len, first_logits=first, tile=tile,
+                    length_penalty=cfg.length_penalty,
                 )
                 return ids
             return greedy_decode(

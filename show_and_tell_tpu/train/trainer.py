@@ -30,6 +30,7 @@ import numpy as np
 from show_and_tell_tpu import ckpt
 from show_and_tell_tpu.config import Config
 from show_and_tell_tpu.obs.meters import StepTimer, ThroughputMeter
+from show_and_tell_tpu.obs.profiler import profile_trace
 from show_and_tell_tpu.parallel import mesh as mesh_lib
 from show_and_tell_tpu.train.schedule import lr_for_epoch, ss_prob_for_epoch
 from show_and_tell_tpu.train.step import make_eval_loss_step, make_train_state, make_train_step
@@ -97,13 +98,19 @@ class Trainer:
             loaded = ckpt.load_infos(cfg.start_from)
             if loaded:
                 infos = loaded
-                restored = ckpt.load_best_params(
-                    cfg.start_from, self.state.params, self.state.batch_stats
-                )
-                if restored is not None:
-                    self.state = self.state.replace(
-                        params=restored[0], batch_stats=restored[1]
+                # Prefer the full train state (params + Adam moments + step,
+                # bit-continuous resume); fall back to best-params only.
+                full = ckpt.load_train_state(cfg.start_from, self.state)
+                if full is not None:
+                    self.state = full
+                else:
+                    restored = ckpt.load_best_params(
+                        cfg.start_from, self.state.params, self.state.batch_stats
                     )
+                    if restored is not None:
+                        self.state = self.state.replace(
+                            params=restored[0], batch_stats=restored[1]
+                        )
                 log.info("resuming from %s", cfg.start_from)
 
         total_iteration = infos.get("total_iter", 0)
@@ -129,9 +136,13 @@ class Trainer:
 
                 self.timer.start()
                 rng = self.keys.key("train", epoch, it)
-                self.state, metrics = self.train_step(
-                    self.state, self.frozen, self._shard(batch), lr, ss_prob, rng
-                )
+                with profile_trace(
+                    cfg.profile_dir or "/tmp/sat_trace",
+                    enabled=(cfg.profile_step == total_iteration and cfg.profile_dir is not None),
+                ):
+                    self.state, metrics = self.train_step(
+                        self.state, self.frozen, self._shard(batch), lr, ss_prob, rng
+                    )
                 dt = self.timer.stop(metrics["loss"])
                 bsz = int(np.asarray(batch["captions"]).shape[0])
                 self.throughput.update(bsz, dt)
@@ -219,6 +230,7 @@ class Trainer:
             lr_history=lr_history,
         )
         ckpt.save_infos(cfg.expr_dir, infos)
+        ckpt.save_train_state(cfg.expr_dir, self.state)
         if best_flag:
             ckpt.save_best(
                 cfg.expr_dir,
