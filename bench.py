@@ -103,4 +103,8 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    try:
+        main()
+    except Exception as e:  # transient relay/compile hiccups: one retry
+        print(f"bench attempt 1 failed ({e}); retrying", file=sys.stderr)
+        main()

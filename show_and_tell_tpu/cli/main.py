@@ -17,7 +17,6 @@ from __future__ import annotations
 import json
 import logging
 import sys
-from typing import Optional
 
 from show_and_tell_tpu.config import Config, parse_config
 from show_and_tell_tpu.data.dataset import CocoCaptionDataset

@@ -13,7 +13,7 @@ the reference's de-facto behavior where the SPICE jar is missing.
 from __future__ import annotations
 
 import logging
-from typing import Dict, Optional
+from typing import Dict
 
 from show_and_tell_tpu.metrics.bleu import Bleu
 from show_and_tell_tpu.metrics.cider import Cider

@@ -28,12 +28,10 @@ from show_and_tell_tpu.models.layers import (
     avg_pool,
     batch_norm_inference,
     conv2d,
-    dense,
     global_avg_pool,
     init_bn,
     init_conv,
     max_pool,
-    uniform_dense,
 )
 
 Params = Dict

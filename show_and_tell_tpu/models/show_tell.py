@@ -22,7 +22,7 @@ which is shape-hostile to XLA); the LSTM cell is the fused Pallas kernel.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,7 @@ What's different (TPU-native):
 from __future__ import annotations
 
 import logging
-from typing import Any, Callable, Iterable, Optional
+from typing import Callable, Iterable, Optional
 
 import jax
 import numpy as np
