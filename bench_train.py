@@ -1,0 +1,86 @@
+"""Training-step benchmark (secondary; the driver's headline bench is
+bench.py). Full step — uint8 images -> on-device augment -> frozen VGG16 ->
+attention-LSTM teacher forcing -> masked CE -> grad clip -> Adam — on one
+chip, reference config dims (batch 256, embed 512, hidden 1024, T=20).
+
+Prints one JSON line {"metric", "value", "unit", "vs_baseline"} where the
+baseline is an estimate of the reference's single-GPU training throughput
+(batch 128 at roughly 1.5 s/iter on 2017 hardware ~ 85 img/s; the reference
+publishes no numbers, BASELINE.md)."""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_GPU_TRAIN_IMG_S = 85.0
+BATCH = 256
+T = 20
+N_WARMUP = 1
+N_ITERS = 8
+
+
+def main() -> None:
+    import jax
+
+    from show_and_tell_tpu.config import Config
+    from show_and_tell_tpu.models.registry import build_model
+    from show_and_tell_tpu.parallel import mesh as mesh_lib
+    from show_and_tell_tpu.train.step import make_train_state, make_train_step
+
+    cfg = Config(
+        embed_size=512, hidden_size=1024, crop_size=224, dtype="bfloat16",
+        batch_size=BATCH,
+    )
+    model = build_model(cfg, 10000)
+    mesh = mesh_lib.make_mesh()
+    params, frozen = model.init(jax.random.PRNGKey(0))
+    params = mesh_lib.place_params(mesh, params)
+    frozen = mesh_lib.replicate(mesh, frozen)
+    state = make_train_state(cfg, params)
+    step = make_train_step(model, cfg, donate=True)
+
+    rng = np.random.default_rng(0)
+    batch = mesh_lib.shard_batch(
+        mesh,
+        {
+            "images": rng.integers(0, 256, (BATCH, 256, 256, 3), dtype=np.uint8),
+            "captions": np.concatenate(
+                [np.ones((BATCH, 1), np.int32),
+                 rng.integers(4, 10000, (BATCH, T - 1), dtype=np.int32)], 1
+            ),
+            "lengths": np.full((BATCH,), T, np.int32),
+        },
+    )
+
+    for i in range(N_WARMUP):
+        state, m = step(state, frozen, batch, 1e-3, 0.05, jax.random.PRNGKey(i))
+        float(m["loss"])
+    t0 = time.perf_counter()
+    for i in range(N_ITERS):
+        state, m = step(state, frozen, batch, 1e-3, 0.05, jax.random.PRNGKey(i))
+        float(m["loss"])  # forces completion through the relay
+    dt = time.perf_counter() - t0
+
+    img_s = BATCH * N_ITERS / dt
+    print(
+        json.dumps(
+            {
+                "metric": "training throughput (VGG16+SAT full step, b256, bf16)",
+                "value": round(img_s, 2),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(img_s / REFERENCE_GPU_TRAIN_IMG_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    try:
+        main()
+    except Exception as e:
+        print(f"bench_train attempt 1 failed ({e}); retrying", file=sys.stderr)
+        main()

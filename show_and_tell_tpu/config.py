@@ -94,7 +94,7 @@ class Config:
     print_stats: bool = True
 
     # --- Data pipeline (TPU additions; reference uses DataLoader workers) ---
-    num_workers: int = 2
+    num_workers: int = 8  # host decode threads; a v5e chip consumes >1.5k img/s
     prefetch_depth: int = 2
     max_caption_len: int = 57  # longest COCO caption + <start>/<end>
     num_buckets: int = 4  # length-bucketing replaces sort+pack
@@ -104,7 +104,7 @@ class Config:
 
     # --- TPU compute knobs ---
     dtype: str = "float32"  # compute dtype; "bfloat16" = MXU-native mixed precision
-    use_pallas: Optional[bool] = None  # None = auto (pallas on TPU backend)
+    use_pallas: Optional[bool] = None  # None = default (XLA cell; see ops/lstm.py)
     donate: bool = True  # donate train-state buffers across steps
     skip_nonfinite: bool = True  # failure detection: drop updates w/ NaN/inf grads
 

@@ -88,8 +88,13 @@ class Trainer:
 
     # ------------------------------------------------------------------
 
+    _DEVICE_KEYS = ("captions", "lengths", "features", "images")
+
     def _shard(self, batch):
-        return mesh_lib.shard_batch(self.mesh, batch)
+        # Only array fields go to device; metadata (imgids/cocoids/paths)
+        # stays host-side.
+        device_batch = {k: batch[k] for k in self._DEVICE_KEYS if k in batch}
+        return mesh_lib.shard_batch(self.mesh, device_batch)
 
     def train(self) -> dict:
         cfg = self.cfg
