@@ -101,17 +101,16 @@ def evaluation(
     mode: str = "greedy",
     ann_file: Optional[str] = None,
     run_language_eval: Optional[bool] = None,
+    _fns=None,  # (loss_step, caption_fn, encode_images) reused across calls
 ) -> Tuple[float, List[Dict], Dict]:
-    """Returns ``(val_loss, predictions, lang_stats)`` (eval.py:58-122)."""
-    loss_step = make_eval_loss_step(model, cfg)
-    caption_fn = make_caption_fn(model, cfg, mode)
+    """Returns ``(val_loss, predictions, lang_stats)`` (eval.py:58-122).
 
-    @jax.jit
-    def encode_images(frozen, images_u8):
-        # CenterCrop + Normalize on device (main.py:32-36), then backbone.
-        return model.backbone_features(
-            frozen, eval_transform(images_u8, cfg.crop_size)
-        )
+    ``_fns`` lets periodic callers (the Trainer's checkpoint eval) reuse the
+    jitted programs — a fresh closure per call would miss jax.jit's cache
+    and recompile at every checkpoint. Use :func:`make_eval_fns` /
+    :func:`make_trainer_eval_fn`.
+    """
+    loss_step, caption_fn, encode_images = _fns or make_eval_fns(model, cfg, mode)
 
     if run_language_eval is None:
         run_language_eval = cfg.language_eval == 1
@@ -150,16 +149,34 @@ def evaluation(
     return loss_sum / max(loss_evals, 1), predictions, lang_stats
 
 
+def make_eval_fns(model, cfg: Config, mode: str = "greedy"):
+    """Build the three jitted eval programs once (loss, captioning, image
+    encode) so repeated evaluations hit the compilation cache."""
+    loss_step = make_eval_loss_step(model, cfg)
+    caption_fn = make_caption_fn(model, cfg, mode)
+
+    @jax.jit
+    def encode_images(frozen, images_u8):
+        # CenterCrop + Normalize on device (main.py:32-36), then backbone.
+        return model.backbone_features(
+            frozen, eval_transform(images_u8, cfg.crop_size)
+        )
+
+    return loss_step, caption_fn, encode_images
+
+
 def make_trainer_eval_fn(
     model, cfg: Config, validloader, vocab: Vocabulary, mode: str = "greedy"
 ) -> Callable:
     """Adapter producing the ``eval_fn`` the Trainer consumes
-    (train.py:157-159 call shape)."""
+    (train.py:157-159 call shape). Jitted programs are built once here and
+    reused for every checkpoint evaluation."""
+    fns = make_eval_fns(model, cfg, mode)
 
     def eval_fn(params, batch_stats, frozen):
         return evaluation(
             model, cfg, params, batch_stats, frozen, validloader, vocab,
-            mode=mode, ann_file=cfg.ann_file,
+            mode=mode, ann_file=cfg.ann_file, _fns=fns,
         )
 
     return eval_fn

@@ -207,6 +207,9 @@ class Trainer:
         val_result_history[str(total_iteration)] = {
             "loss": val_loss,
             "lang_stats": lang_stats,
+            # the reference stores every prediction in infos (train.py:161);
+            # a bounded sample keeps the JSON blob reasonable
+            "predictions_sample": predictions[:10],
         }
         loss_history[str(total_iteration)] = train_loss
         lr_history[str(total_iteration)] = lr
