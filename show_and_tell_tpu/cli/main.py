@@ -63,5 +63,9 @@ def main(cfg: Config) -> Trainer:
     return trainer
 
 
-if __name__ == "__main__":
+def cli_entry() -> None:
     main(parse_config(sys.argv[1:]))
+
+
+if __name__ == "__main__":
+    cli_entry()

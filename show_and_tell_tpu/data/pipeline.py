@@ -63,6 +63,13 @@ class Loader:
         self.image_size = image_size
         self.drop_remainder = drop_remainder
         self._epoch = 0
+        self._explicit_epoch: Optional[int] = None
+
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the shuffle seed to a logical epoch number so a resumed run
+        reproduces the original epoch's batch order (the implicit per-process
+        counter would restart at 0 after a crash)."""
+        self._explicit_epoch = epoch
 
     def __len__(self) -> int:
         return self.dataset.num_batches(self.batch_size, self.drop_remainder)
@@ -88,7 +95,10 @@ class Loader:
         return batch
 
     def __iter__(self) -> Iterator[Dict]:
-        rng = np.random.default_rng(self.seed + self._epoch)
+        epoch = (
+            self._explicit_epoch if self._explicit_epoch is not None else self._epoch
+        )
+        rng = np.random.default_rng(self.seed + epoch)
         self._epoch += 1
         plans = list(
             self.dataset.iter_index_batches(

@@ -132,6 +132,8 @@ class Trainer:
             lr = lr_for_epoch(cfg, epoch)
             ss_prob = ss_prob_for_epoch(cfg, epoch)
             self.cfg = cfg = cfg.replace(current_lr=lr, ss_prob=ss_prob)
+            if hasattr(self.trainloader, "set_epoch"):
+                self.trainloader.set_epoch(epoch)  # resume-deterministic order
 
             for it, batch in enumerate(self.trainloader):
                 it += 1

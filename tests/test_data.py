@@ -145,6 +145,21 @@ def test_loader_deterministic_and_reiterable():
     assert a != c
 
 
+def test_loader_set_epoch_resume_determinism():
+    """set_epoch pins the shuffle so a resumed process reproduces an epoch's
+    batch order regardless of how many epochs this process already ran."""
+    vocab = Vocabulary.from_words(["w"])
+    ds = CocoCaptionDataset(_records(16), vocab, num_buckets=2)
+    l1 = Loader(ds, batch_size=4, seed=7, load_images=False)
+    l1.set_epoch(3)
+    a = [b["imgids"] for b in l1]
+    l2 = Loader(ds, batch_size=4, seed=7, load_images=False)
+    _ = [b for b in l2]  # consume an epoch first (simulates pre-crash run)
+    l2.set_epoch(3)
+    b_ = [b["imgids"] for b in l2]
+    assert a == b_
+
+
 def test_loader_with_images(tmp_path):
     ann, img_root = make_karpathy_json(tmp_path)
     cfg = Config(
