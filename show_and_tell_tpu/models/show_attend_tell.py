@@ -190,6 +190,37 @@ class ShowAttendTellModel:
         mask = jnp.arange(T - 1)[None, :] < (lengths[:, None] - 1)
         return logits, mask, alphas
 
+    # --- attention visualisation ------------------------------------------
+
+    def greedy_with_attention(
+        self, trainable: Params, features: jax.Array, max_len: int = 20
+    ):
+        """Greedy decode returning per-step attention maps — the
+        Show-Attend-Tell paper's hallmark visualisation. Returns
+        ``(ids [B, T], alphas [B, T, L])``; reshape alphas to the patch grid
+        (e.g. 14x14 for 224px inputs) to overlay on the image."""
+        from show_and_tell_tpu.utils.vocab import START_ID
+
+        trainable, features = self._cast_for_compute(trainable, features)
+        ctx_enc = encode_features(trainable["att"], features)
+        h, c = self.init_lstm_state(trainable, features)
+        c = c.astype(jnp.float32)
+        B = features.shape[0]
+
+        def step(carry, _):
+            h, c, tok = carry
+            emb = embedding_lookup(trainable["embed"], tok)
+            h, c, logits, alpha = self._step(
+                trainable, features, ctx_enc, h, c, emb
+            )
+            tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return (h, c, tok), (tok, alpha)
+
+        _, (ids, alphas) = jax.lax.scan(
+            step, (h, c, jnp.full((B,), START_ID, jnp.int32)), None, length=max_len
+        )
+        return jnp.swapaxes(ids, 0, 1), jnp.swapaxes(alphas, 0, 1)
+
     # --- decoding step interface -----------------------------------------
 
     def make_decode_state(

@@ -156,3 +156,21 @@ def test_tiny_overfit():
         p, opt_state, loss = step(p, opt_state)
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.7, losses[::10]
+
+
+def test_greedy_with_attention_maps():
+    """Attention-map export (Show-Attend-Tell hallmark visualisation)."""
+    cfg = small_cfg(max_decode_len=5)
+    m = build_model(cfg, V)
+    trainable, _ = m.init(jax.random.PRNGKey(0))
+    feats = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 512))
+    ids, alphas = m.greedy_with_attention(trainable, feats, max_len=5)
+    assert ids.shape == (2, 5)
+    assert alphas.shape == (2, 5, 4)
+    np.testing.assert_allclose(np.asarray(alphas.sum(-1)), 1.0, atol=1e-5)
+    # same tokens as the plain greedy path
+    from show_and_tell_tpu.decode import greedy_decode
+
+    step_fn, carry, _ = m.make_decode_state(trainable, feats)
+    g = greedy_decode(step_fn, carry, 2, 5)
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(g))
