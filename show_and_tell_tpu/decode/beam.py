@@ -67,8 +67,11 @@ def beam_search(
     length_penalty: float = 0.0,
     first_logits: Optional[jax.Array] = None,
     tile: bool = True,
+    return_all: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Returns ``(ids [B, max_len], scores [B])`` for the best beam.
+    """Returns ``(ids [B, max_len], scores [B])`` for the best beam, or —
+    with ``return_all`` — the full n-best ``(ids [B, k, max_len],
+    scores [B, k])`` sorted best-first.
 
     ``carry`` holds per-image state ``[B, ...]`` and is tiled to
     ``[B*k, ...]`` internally; pass ``tile=False`` when the caller already
@@ -131,6 +134,11 @@ def beam_search(
     # Rank by length-normalised score; unfinished beams keep raw score.
     lengths = jnp.sum(tokens != PAD_ID, axis=-1)  # [B, k]
     norm = scores / _length_penalty(lengths, length_penalty)
+    if return_all:
+        order = jnp.argsort(-norm, axis=-1)  # [B, k] best-first
+        all_ids = jnp.take_along_axis(tokens, order[:, :, None], axis=1)
+        all_scores = jnp.take_along_axis(norm, order, axis=1)
+        return all_ids, all_scores
     best = jnp.argmax(norm, axis=-1)  # [B]
     best_ids = jnp.take_along_axis(
         tokens, best[:, None, None], axis=1

@@ -136,3 +136,38 @@ def test_show_tell_first_logits_path():
         step_fn, carry, batch=3, beam_size=3, max_len=5, first_logits=first
     )
     assert ids.shape == (3, 5)
+
+
+def test_beam_return_all_nbest():
+    step_fn, table = _markov_step_fn(jax.random.PRNGKey(5), V, 2)
+    ids, scores = beam_search(step_fn, {}, batch=2, beam_size=4, max_len=5, return_all=True)
+    assert ids.shape == (2, 4, 5)
+    assert scores.shape == (2, 4)
+    # sorted best-first
+    s = np.asarray(scores)
+    assert (s[:, :-1] >= s[:, 1:] - 1e-6).all()
+    # best-of-all equals the single-best API
+    b1, s1 = beam_search(step_fn, {}, batch=2, beam_size=4, max_len=5)
+    np.testing.assert_array_equal(np.asarray(ids[:, 0]), np.asarray(b1))
+
+
+def test_sample_decode():
+    from show_and_tell_tpu.decode import sample_decode
+
+    step_fn, table = _markov_step_fn(jax.random.PRNGKey(6), V, 3)
+    ids1 = sample_decode(step_fn, {}, batch=3, rng=jax.random.PRNGKey(0), max_len=6)
+    ids2 = sample_decode(step_fn, {}, batch=3, rng=jax.random.PRNGKey(0), max_len=6)
+    ids3 = sample_decode(step_fn, {}, batch=3, rng=jax.random.PRNGKey(1), max_len=6)
+    np.testing.assert_array_equal(np.asarray(ids1), np.asarray(ids2))  # same key
+    assert not np.array_equal(np.asarray(ids1), np.asarray(ids3))  # new key
+    # temperature -> 0 approaches greedy
+    g = greedy_decode(step_fn, {}, batch=3, max_len=6)
+    t0 = sample_decode(
+        step_fn, {}, batch=3, rng=jax.random.PRNGKey(2), max_len=6, temperature=1e-4
+    )
+    np.testing.assert_array_equal(np.asarray(g), np.asarray(t0))
+    # top-k=1 is exactly greedy regardless of rng
+    k1 = sample_decode(
+        step_fn, {}, batch=3, rng=jax.random.PRNGKey(3), max_len=6, top_k=1
+    )
+    np.testing.assert_array_equal(np.asarray(g), np.asarray(k1))
