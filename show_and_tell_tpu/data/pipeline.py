@@ -38,6 +38,66 @@ def _load_image(path: str, size: int = 256) -> np.ndarray:
     return np.asarray(img, dtype=np.uint8)
 
 
+# --- native batch decoder (csrc/image_loader.cpp via ctypes) ----------------
+# C++ thread-pool JPEG/PNG decode + bilinear resize, GIL-free: decode
+# throughput scales with host cores instead of Python threads.
+
+_NATIVE_LIB = None
+_NATIVE_CHECKED = False
+
+
+def _native_available() -> bool:
+    global _NATIVE_LIB, _NATIVE_CHECKED
+    if _NATIVE_CHECKED:
+        return _NATIVE_LIB is not None
+    _NATIVE_CHECKED = True
+    try:
+        import ctypes
+        import os
+
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+            "csrc",
+            "libimage_loader.so",
+        )
+        if not os.path.exists(path):
+            return False
+        lib = ctypes.CDLL(path)
+        lib.load_images_batch.restype = ctypes.c_int
+        lib.load_images_batch.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int,
+        ]
+        _NATIVE_LIB = lib
+        return True
+    except Exception:
+        _NATIVE_LIB = None
+        return False
+
+
+def _native_load_batch(paths, size: int, n_threads: int):
+    """Returns (images [N, size, size, 3] uint8, status [N] bool)."""
+    import ctypes
+
+    n = len(paths)
+    blob = b"\0".join(p.encode() for p in paths) + b"\0"
+    out = np.empty((n, size, size, 3), dtype=np.uint8)
+    status = np.zeros((n,), dtype=np.uint8)
+    _NATIVE_LIB.load_images_batch(
+        blob,
+        n,
+        size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        max(1, n_threads),
+    )
+    return out, status.astype(bool)
+
+
 class Loader:
     def __init__(
         self,
@@ -51,7 +111,14 @@ class Loader:
         features: Optional[Dict] = None,
         image_size: int = 256,
         drop_remainder: bool = False,
+        native_decode: bool = False,
     ):
+        """``native_decode=True`` opts into the C++ batch decoder
+        (csrc/image_loader.cpp). Measured on this image: PIL's bundled
+        libjpeg-turbo decodes ~2x faster per core than the system libjpeg
+        the native path links, so PIL threads (which release the GIL during
+        decode) remain the default; the native path exists for hosts where
+        a turbo-linked build or core count flips the trade."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -62,6 +129,7 @@ class Loader:
         self.features = features
         self.image_size = image_size
         self.drop_remainder = drop_remainder
+        self.native_decode = native_decode
         self._epoch = 0
         self._explicit_epoch: Optional[int] = None
 
@@ -89,9 +157,17 @@ class Loader:
                 [np.asarray(self.features[c]) for c in meta["cocoids"]]
             ).astype(np.float32)
         elif self.load_images:
-            batch["images"] = np.stack(
-                [_load_image(p, self.image_size) for p in meta["paths"]]
-            )
+            if self.native_decode and _native_available():
+                images, ok = _native_load_batch(
+                    meta["paths"], self.image_size, self.num_workers
+                )
+                for i in np.nonzero(~ok)[0]:  # PIL fallback per failure
+                    images[i] = _load_image(meta["paths"][i], self.image_size)
+                batch["images"] = images
+            else:
+                batch["images"] = np.stack(
+                    [_load_image(p, self.image_size) for p in meta["paths"]]
+                )
         return batch
 
     def __iter__(self) -> Iterator[Dict]:

@@ -82,3 +82,61 @@ def test_cpp_porter_matches_python():
     ]
     for w in words:
         assert m._cpp_stem(w) == m.porter_stem(w), w
+
+
+def test_native_image_loader_matches_pil(tmp_path):
+    if not _ensure_built("libimage_loader.so"):
+        pytest.skip("no C++ toolchain / image libs")
+    import numpy as np
+    from PIL import Image
+
+    from show_and_tell_tpu.data import pipeline as pl
+
+    assert pl._native_available()
+    rng = np.random.default_rng(0)
+    paths = []
+    # png same-size (exact match), jpeg same-size (exact: no resample), gray png
+    arr = (rng.random((256, 256, 3)) * 255).astype(np.uint8)
+    p1 = str(tmp_path / "a.png"); Image.fromarray(arr).save(p1); paths.append(p1)
+    p2 = str(tmp_path / "b.jpg"); Image.fromarray(arr).save(p2, quality=95); paths.append(p2)
+    g = (rng.random((100, 80)) * 255).astype(np.uint8)
+    p3 = str(tmp_path / "g.png"); Image.fromarray(g).save(p3); paths.append(p3)
+
+    imgs, ok = pl._native_load_batch(paths, 256, 2)
+    assert ok.all()
+    np.testing.assert_array_equal(imgs[0], pl._load_image(p1, 256))
+    np.testing.assert_array_equal(imgs[1], pl._load_image(p2, 256))
+    # grayscale promoted to RGB, resized: channels equal
+    assert imgs[2].shape == (256, 256, 3)
+    np.testing.assert_array_equal(imgs[2][..., 0], imgs[2][..., 1])
+
+    # failure slot: zero-filled, flagged
+    imgs2, ok2 = pl._native_load_batch([str(tmp_path / "nope.jpg"), p1], 64, 1)
+    assert ok2.tolist() == [False, True]
+    assert imgs2[0].sum() == 0
+
+
+def test_loader_native_decode_opt_in(tmp_path):
+    if not _ensure_built("libimage_loader.so"):
+        pytest.skip("no C++ toolchain / image libs")
+    import numpy as np
+    from PIL import Image
+
+    from show_and_tell_tpu.data.dataset import CocoCaptionDataset
+    from show_and_tell_tpu.data.pipeline import Loader
+    from show_and_tell_tpu.utils.vocab import Vocabulary
+
+    recs = []
+    for i in range(4):
+        p = str(tmp_path / f"i{i}.png")
+        Image.fromarray(
+            (np.random.default_rng(i).random((256, 256, 3)) * 255).astype(np.uint8)
+        ).save(p)
+        recs.append(
+            {"split": "train", "imgid": i, "cocoid": i, "file_path": p,
+             "final_caption": ["w"], "sentids": i}
+        )
+    ds = CocoCaptionDataset(recs, Vocabulary.from_words(["w"]), num_buckets=1)
+    b_native = next(iter(Loader(ds, batch_size=4, shuffle=False, native_decode=True)))
+    b_pil = next(iter(Loader(ds, batch_size=4, shuffle=False)))
+    np.testing.assert_array_equal(b_native["images"], b_pil["images"])
