@@ -1,0 +1,115 @@
+"""End-to-end demo: synthetic dataset -> preprocess -> train -> beam-search
+captions + attention maps + full caption metrics.
+
+Runs on CPU or a TPU chip with no external data (images and captions are
+generated). With real COCO data, swap in the Karpathy-split JSON and image
+root — every step is identical.
+
+    python examples/caption_demo.py [workdir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def main(workdir: str = "/tmp/sat_demo") -> None:
+    from PIL import Image
+
+    from show_and_tell_tpu.config import Config
+    from show_and_tell_tpu.data.preprocess import preprocess
+    from show_and_tell_tpu.cli.main import main as train_main
+    from show_and_tell_tpu.serve import Captioner
+    from show_and_tell_tpu.utils.vocab import Vocabulary
+
+    os.makedirs(f"{workdir}/imgs", exist_ok=True)
+    rng = np.random.default_rng(0)
+    words = ["man", "dog", "horse", "rides", "runs", "park", "ball", "red"]
+
+    # --- 1. synthetic Karpathy-format dataset -----------------------------
+    images = []
+    for i in range(48):
+        fname = f"img{i}.png"
+        Image.fromarray(
+            (rng.random((256, 256, 3)) * 255).astype(np.uint8)
+        ).save(f"{workdir}/imgs/{fname}")
+        sents = [
+            {"tokens": ["a"] + list(rng.choice(words, rng.integers(3, 7)))}
+            for _ in range(2)
+        ]
+        images.append(
+            {"split": "train" if i < 40 else "val", "imgid": i,
+             "cocoid": 1000 + i, "filepath": "", "filename": fname,
+             "sentences": sents, "sentids": [2 * i, 2 * i + 1]}
+        )
+    with open(f"{workdir}/captions.json", "w") as f:
+        json.dump({"images": images}, f)
+    with open(f"{workdir}/ann_val.json", "w") as f:
+        json.dump(
+            {
+                "images": [{"id": 1000 + i} for i in range(40, 48)],
+                "annotations": [
+                    {"image_id": 1000 + i, "caption": " ".join(s["tokens"]),
+                     "id": 10 * i + j}
+                    for i in range(40, 48)
+                    for j, s in enumerate(images[i]["sentences"])
+                ],
+            },
+            f,
+        )
+
+    # --- 2. preprocess -----------------------------------------------------
+    cfg = Config(
+        caption_json=f"{workdir}/captions.json",
+        images_root=f"{workdir}/imgs",
+        vocab_path=f"{workdir}/vocab.json",
+        output_json=f"{workdir}/data.json",
+        word_count_threshold=1,
+        print_stats=False,
+    )
+    preprocess(cfg, resize_images=True, data_root=f"{workdir}/resized")
+
+    # --- 3. train ----------------------------------------------------------
+    cfg = cfg.replace(
+        data_json=f"{workdir}/data.json",
+        ann_file=f"{workdir}/ann_val.json",
+        expr_dir=f"{workdir}/exp",
+        batch_size=8,
+        max_epochs=1,
+        save_checkpoint_every=5,
+        embed_size=32,
+        hidden_size=64,
+        num_buckets=2,
+        beam_size=3,
+    )
+    train_main(cfg)
+
+    # --- 4. serve: beam captions + attention maps --------------------------
+    vocab = Vocabulary.load(cfg.vocab_path)
+    cap = Captioner.from_checkpoint(
+        cfg, f"{workdir}/exp/default/showattendtell", vocab, bucket_sizes=(8,)
+    )
+    paths = [f"{workdir}/imgs/img{i}.png" for i in range(40, 44)]
+    for p, c in zip(paths, cap.caption_paths(paths)):
+        print(f"{os.path.basename(p)}: {c!r}")
+
+    import jax.numpy as jnp
+
+    feats = cap.model.backbone_features(
+        cap.frozen,
+        jnp.asarray(
+            np.stack(
+                [np.asarray(Image.open(p).resize((224, 224))) for p in paths]
+            )
+        ).astype(jnp.float32) / 255.0,
+    )
+    ids, alphas = cap.model.greedy_with_attention(cap.params, feats, max_len=8)
+    print("attention grid per step:", np.asarray(alphas).shape)  # [B, T, 196]
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/sat_demo")

@@ -18,7 +18,10 @@ def setup_logging(log_file: str = "log.txt") -> logging.Logger:
     root = logging.getLogger()
     if _CONFIGURED:
         return root
-    root.setLevel(logging.DEBUG)
+    # Root stays at INFO so third-party libraries (jax emits copious DEBUG)
+    # don't flood the run log; our own package logs DEBUG to the file.
+    root.setLevel(logging.INFO)
+    logging.getLogger("show_and_tell_tpu").setLevel(logging.DEBUG)
 
     fh = logging.FileHandler(log_file, mode="w")
     fh.setLevel(logging.DEBUG)
