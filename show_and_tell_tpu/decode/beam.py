@@ -68,6 +68,7 @@ def beam_search(
     first_logits: Optional[jax.Array] = None,
     tile: bool = True,
     return_all: bool = False,
+    early_stop: bool = True,
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns ``(ids [B, max_len], scores [B])`` for the best beam, or —
     with ``return_all`` — the full n-best ``(ids [B, k, max_len],
@@ -105,6 +106,10 @@ def beam_search(
     tokens = jnp.full((B, k, max_len), PAD_ID, jnp.int32).at[:, :, 0].set(tok)
 
     def scan_step(state, t):
+        state = _step_body(state, t)
+        return state, None
+
+    def _step_body(state, t):
         carry, scores, finished, tokens, prev_tok = state
         carry, logits = step_fn(carry, prev_tok.reshape(B * k))
         logp = jax.nn.log_softmax(logits.astype(jnp.float32)).reshape(B, k, V)
@@ -124,11 +129,26 @@ def beam_search(
             tokens, col[:, :, None], t, axis=2
         )
         finished = finished | (tok == END_ID)
-        return (carry, new_scores, finished, tokens, tok), None
+        return (carry, new_scores, finished, tokens, tok)
 
     state = (carry, scores, finished, tokens, tok)
     if max_len > 1:
-        state, _ = jax.lax.scan(scan_step, state, jnp.arange(1, max_len))
+        if early_stop:
+            # Exit as soon as every beam of every image has emitted <end> —
+            # trained captioners finish well inside the 20-step budget.
+            def cond(ts):
+                t, st = ts
+                return (t < max_len) & ~jnp.all(st[2])
+
+            def body(ts):
+                t, st = ts
+                return t + 1, _step_body(st, t)
+
+            _, state = jax.lax.while_loop(
+                cond, body, (jnp.asarray(1, jnp.int32), state)
+            )
+        else:
+            state, _ = jax.lax.scan(scan_step, state, jnp.arange(1, max_len))
     carry, scores, finished, tokens, _ = state
 
     # Rank by length-normalised score; unfinished beams keep raw score.

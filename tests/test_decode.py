@@ -171,3 +171,37 @@ def test_sample_decode():
         step_fn, {}, batch=3, rng=jax.random.PRNGKey(3), max_len=6, top_k=1
     )
     np.testing.assert_array_equal(np.asarray(g), np.asarray(k1))
+
+
+def test_early_stop_matches_scan_after_truncation():
+    """Early-exit while_loop and fixed scan produce identical captions after
+    <end> truncation; with forced <end> early-stop pads the tail exactly."""
+    table = np.full((V, V), -10.0, np.float32)
+    table[START_ID, 5] = 10.0
+    table[5, 6] = 10.0
+    table[6, END_ID] = 10.0
+    table[END_ID, 7] = 10.0  # scan mode would emit 7s after <end>
+
+    def step_fn(carry, token_ids):
+        return carry, jnp.asarray(table)[token_ids]
+
+    es = np.asarray(greedy_decode(step_fn, {}, batch=2, max_len=8, early_stop=True))
+    sc = np.asarray(greedy_decode(step_fn, {}, batch=2, max_len=8, early_stop=False))
+    assert es[0].tolist() == [5, 6, END_ID, PAD_ID, PAD_ID, PAD_ID, PAD_ID, PAD_ID]
+    assert sc[0].tolist()[:3] == [5, 6, END_ID]  # tail is don't-care tokens
+    b_es, s_es = beam_search(step_fn, {}, batch=2, beam_size=3, max_len=8, early_stop=True)
+    b_sc, s_sc = beam_search(step_fn, {}, batch=2, beam_size=3, max_len=8, early_stop=False)
+    np.testing.assert_array_equal(np.asarray(b_es), np.asarray(b_sc))
+    np.testing.assert_allclose(np.asarray(s_es), np.asarray(s_sc), atol=1e-6)
+
+
+def test_early_stop_no_end_reaches_budget():
+    step_fn, _ = _markov_step_fn(jax.random.PRNGKey(11), V, 3)
+    a = greedy_decode(step_fn, {}, batch=3, max_len=6, early_stop=True)
+    b = greedy_decode(step_fn, {}, batch=3, max_len=6, early_stop=False)
+    # random table: if no <end> sampled, both run the full budget identically
+    ea, eb = np.asarray(a), np.asarray(b)
+    for row_a, row_b in zip(ea, eb):
+        la = list(row_a)
+        if END_ID not in la:
+            np.testing.assert_array_equal(row_a, row_b)
