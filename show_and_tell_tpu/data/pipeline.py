@@ -227,3 +227,30 @@ def make_loader(
         features=features,
         drop_remainder=(mode == "train"),
     )
+
+
+if __name__ == "__main__":
+    # Standalone smoke loop (the reference data_loader.py:79-102 equivalent):
+    # iterate one epoch and report shapes + host throughput.
+    import argparse
+    import time
+
+    from show_and_tell_tpu.data.dataset import CocoCaptionDataset
+    from show_and_tell_tpu.utils.vocab import Vocabulary
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data_json", required=True)
+    ap.add_argument("--vocab_path", required=True)
+    ap.add_argument("--split", default="train")
+    ap.add_argument("--batch_size", type=int, default=128)
+    ap.add_argument("--num_workers", type=int, default=8)
+    args = ap.parse_args()
+
+    ds = CocoCaptionDataset(args.data_json, Vocabulary.load(args.vocab_path), args.split)
+    loader = Loader(ds, args.batch_size, num_workers=args.num_workers)
+    t0, n = time.time(), 0
+    for i, b in enumerate(loader):
+        n += b["captions"].shape[0]
+        if i == 0:
+            print({k: getattr(v, "shape", len(v)) for k, v in b.items()})
+    print(f"done: {len(loader)} batches, {n / (time.time() - t0):.0f} items/s host")
