@@ -160,6 +160,7 @@ def _lstm_cell_pallas_impl(
     # activation traffic by H/T — measured 2x slower than XLA at BT=256.
     bytes_per_row = (I + H) * hx.dtype.itemsize
     BT = min(Bp, max(sub, (3 * 1024 * 1024) // max(bytes_per_row, 1)))
+    BT = max(sub, (BT // sub) * sub)  # align so the shrink loop terminates
     while Bp % BT:
         BT -= sub
     b4 = b.reshape(4, H)  # rows: gate i, f, g, o
