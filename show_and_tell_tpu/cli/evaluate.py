@@ -38,6 +38,10 @@ def main(argv=None):
 
     model = build_model(cfg, len(vocab))
     params, frozen = model.init(KeyChain(cfg.random_seed).key("init"))
+    if cfg.encoder_weights:
+        from show_and_tell_tpu.models.encoders import load_torch_encoder
+
+        frozen = load_torch_encoder(model.encoder_name, cfg.encoder_weights)
     batch_stats = model.init_batch_stats() if hasattr(model, "init_batch_stats") else None
     if cfg.load_model_path:
         restored = ckpt.load_best_params(cfg.load_model_path, params, batch_stats)

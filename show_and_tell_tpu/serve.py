@@ -55,6 +55,10 @@ class Captioner:
     ) -> "Captioner":
         model = build_model(cfg, len(vocab))
         params, frozen = model.init(KeyChain(cfg.random_seed).key("init"))
+        if cfg.encoder_weights:
+            from show_and_tell_tpu.models.encoders import load_torch_encoder
+
+            frozen = load_torch_encoder(model.encoder_name, cfg.encoder_weights)
         batch_stats = (
             model.init_batch_stats() if hasattr(model, "init_batch_stats") else None
         )

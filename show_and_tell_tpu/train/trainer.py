@@ -67,6 +67,12 @@ class Trainer:
             set_pallas_enabled(cfg.use_pallas)
 
         params, frozen = model.init(self.keys.key("init"))
+        if cfg.encoder_weights:
+            # pretrained backbone from a torchvision state_dict checkpoint
+            from show_and_tell_tpu.models.encoders import load_torch_encoder
+
+            frozen = load_torch_encoder(model.encoder_name, cfg.encoder_weights)
+            log.info("loaded %s weights from %s", model.encoder_name, cfg.encoder_weights)
         batch_stats = (
             model.init_batch_stats() if hasattr(model, "init_batch_stats") else None
         )

@@ -131,3 +131,38 @@ def test_bf16_trunk_close_to_fp32():
     )
     denom = np.abs(f32).mean() + 1e-6
     assert np.abs(f32 - bf).mean() / denom < 0.05
+
+
+def test_encoder_weights_config_wiring(tmp_path):
+    """cfg.encoder_weights loads a torchvision state_dict into the frozen
+    backbone (Trainer + Captioner paths)."""
+    torch = pytest.importorskip("torch")
+    nn = torch.nn
+
+    layers, cin = [], 3
+    for ch in encoders._VGG_CHANNELS:
+        if ch == "M":
+            layers.append(nn.MaxPool2d(2, 2))
+        else:
+            layers.append(nn.Conv2d(cin, ch, 3, padding=1))
+            layers.append(nn.ReLU())
+            cin = ch
+    seq = nn.Sequential(*layers)
+    sd = {f"features.{i}.{k}": v for i, m in enumerate(seq) for k, v in m.state_dict().items()}
+    path = str(tmp_path / "vgg16.pth")
+    torch.save(sd, path)
+
+    from show_and_tell_tpu.config import Config
+    from show_and_tell_tpu.train.trainer import Trainer
+    from show_and_tell_tpu.models.registry import build_model
+
+    cfg = Config(
+        embed_size=16, hidden_size=32, crop_size=32, encoder_weights=path,
+        expr_dir=str(tmp_path), max_epochs=0,
+    )
+    model = build_model(cfg, 9)
+    t = Trainer(cfg, model, [], eval_fn=None)
+    got = np.asarray(jax.tree.leaves(t.frozen)[0])
+    want = np.asarray(sd["features.0.bias"])
+    # first leaf of the converted tree is conv0's bias ('b' sorts before 'w')
+    np.testing.assert_allclose(got, want, atol=1e-6)
