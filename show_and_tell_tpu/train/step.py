@@ -70,18 +70,7 @@ def make_train_step(
     tx = make_optimizer(cfg)
     is_sat = type(model).__name__ == "ShowAttendTellModel"
 
-    def loss_fn(params, batch_stats, frozen, batch, ss_prob, rng):
-        captions, lengths = batch["captions"], batch["lengths"]
-        rng_aug, rng_ss = jax.random.split(rng)
-        if "features" in batch:
-            features = batch["features"]
-        else:
-            images = batch["images"]
-            if images.dtype == jnp.uint8:
-                # on-device RandomCrop+HFlip+Normalize (main.py:26-30),
-                # fused into the step
-                images = train_transform(rng_aug, images, cfg.crop_size)
-            features = model.backbone_features(frozen, images)
+    def loss_fn(params, batch_stats, features, captions, lengths, ss_prob, rng_ss):
         if is_sat:
             logits, mask, _ = model.decode_train(
                 params, features, captions, lengths, rng_ss, ss_prob
@@ -96,9 +85,24 @@ def make_train_step(
         return loss, (new_stats, count)
 
     def step(state: TrainState, frozen, batch, lr, ss_prob, rng):
+        captions, lengths = batch["captions"], batch["lengths"]
+        rng_aug, rng_ss = jax.random.split(rng)
+        # The frozen backbone runs OUTSIDE the differentiated function: with
+        # it inside, JAX linearizes the whole conv stack and XLA fails to
+        # fully DCE the unused residuals even behind stop_gradient —
+        # measured ~8x slower full steps on Inception-v3.
+        if "features" in batch:
+            features = batch["features"]
+        else:
+            images = batch["images"]
+            if images.dtype == jnp.uint8:
+                # on-device RandomCrop+HFlip+Normalize (main.py:26-30),
+                # fused into the step
+                images = train_transform(rng_aug, images, cfg.crop_size)
+            features = model.backbone_features(frozen, images)
         (loss, (new_stats, count)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(state.params, state.batch_stats, frozen, batch, ss_prob, rng)
+        )(state.params, state.batch_stats, features, captions, lengths, ss_prob, rng_ss)
         grad_norm = optax.global_norm(grads)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         updates = jax.tree.map(lambda u: u * lr, updates)

@@ -141,7 +141,22 @@ class Trainer:
             if hasattr(self.trainloader, "set_epoch"):
                 self.trainloader.set_epoch(epoch)  # resume-deterministic order
 
-            for it, batch in enumerate(self.trainloader):
+            # One-batch transfer lookahead: batch i+1 is placed on device
+            # (async) while step i computes, hiding host->device copies.
+            def _sharded_batches():
+                it_ = iter(self.trainloader)
+                try:
+                    nxt = next(it_)
+                except StopIteration:
+                    return
+                nxt_dev = self._shard(nxt)
+                for following in it_:
+                    fol_dev = self._shard(following)
+                    yield nxt, nxt_dev
+                    nxt, nxt_dev = following, fol_dev
+                yield nxt, nxt_dev
+
+            for it, (batch, dev_batch) in enumerate(_sharded_batches()):
                 it += 1
                 if epoch == loaded_epoch and it <= loaded_iteration:
                     continue
@@ -154,7 +169,7 @@ class Trainer:
                     enabled=(cfg.profile_step == total_iteration and cfg.profile_dir is not None),
                 ):
                     self.state, metrics = self.train_step(
-                        self.state, self.frozen, self._shard(batch), lr, ss_prob, rng
+                        self.state, self.frozen, dev_batch, lr, ss_prob, rng
                     )
                 dt = self.timer.stop(metrics["loss"])
                 bsz = int(np.asarray(batch["captions"]).shape[0])
