@@ -126,6 +126,8 @@ class Loader:
         self.prefetch_depth = max(1, prefetch_depth)
         self.seed = seed
         self.load_images = load_images
+        if isinstance(features, str):  # .npz from cli/extract_features
+            features = np.load(features)
         self.features = features
         self.image_size = image_size
         self.drop_remainder = drop_remainder
@@ -142,6 +144,11 @@ class Loader:
     def __len__(self) -> int:
         return self.dataset.num_batches(self.batch_size, self.drop_remainder)
 
+    def _features_lookup(self, cocoid):
+        src = self.features
+        key = cocoid if cocoid in src else str(cocoid)  # npz keys are strings
+        return np.asarray(src[key])
+
     def _materialize(self, plan: Dict) -> Dict:
         idx, pad_len = plan["indices"], plan["pad_len"]
         captions, lengths = self.dataset.encode_indices(idx, pad_len)
@@ -154,7 +161,7 @@ class Loader:
         }
         if self.features is not None:
             batch["features"] = np.stack(
-                [np.asarray(self.features[c]) for c in meta["cocoids"]]
+                [self._features_lookup(c) for c in meta["cocoids"]]
             ).astype(np.float32)
         elif self.load_images:
             if self.native_decode and _native_available():
