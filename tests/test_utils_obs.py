@@ -1,0 +1,55 @@
+"""Small-module coverage: meters, experiment dirs, config CLI edge cases."""
+
+import os
+import time
+
+from show_and_tell_tpu.config import Config, parse_config
+from show_and_tell_tpu.obs.meters import StepTimer, ThroughputMeter
+from show_and_tell_tpu.utils.experiment import make_experiment_dir
+
+
+def test_step_timer_ema():
+    t = StepTimer(ema=0.5)
+    t.start()
+    time.sleep(0.01)
+    d1 = t.stop()
+    assert d1 >= 0.01
+    assert t.avg_s == d1
+    t.start()
+    time.sleep(0.01)
+    d2 = t.stop()
+    assert t.last_s == d2
+    assert abs(t.avg_s - (0.5 * d1 + 0.5 * d2)) < 1e-9
+
+
+def test_throughput_meter():
+    m = ThroughputMeter()
+    assert m.items_per_sec == 0.0
+    m.update(100, 2.0)
+    m.update(50, 1.0)
+    assert m.items_per_sec == 50.0
+    m.reset()
+    assert m.items == 0 and m.seconds == 0.0
+
+
+def test_make_experiment_dir(tmp_path):
+    cfg = Config(expr_dir=str(tmp_path), user_id="u1", exp_id="e1")
+    cfg = make_experiment_dir(cfg)
+    assert cfg.expr_dir == os.path.join(str(tmp_path), "u1", "e1")
+    assert os.path.isdir(cfg.expr_dir)
+    assert os.path.exists(os.path.join(cfg.expr_dir, "config_expr_e1.json"))
+
+
+def test_config_optional_bool_flag():
+    c = parse_config(["--use_pallas", "true"])
+    assert c.use_pallas is True
+    c = parse_config(["--use_pallas", "false"])
+    assert c.use_pallas is False
+    assert parse_config([]).use_pallas is None
+
+
+def test_config_optional_str_none_default():
+    c = parse_config([])
+    assert c.start_from is None and c.ann_file is None
+    c = parse_config(["--start_from", "/x"])
+    assert c.start_from == "/x"
