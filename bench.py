@@ -38,6 +38,9 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from show_and_tell_tpu.utils.compile_cache import enable as _enable_cache
+
+    _enable_cache()
     from show_and_tell_tpu.config import Config
     from show_and_tell_tpu.data.transforms import eval_transform
     from show_and_tell_tpu.decode import beam_search

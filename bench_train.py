@@ -26,6 +26,9 @@ N_ITERS = 8
 def main() -> None:
     import jax
 
+    from show_and_tell_tpu.utils.compile_cache import enable as _enable_cache
+
+    _enable_cache()
     from show_and_tell_tpu.config import Config
     from show_and_tell_tpu.models.registry import build_model
     from show_and_tell_tpu.parallel import mesh as mesh_lib

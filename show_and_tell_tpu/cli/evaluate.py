@@ -20,6 +20,7 @@ from show_and_tell_tpu.data.dataset import CocoCaptionDataset
 from show_and_tell_tpu.data.pipeline import make_loader
 from show_and_tell_tpu.evalsuite.driver import evaluation
 from show_and_tell_tpu.models.registry import build_model
+from show_and_tell_tpu.utils.compile_cache import enable as enable_compile_cache
 from show_and_tell_tpu.utils.logging import setup_logging
 from show_and_tell_tpu.utils.rng import KeyChain
 from show_and_tell_tpu.utils.vocab import Vocabulary
@@ -29,6 +30,7 @@ log = logging.getLogger(__name__)
 
 def main(argv=None):
     cfg = parse_config(argv if argv is not None else sys.argv[1:])
+    enable_compile_cache()
     setup_logging("eval_log.txt")
     vocab = Vocabulary.load(cfg.vocab_path)
     with open(cfg.data_json) as f:

@@ -25,6 +25,7 @@ from show_and_tell_tpu.evalsuite.driver import make_trainer_eval_fn
 from show_and_tell_tpu.models.registry import build_model
 from show_and_tell_tpu.train.trainer import Trainer
 from show_and_tell_tpu.utils.experiment import make_experiment_dir
+from show_and_tell_tpu.utils.compile_cache import enable as enable_compile_cache
 from show_and_tell_tpu.utils.logging import setup_logging
 from show_and_tell_tpu.utils.vocab import Vocabulary
 
@@ -32,6 +33,7 @@ log = logging.getLogger(__name__)
 
 
 def main(cfg: Config) -> Trainer:
+    enable_compile_cache()
     cfg = make_experiment_dir(cfg)
     setup_logging("log.txt")
     log.info("run arguments: %s", json.dumps(cfg.to_dict(), indent=4, sort_keys=True))
