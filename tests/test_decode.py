@@ -205,3 +205,29 @@ def test_early_stop_no_end_reaches_budget():
         la = list(row_a)
         if END_ID not in la:
             np.testing.assert_array_equal(row_a, row_b)
+
+
+def test_length_penalty_prefers_longer():
+    """GNMT length penalty divides by ((5+len)/6)^alpha: for equally scored
+    negative-logprob beams it boosts longer sequences."""
+    # two paths: short "5 <end>" vs longer "8 9 10 <end>", tuned so raw score
+    # favours the short one but normalised score favours the long one.
+    table = np.full((V, V), -20.0, np.float32)
+    table[START_ID, 5] = 3.0       # short path start
+    table[START_ID, 8] = 2.9       # long path start (slightly less likely)
+    table[5, END_ID] = 0.0
+    table[5, 6] = -1.0
+    table[8, 9] = 3.0
+    table[9, 10] = 3.0
+    table[10, END_ID] = 3.0
+
+    def step_fn(carry, token_ids):
+        return carry, jnp.asarray(table)[token_ids]
+
+    ids_raw, _ = beam_search(step_fn, {}, batch=1, beam_size=4, max_len=6,
+                             length_penalty=0.0)
+    ids_lp, _ = beam_search(step_fn, {}, batch=1, beam_size=4, max_len=6,
+                            length_penalty=2.0)
+    raw = [t for t in np.asarray(ids_raw[0]) if t != PAD_ID]
+    lp = [t for t in np.asarray(ids_lp[0]) if t != PAD_ID]
+    assert len(lp) >= len(raw)  # normalisation favours the longer hypothesis
