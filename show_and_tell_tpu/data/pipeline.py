@@ -129,6 +129,11 @@ class Loader:
         if isinstance(features, str):  # .npz from cli/extract_features
             features = np.load(features)
         self.features = features
+        # NpzFile lazily reads from one zip handle — not thread-safe under
+        # the worker pool; serialise those lookups.
+        self._features_lock = (
+            threading.Lock() if isinstance(features, np.lib.npyio.NpzFile) else None
+        )
         self.image_size = image_size
         self.drop_remainder = drop_remainder
         self.native_decode = native_decode
@@ -146,6 +151,10 @@ class Loader:
 
     def _features_lookup(self, cocoid):
         src = self.features
+        if self._features_lock is not None:
+            with self._features_lock:
+                key = str(cocoid) if str(cocoid) in src else cocoid
+                return np.asarray(src[key])
         key = cocoid if cocoid in src else str(cocoid)  # npz keys are strings
         return np.asarray(src[key])
 

@@ -63,3 +63,25 @@ def test_extract_and_train_from_features(tmp_path):
     dev_batch = {k: batch[k] for k in ("captions", "lengths", "features")}
     state, m = step(state, frozen, dev_batch, 1e-3, 0.0, jax.random.PRNGKey(0))
     assert np.isfinite(float(m["loss"]))
+
+
+def test_npz_loader_thread_safety(tmp_path):
+    """Concurrent worker lookups into one NpzFile must be race-free and
+    produce the same batches as a single worker."""
+    rng = np.random.default_rng(0)
+    n = 32
+    np.savez(tmp_path / "f.npz", **{str(i): rng.standard_normal((4, 8)).astype(np.float32) for i in range(n)})
+    recs = [
+        {"split": "train", "imgid": i, "cocoid": i, "file_path": "x",
+         "final_caption": ["w"] * 3, "sentids": i}
+        for i in range(n)
+    ]
+    vocab = Vocabulary.from_words(["w"])
+    ds = CocoCaptionDataset(recs, vocab, num_buckets=1)
+    l1 = Loader(ds, batch_size=4, shuffle=False, load_images=False,
+                features=str(tmp_path / "f.npz"), num_workers=8, prefetch_depth=8)
+    l2 = Loader(ds, batch_size=4, shuffle=False, load_images=False,
+                features=str(tmp_path / "f.npz"), num_workers=1)
+    for a, b in zip(l1, l2):
+        np.testing.assert_array_equal(a["features"], b["features"])
+        assert a["cocoids"] == b["cocoids"]
