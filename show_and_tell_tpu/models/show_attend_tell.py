@@ -27,8 +27,8 @@ Intended-behavior fixes (documented deviations, SURVEY.md §7 "hard parts" #6):
 TPU design: full-batch masked ``lax.scan`` over time replaces the reference's
 per-step batch truncation over ``pack_padded_sequence.batch_sizes``
 (model2.py:54-62) — static shapes for XLA; padding-step waste is reclaimed by
-length-bucketing in the data pipeline. The LSTM cell is the fused Pallas
-kernel.
+length-bucketing in the data pipeline. The LSTM cell dispatches through
+ops/lstm.py (XLA-fused by default; Pallas kernel opt-in, see its STATUS).
 """
 
 from __future__ import annotations

@@ -17,7 +17,8 @@ Capability parity with the reference pair ``EncoderCNN``/``DecoderRNN``
 
 TPU design: time loop is a ``lax.scan`` over *static* [B, T] batches with a
 length mask (replacing sort + pack_padded_sequence, data_loader.py:48-62,
-which is shape-hostile to XLA); the LSTM cell is the fused Pallas kernel.
+which is shape-hostile to XLA); the LSTM cell dispatches through ops/lstm.py
+(XLA-fused by default, Pallas kernel opt-in — see its STATUS note).
 """
 
 from __future__ import annotations
