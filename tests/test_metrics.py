@@ -210,3 +210,51 @@ def test_tokenizer_api_contract():
         }
     )
     assert out == {7: ["a dog runs", "dogs running"], 8: ["cat"]}
+
+
+# --- orchestrator API surface -------------------------------------------
+
+
+def test_cocoevalcap_api_surface():
+    """The reference-compatible objects users touch: eval dict, imgToEval,
+    evalImgs, params (pycocoevalcap/eval.py:9-75 surface)."""
+    from show_and_tell_tpu.metrics.coco import COCO
+    from show_and_tell_tpu.metrics.orchestrator import COCOEvalCap
+
+    coco = COCO(
+        {
+            "images": [{"id": 1}, {"id": 2}],
+            "annotations": [
+                {"image_id": 1, "caption": "a man rides a horse", "id": 11},
+                {"image_id": 1, "caption": "a man on a horse", "id": 12},
+                {"image_id": 2, "caption": "a dog runs fast", "id": 21},
+            ],
+        }
+    )
+    res = coco.loadRes(
+        [
+            {"image_id": 1, "caption": "a man rides a horse"},
+            {"image_id": 2, "caption": "a cat sits"},
+        ]
+    )
+    ev = COCOEvalCap(coco, res)
+    ev.params["image_id"] = res.getImgIds()
+    out = ev.evaluate()
+    assert out is ev.eval
+    for k in ("Bleu_1", "Bleu_4", "METEOR", "ROUGE_L", "CIDEr"):
+        assert k in ev.eval
+    assert set(ev.imgToEval.keys()) == {1, 2}
+    assert ev.imgToEval[1]["Bleu_1"] > ev.imgToEval[2]["Bleu_1"]
+    assert ev.evalImgs[0]["image_id"] == 1
+    # per-image fields carry every metric
+    for m in ("Bleu_1", "METEOR", "ROUGE_L", "CIDEr"):
+        assert m in ev.evalImgs[0]
+
+
+def test_coco_loadres_rejects_unknown_image():
+    from show_and_tell_tpu.metrics.coco import COCO
+
+    coco = COCO({"images": [{"id": 1}], "annotations": [
+        {"image_id": 1, "caption": "a", "id": 1}]})
+    with pytest.raises(ValueError):
+        coco.loadRes([{"image_id": 99, "caption": "x"}])
