@@ -153,30 +153,51 @@ class ShowTellModel:
         feat_embed: jax.Array,  # [B, E] (already projected + BN'd)
         captions: jax.Array,  # [B, T] int32 (full caption with <start>/<end>)
         lengths: jax.Array,  # [B] int32
+        rng=None,
+        ss_prob: float = 0.0,
     ) -> Tuple[jax.Array, jax.Array]:
-        """Teacher-forced logits.
+        """Teacher-forced (optionally scheduled-sampled) logits.
 
         Inputs per step: [feature, emb(c_0) ... emb(c_{T-2})]; step-t output
         is scored against ``captions[:, 1 + t]`` with mask ``t < len - 1`` —
         the exact pairing of train.py:134-139 applied to models.py:47-54.
-        Returns ``(logits [B, T-1, V], mask [B, T-1])``.
+        Scheduled sampling implements the hook the reference declares but
+        never uses (``DecoderRNN.ss_prob``, models.py:38): for t >= 1, each
+        sample's input token is the model's previous prediction with
+        probability ``ss_prob``. Returns ``(logits [B,T-1,V], mask)``.
         """
         trainable = self._cast_for_compute(trainable)
         feat_embed = feat_embed.astype(self.cdtype)
-        emb = embedding_lookup(trainable["embed"], captions[:, :-1])  # [B,T-1,E]
-        inputs = jnp.concatenate([feat_embed[:, None, :], emb[:, :-1, :]], axis=1)
-        # inputs[t] = feature if t==0 else emb(c_{t-1}); T-1 steps total.
-        xs = jnp.swapaxes(inputs, 0, 1)  # [T-1, B, E]
+        B, Tfull = captions.shape
+        steps = Tfull - 1
+        # input token at step t (t >= 1) is c_{t-1}; step 0 uses the feature
+        shifted = jnp.concatenate(
+            [jnp.zeros((B, 1), jnp.int32), captions[:, : steps - 1]], axis=1
+        )
+        tokens = jnp.swapaxes(shifted, 0, 1)  # [T-1, B]
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        step_rngs = jax.random.split(rng, steps)
+        ts = jnp.arange(steps)
 
-        def step(state, x):
-            out, state = self._run_lstm_stack(trainable, x, state)
-            return state, out
+        def step(state, xs):
+            lstm_state, prev_pred = state
+            tok, t, r = xs
+            use_model = (jax.random.uniform(r, (B,)) < ss_prob) & (t > 0)
+            tok = jnp.where(use_model, prev_pred, tok)
+            x = jnp.where(
+                t == 0,
+                feat_embed,
+                embedding_lookup(trainable["embed"], tok),
+            )
+            out, lstm_state = self._run_lstm_stack(trainable, x, lstm_state)
+            logits = dense(trainable["out"], out)
+            return (lstm_state, jnp.argmax(logits, axis=-1).astype(jnp.int32)), logits
 
-        _, hs = jax.lax.scan(step, self.zero_state(captions.shape[0]), xs)
-        hs = jnp.swapaxes(hs, 0, 1)  # [B, T-1, H]
-        logits = dense(trainable["out"], hs)
-        T = captions.shape[1] - 1
-        mask = jnp.arange(T)[None, :] < (lengths[:, None] - 1)
+        init = (self.zero_state(B), jnp.zeros((B,), jnp.int32))
+        _, logits = jax.lax.scan(step, init, (tokens, ts, step_rngs))
+        logits = jnp.swapaxes(logits, 0, 1)  # [B, T-1, V]
+        mask = jnp.arange(steps)[None, :] < (lengths[:, None] - 1)
         return logits, mask
 
     # --- decoding step interface (for decode/greedy.py, decode/beam.py) ---

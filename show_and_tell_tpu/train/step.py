@@ -80,7 +80,9 @@ def make_train_step(
             feat_embed, new_stats = model.encode(
                 params, batch_stats, features, train=True
             )
-            logits, mask = model.decode_train(params, feat_embed, captions, lengths)
+            logits, mask = model.decode_train(
+                params, feat_embed, captions, lengths, rng_ss, ss_prob
+            )
         loss, count = masked_cross_entropy(logits, captions[:, 1:], mask)
         return loss, (new_stats, count)
 

@@ -174,3 +174,18 @@ def test_greedy_with_attention_maps():
     step_fn, carry, _ = m.make_decode_state(trainable, feats)
     g = greedy_decode(step_fn, carry, 2, 5)
     np.testing.assert_array_equal(np.asarray(ids), np.asarray(g))
+
+
+def test_show_tell_scheduled_sampling():
+    cfg = small_cfg(model="show_tell")
+    m = build_model(cfg, V)
+    trainable, _ = m.init(jax.random.PRNGKey(0))
+    B, T = 3, 7
+    captions, lengths = _batch(jax.random.PRNGKey(1), B, T)
+    feat = jax.random.normal(jax.random.PRNGKey(2), (B, cfg.embed_size))
+    rng = jax.random.PRNGKey(7)
+    l0, _ = m.decode_train(trainable, feat, captions, lengths, rng, 0.0)
+    l1, _ = m.decode_train(trainable, feat, captions, lengths, rng, 1.0)
+    assert not np.allclose(np.asarray(l0), np.asarray(l1))
+    # step 0 consumes the image feature either way: identical logits
+    np.testing.assert_allclose(np.asarray(l0[:, 0]), np.asarray(l1[:, 0]), atol=1e-6)
