@@ -16,6 +16,9 @@ import sys
 
 import numpy as np
 
+# runnable from anywhere: put the repo root on sys.path
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def main(workdir: str = "/tmp/sat_demo") -> None:
     from PIL import Image
