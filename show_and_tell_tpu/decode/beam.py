@@ -72,7 +72,9 @@ def beam_search(
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns ``(ids [B, max_len], scores [B])`` for the best beam, or —
     with ``return_all`` — the full n-best ``(ids [B, k, max_len],
-    scores [B, k])`` sorted best-first.
+    scores [B, k])`` sorted best-first. ``early_stop`` (default) exits the
+    step loop once every beam of every image has emitted ``<end>``;
+    identical results to the fixed-trip scan.
 
     ``carry`` holds per-image state ``[B, ...]`` and is tiled to
     ``[B*k, ...]`` internally; pass ``tile=False`` when the caller already

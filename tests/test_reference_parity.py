@@ -119,3 +119,36 @@ def test_bleu_single_image_option_default():
     ours.append(hyp, gts)
     our_score, _ = ours.compute_score()
     np.testing.assert_allclose(our_score, ref_score, rtol=1e-12)
+
+
+def test_bleu_degenerate_cases_match_reference():
+    """Empty hypotheses, single-word refs, repeated tokens — the epsilon
+    paths (tiny/small) must agree bit-for-bit."""
+    ref = _load_ref_module("bleu/bleu_scorer.py", "ref_bleu_scorer3")
+    from show_and_tell_tpu.metrics.bleu import Bleu
+
+    gts = {1: ["a"], 2: ["a b c d e"], 3: ["x x x", "x"]}
+    res = {1: [""], 2: ["a"], 3: ["x x"]}
+    scorer = ref.BleuScorer(n=4)
+    for i in sorted(gts):
+        scorer += (res[i][0], gts[i])
+    ref_score, ref_per = scorer.compute_score(option="closest")
+    our_score, our_per = Bleu(4).compute_score(gts, res)
+    np.testing.assert_allclose(our_score, ref_score, rtol=1e-12)
+    for k in range(4):
+        np.testing.assert_allclose(our_per[k], ref_per[k], rtol=1e-12)
+
+
+def test_cider_degenerate_cases_match_reference():
+    ref = _load_ref_module("cider/cider_scorer.py", "ref_cider_scorer2")
+    from show_and_tell_tpu.metrics.cider import Cider
+
+    gts = {1: ["a"], 2: ["b b b"], 3: ["c d", "c d e"]}
+    res = {1: ["a"], 2: [""], 3: ["c d"]}
+    scorer = ref.CiderScorer(n=4, sigma=6.0)
+    for i in sorted(gts):
+        scorer += (res[i][0], gts[i])
+    ref_mean, ref_scores = scorer.compute_score()
+    our_mean, our_scores = Cider().compute_score(gts, res)
+    np.testing.assert_allclose(our_mean, ref_mean, rtol=1e-10)
+    np.testing.assert_allclose(our_scores, ref_scores, rtol=1e-10)
