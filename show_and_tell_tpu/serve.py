@@ -23,7 +23,7 @@ from show_and_tell_tpu import ckpt
 from show_and_tell_tpu.config import Config
 from show_and_tell_tpu.data.pipeline import _load_image
 from show_and_tell_tpu.data.transforms import eval_transform
-from show_and_tell_tpu.decode import beam_search, greedy_decode
+from show_and_tell_tpu.decode import beam_search, greedy_decode, sample_decode
 from show_and_tell_tpu.models.registry import build_model
 from show_and_tell_tpu.utils.rng import KeyChain
 from show_and_tell_tpu.utils.vocab import Vocabulary
@@ -48,6 +48,10 @@ class Captioner:
         self.batch_stats = batch_stats
         self.bucket_sizes = sorted(bucket_sizes)
         self._fns: Dict = {}
+        # sampling-mode knobs (mode="sample")
+        self.temperature = 1.0
+        self.top_k = 0
+        self._sample_key = jax.random.PRNGKey(cfg.random_seed)
 
     @classmethod
     def from_checkpoint(
@@ -84,7 +88,7 @@ class Captioner:
         is_sat = type(model).__name__ == "ShowAttendTellModel"
 
         @jax.jit
-        def fn(params, batch_stats, frozen, images_u8):
+        def fn(params, batch_stats, frozen, images_u8, rng):
             feats = model.backbone_features(
                 frozen, eval_transform(images_u8, cfg.crop_size)
             )
@@ -104,6 +108,12 @@ class Captioner:
                     length_penalty=cfg.length_penalty,
                 )
                 return ids
+            if mode == "sample":
+                return sample_decode(
+                    step_fn, carry, batch, rng, cfg.max_decode_len,
+                    temperature=self.temperature, top_k=self.top_k,
+                    first_logits=first,
+                )
             return greedy_decode(
                 step_fn, carry, batch, cfg.max_decode_len, first_logits=first
             )
@@ -114,7 +124,10 @@ class Captioner:
     # ------------------------------------------------------------------
 
     def caption_images(self, images_u8: np.ndarray, mode: str = "beam") -> List[str]:
-        """images_u8 [N, 256, 256, 3] uint8 -> N caption strings."""
+        """images_u8 [N, 256, 256, 3] uint8 -> N caption strings.
+
+        ``mode``: "beam" (default), "greedy", or "sample" (temperature /
+        top-k via the ``temperature`` / ``top_k`` attributes)."""
         n = images_u8.shape[0]
         out: List[str] = []
         i = 0
@@ -124,8 +137,11 @@ class Captioner:
             if chunk.shape[0] < b:  # pad to the bucket's static shape
                 pad = np.repeat(chunk[-1:], b - chunk.shape[0], axis=0)
                 chunk = np.concatenate([chunk, pad], axis=0)
+            rng = jax.random.fold_in(self._sample_key, i)
             ids = np.asarray(
-                self._fn(b, mode)(self.params, self.batch_stats, self.frozen, chunk)
+                self._fn(b, mode)(
+                    self.params, self.batch_stats, self.frozen, chunk, rng
+                )
             )
             out.extend(self.vocab.decode_batch(ids)[: min(b, n - i)])
             i += b

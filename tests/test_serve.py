@@ -113,3 +113,23 @@ def test_device_resize_transform():
         jnp.asarray(imgs), size=64, crop=56, train=True, rng=jax.random.PRNGKey(0)
     )
     assert out_t.shape == (2, 56, 56, 3)
+
+
+def test_captioner_sample_mode():
+    cfg = Config(
+        embed_size=16, hidden_size=32, crop_size=32, max_decode_len=4, beam_size=2
+    )
+    cap = Captioner.from_checkpoint(cfg, None, _vocab(), bucket_sizes=(4,))
+    images = (np.random.default_rng(0).random((4, 40, 40, 3)) * 255).astype(np.uint8)
+    cap.temperature = 1.5
+    caps1 = cap.caption_images(images, mode="sample")
+    assert len(caps1) == 4
+    # deterministic given the same key state
+    caps2 = cap.caption_images(images, mode="sample")
+    assert caps1 == caps2
+    # top_k=1 collapses to greedy
+    cap.top_k = 1
+    cap._fns.clear()
+    greedy = cap.caption_images(images, mode="greedy")
+    k1 = cap.caption_images(images, mode="sample")
+    assert greedy == k1
