@@ -33,6 +33,46 @@ def set_backend(fn: Optional[Callable]) -> None:
     _BACKEND = fn
 
 
+def cached_backend(fn: Callable, cache_path: str) -> Callable:
+    """Wrap a SPICE backend with a persistent per-image score cache — the
+    equivalent of the Java scorer's LMDB parse cache (the reference wrapper
+    allocates one at spice.py:53-58). Keyed by (hypothesis, sorted refs);
+    only uncached images hit the expensive backend."""
+    import hashlib
+    import json
+    import os
+
+    def load() -> dict:
+        if os.path.exists(cache_path):
+            with open(cache_path) as f:
+                return json.load(f)
+        return {}
+
+    def key(hypo: str, refs) -> str:
+        blob = hypo + "\x00" + "\x00".join(sorted(refs))
+        return hashlib.sha256(blob.encode()).hexdigest()
+
+    def wrapped(gts, res):
+        cache = load()
+        ids = sorted(gts.keys())
+        keys = {i: key(res[i][0], gts[i]) for i in ids}
+        missing = [i for i in ids if keys[i] not in cache]
+        if missing:
+            sub_gts = {i: gts[i] for i in missing}
+            sub_res = {i: res[i] for i in missing}
+            _, scores = fn(sub_gts, sub_res)
+            for i, s in zip(sorted(missing), scores):
+                cache[keys[i]] = float(s)
+            tmp = cache_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(cache, f)
+            os.replace(tmp, cache_path)
+        per_image = [cache[keys[i]] for i in ids]
+        return float(sum(per_image) / max(len(per_image), 1)), per_image
+
+    return wrapped
+
+
 class Spice:
     def __init__(self, strict: bool = True):
         self.strict = strict

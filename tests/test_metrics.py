@@ -258,3 +258,30 @@ def test_coco_loadres_rejects_unknown_image():
         {"image_id": 1, "caption": "a", "id": 1}]})
     with pytest.raises(ValueError):
         coco.loadRes([{"image_id": 99, "caption": "x"}])
+
+
+def test_spice_cached_backend(tmp_path):
+    from show_and_tell_tpu.metrics.spice import cached_backend
+
+    calls = []
+
+    def backend(gts, res):
+        calls.append(sorted(gts.keys()))
+        scores = [0.1 * i for i in sorted(gts.keys())]
+        return float(np.mean(scores)), scores
+
+    cache = str(tmp_path / "spice_cache.json")
+    fn = cached_backend(backend, cache)
+    gts = {1: ["a b"], 2: ["c d"]}
+    res = {1: ["a b"], 2: ["c"]}
+    s1, per1 = fn(gts, res)
+    assert calls == [[1, 2]]
+    # second call: fully cached, backend untouched
+    s2, per2 = fn(gts, res)
+    assert calls == [[1, 2]]
+    assert (s1, per1) == (s2, per2)
+    # new image: only the miss hits the backend
+    gts[3] = ["e f"]
+    res[3] = ["e f"]
+    fn(gts, res)
+    assert calls == [[1, 2], [3]]
