@@ -53,3 +53,17 @@ def test_config_optional_str_none_default():
     assert c.start_from is None and c.ann_file is None
     c = parse_config(["--start_from", "/x"])
     assert c.start_from == "/x"
+
+
+def test_profile_trace_disabled_and_enabled(tmp_path):
+    import jax.numpy as jnp
+
+    from show_and_tell_tpu.obs.profiler import profile_trace
+
+    with profile_trace(str(tmp_path / "t"), enabled=False):
+        x = jnp.ones((4,)).sum()
+    assert float(x) == 4.0
+    with profile_trace(str(tmp_path / "t"), enabled=True):
+        y = jnp.ones((4,)).sum()
+    assert float(y) == 4.0
+    assert os.path.isdir(tmp_path / "t")  # trace directory written
