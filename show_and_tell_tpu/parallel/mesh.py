@@ -33,6 +33,14 @@ MODEL_AXIS = "model"
 def make_mesh(num_devices: int = 0, model_parallel: int = 1) -> Mesh:
     devices = jax.devices()
     n = num_devices if num_devices > 0 else len(devices)
+    if len(devices) < n:
+        raise ValueError(
+            f"make_mesh: requested {n} devices but the JAX backend "
+            f"({devices[0].platform if devices else 'none'}) has only "
+            f"{len(devices)}. For CPU testing, set JAX_PLATFORMS=cpu and "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count={n} before "
+            f"jax initializes (see tests/conftest.py)."
+        )
     devices = devices[:n]
     if n % model_parallel:
         raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
