@@ -158,9 +158,14 @@ class ShowTellModel:
     ) -> Tuple[jax.Array, jax.Array]:
         """Teacher-forced (optionally scheduled-sampled) logits.
 
-        Inputs per step: [feature, emb(c_0) ... emb(c_{T-2})]; step-t output
-        is scored against ``captions[:, 1 + t]`` with mask ``t < len - 1`` —
-        the exact pairing of train.py:134-139 applied to models.py:47-54.
+        Inputs per step: [feature, emb(c_1) ... emb(c_{T-2})]; step-t output
+        is scored against ``captions[:, 1 + t]`` with mask ``t < len - 1``.
+        The feature step predicts the first real word c_1, and every later
+        step consumes the token the previous step was trained to predict —
+        exactly the conditioning greedy/beam inference reproduces
+        (``make_decode_state`` feeds back the previous prediction). Note
+        ``<start>`` (c_0) is never an input, matching the reference's
+        ``sample`` (models.py:56-67), which also never feeds it.
         Scheduled sampling implements the hook the reference declares but
         never uses (``DecoderRNN.ss_prob``, models.py:38): for t >= 1, each
         sample's input token is the model's previous prediction with
@@ -170,9 +175,10 @@ class ShowTellModel:
         feat_embed = feat_embed.astype(self.cdtype)
         B, Tfull = captions.shape
         steps = Tfull - 1
-        # input token at step t (t >= 1) is c_{t-1}; step 0 uses the feature
+        # input token at step t (t >= 1) is c_t — the token step t-1 was
+        # trained to predict; step 0 uses the feature
         shifted = jnp.concatenate(
-            [jnp.zeros((B, 1), jnp.int32), captions[:, : steps - 1]], axis=1
+            [jnp.zeros((B, 1), jnp.int32), captions[:, 1:steps]], axis=1
         )
         tokens = jnp.swapaxes(shifted, 0, 1)  # [T-1, B]
         if rng is None:

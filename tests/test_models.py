@@ -71,9 +71,11 @@ def test_show_tell_lstm_stack_matches_torch():
     logits, mask = m.decode_train(trainable, feat_embed, captions, lengths)
     assert logits.shape == (B, T - 1, V)
 
-    # torch ground truth: same inputs through nn.LSTM with copied weights
-    emb = np.asarray(embedding_lookup(trainable["embed"], captions[:, :-1]))
-    inputs = np.concatenate([np.asarray(feat_embed)[:, None, :], emb[:, :-1, :]], 1)
+    # torch ground truth: same inputs through nn.LSTM with copied weights.
+    # Step 0 is the image feature; step t >= 1 consumes c_t (the token step
+    # t-1 predicts) so training conditioning == decode-time conditioning.
+    emb = np.asarray(embedding_lookup(trainable["embed"], captions[:, 1:-1]))
+    inputs = np.concatenate([np.asarray(feat_embed)[:, None, :], emb], 1)
     lstm = torch.nn.LSTM(E, H, num_layers=2, batch_first=True)
     with torch.no_grad():
         for l in range(2):
