@@ -81,11 +81,16 @@ class Captioner:
         return self.bucket_sizes[-1]
 
     def _fn(self, batch: int, mode: str):
-        key = (batch, mode)
+        # temperature/top_k are baked into the traced program (top_k must be
+        # static for lax.top_k), so they are part of the cache key — changing
+        # the attributes after a first "sample" call recompiles rather than
+        # silently reusing stale values.
+        key = (batch, mode, self.temperature, self.top_k) if mode == "sample" else (batch, mode)
         if key in self._fns:
             return self._fns[key]
         model, cfg = self.model, self.cfg
         is_sat = type(model).__name__ == "ShowAttendTellModel"
+        temperature, top_k = self.temperature, self.top_k
 
         @jax.jit
         def fn(params, batch_stats, frozen, images_u8, rng):
@@ -111,7 +116,7 @@ class Captioner:
             if mode == "sample":
                 return sample_decode(
                     step_fn, carry, batch, rng, cfg.max_decode_len,
-                    temperature=self.temperature, top_k=self.top_k,
+                    temperature=temperature, top_k=top_k,
                     first_logits=first,
                 )
             return greedy_decode(
