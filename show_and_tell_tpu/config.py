@@ -79,7 +79,10 @@ class Config:
     # --- Logging / eval cadence (reference config.py:59-66) ---
     log_step: int = 10
     language_eval: int = 1  # 1: CIDEr checkpoint gate; 0: -val_loss
-    save_checkpoint_every: int = 1
+    # iterations between val-eval + checkpoint gate; the reference's record
+    # run used 3236 (~once/epoch at batch 128, log.txt) — 1 would evaluate
+    # after every step
+    save_checkpoint_every: int = 3000
 
     # --- Decoding (reference models.py:60 / model2.py:100: hard 20-step cap) ---
     max_decode_len: int = 20

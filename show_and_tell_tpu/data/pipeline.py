@@ -4,8 +4,10 @@ Replaces torch ``DataLoader(num_workers, collate_fn)`` (data_loader.py:64-77).
 Design for keeping a TPU fed:
 
 - a thread pool decodes the *next* batches' images (PIL -> uint8
-  [256, 256, 3]) while the device runs the current step; ``prefetch_depth``
-  batches are in flight (double buffering by default),
+  [256, 256, 3]) while the device runs the current step; at most
+  ``prefetch_depth + num_workers`` batches are materialized-or-in-flight,
+  with consumer backpressure (a slow consumer never accumulates the epoch
+  in host memory),
 - images cross the host->device boundary as uint8 (augmentation happens on
   device, transforms.py), captions as int32,
 - batches come from the length-bucketed dataset, so every (bucket, batch)
@@ -199,17 +201,31 @@ class Loader:
         )
         if not plans:
             return
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_depth)
+        # Bounded prefetch: at most prefetch_depth + num_workers batches are
+        # materialized-or-in-flight at once. The semaphore is the backpressure
+        # — a slot frees only when the consumer takes a batch — so a slow
+        # consumer can never cause the whole epoch's decoded images to pile
+        # up in memory, and abandoning the iterator cancels unstarted work.
+        max_inflight = self.prefetch_depth + self.num_workers
+        sem = threading.Semaphore(max_inflight)
+        q: "queue.Queue" = queue.Queue()
         stop = threading.Event()
 
         def producer():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                futures = [pool.submit(self._materialize, p) for p in plans]
-                for fut in futures:
+            pool = ThreadPoolExecutor(self.num_workers)
+            try:
+                for p in plans:
+                    while not sem.acquire(timeout=0.1):
+                        if stop.is_set():
+                            return
                     if stop.is_set():
-                        break
-                    q.put(fut)
-            q.put(None)
+                        return
+                    q.put(pool.submit(self._materialize, p))
+            finally:
+                # on abandonment, drop work the pool hasn't started; on
+                # normal completion, let the queued tail drain
+                pool.shutdown(wait=False, cancel_futures=stop.is_set())
+                q.put(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -218,7 +234,9 @@ class Loader:
                 item = q.get()
                 if item is None:
                     break
-                yield item.result()
+                batch = item.result()
+                sem.release()
+                yield batch
         finally:
             stop.set()
 

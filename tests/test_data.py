@@ -132,6 +132,43 @@ def test_batches_static_shapes_and_padding():
             assert (row[ln:] == PAD_ID).all()
 
 
+def test_loader_bounded_prefetch_and_abandon():
+    """A slow consumer must not cause the whole epoch to materialize: at most
+    prefetch_depth + num_workers batches may ever be in flight. Abandoning
+    iteration must stop the producer instead of decoding the rest."""
+    import threading
+    import time
+
+    vocab = Vocabulary.from_words(["w"])
+    ds = CocoCaptionDataset(_records(400), vocab, num_buckets=1)
+    loader = Loader(
+        ds, batch_size=4, num_workers=2, prefetch_depth=2, load_images=False
+    )
+    n_batches = len(loader)
+    assert n_batches >= 50
+    materialized = []
+    lock = threading.Lock()
+    orig = loader._materialize
+
+    def counting(plan):
+        with lock:
+            materialized.append(1)
+        return orig(plan)
+
+    loader._materialize = counting
+    it = iter(loader)
+    next(it)
+    time.sleep(0.5)  # give an eager producer time to run away
+    limit = loader.prefetch_depth + loader.num_workers + 1  # +1 consumed
+    assert len(materialized) <= limit, (len(materialized), limit)
+    # abandoning stops the producer
+    it.close()
+    time.sleep(0.5)
+    after_close = len(materialized)
+    time.sleep(0.3)
+    assert len(materialized) == after_close < n_batches
+
+
 def test_loader_deterministic_and_reiterable():
     vocab = Vocabulary.from_words(["w"])
     ds = CocoCaptionDataset(_records(16), vocab, num_buckets=2)
