@@ -4,9 +4,11 @@
 // and a stdio line protocol guarded by a lock
 // (pycocoevalcap/meteor/meteor.py:18-56). This library is a native port of
 // the framework's METEOR implementation (show_and_tell_tpu/metrics/meteor.py
-// — exact + Porter-stem stages, METEOR 1.5 English parameters), exposed via
-// a C ABI for ctypes. tests/test_native.py asserts bit-equality with the
-// Python reference implementation.
+// — exact + Porter-stem + synonym modules, METEOR 1.5 English parameters,
+// unconditional fragmentation penalty), exposed via a C ABI for ctypes.
+// The synonym table is injected once via meteor_set_synonyms() so Python
+// and C++ share metrics/synonyms.py verbatim. tests/test_native.py asserts
+// bit-equality with the Python reference implementation.
 //
 // Build: make -C csrc   (produces libmeteor.so)
 
@@ -16,16 +18,34 @@
 #include <cstring>
 #include <set>
 #include <string>
+#include <unordered_map>
 #include <vector>
 
 namespace {
 
 constexpr double ALPHA = 0.85;
-constexpr double BETA = 0.2;
-constexpr double GAMMA = 0.6;
+constexpr double BETA = 2.15;
+constexpr double GAMMA = 0.45;
 constexpr double DELTA = 0.75;
 constexpr double W_EXACT = 1.0;
 constexpr double W_STEM = 0.6;
+constexpr double W_SYN = 0.8;
+
+// word -> sorted group ids; populated by meteor_set_synonyms().
+std::unordered_map<std::string, std::vector<int>>& synonym_index() {
+  static std::unordered_map<std::string, std::vector<int>> idx;
+  return idx;
+}
+
+bool share_group(const std::vector<int>* a, const std::vector<int>* b) {
+  if (a == nullptr || b == nullptr) return false;
+  size_t i = 0, j = 0;
+  while (i < a->size() && j < b->size()) {
+    if ((*a)[i] == (*b)[j]) return true;
+    if ((*a)[i] < (*b)[j]) ++i; else ++j;
+  }
+  return false;
+}
 
 const std::set<std::string>& function_words() {
   static const std::set<std::string> fw = {
@@ -223,16 +243,42 @@ double score_pair(const std::vector<std::string>& hyp,
   std::vector<bool> used_h(hyp.size(), false), used_r(ref.size(), false);
   std::vector<Match> matches;
 
-  for (int stage = 0; stage < 2; ++stage) {
-    double sw = stage == 0 ? W_EXACT : W_STEM;
-    std::vector<std::string> rk(ref.size());
-    for (size_t j = 0; j < ref.size(); ++j)
-      rk[j] = stage == 0 ? ref[j] : porter_stem(ref[j]);
+  std::vector<std::string> hyp_stem(hyp.size()), ref_stem(ref.size());
+  for (size_t i = 0; i < hyp.size(); ++i) hyp_stem[i] = porter_stem(hyp[i]);
+  for (size_t j = 0; j < ref.size(); ++j) ref_stem[j] = porter_stem(ref[j]);
+  // groups for surface form unioned with Porter stem (morphological
+  // fallback, mirrors metrics/meteor.py _syn_groups)
+  auto lookup_groups = [](const std::string& w,
+                          const std::string& stem) -> std::vector<int> {
+    const auto& syn = synonym_index();
+    std::vector<int> out;
+    auto it = syn.find(w);
+    if (it != syn.end()) out = it->second;
+    auto it2 = syn.find(stem);
+    if (it2 != syn.end()) {
+      std::vector<int> merged;
+      std::set_union(out.begin(), out.end(), it2->second.begin(),
+                     it2->second.end(), std::back_inserter(merged));
+      out = std::move(merged);
+    }
+    return out;
+  };
+  std::vector<std::vector<int>> hyp_syn(hyp.size()), ref_syn(ref.size());
+  for (size_t i = 0; i < hyp.size(); ++i)
+    hyp_syn[i] = lookup_groups(hyp[i], hyp_stem[i]);
+  for (size_t j = 0; j < ref.size(); ++j)
+    ref_syn[j] = lookup_groups(ref[j], ref_stem[j]);
+
+  for (int stage = 0; stage < 3; ++stage) {
+    double sw = stage == 0 ? W_EXACT : (stage == 1 ? W_STEM : W_SYN);
     for (size_t i = 0; i < hyp.size(); ++i) {
       if (used_h[i]) continue;
-      std::string hk = stage == 0 ? hyp[i] : porter_stem(hyp[i]);
       for (size_t j = 0; j < ref.size(); ++j) {
-        if (!used_r[j] && hk == rk[j]) {
+        if (used_r[j]) continue;
+        bool hit = stage == 0   ? hyp[i] == ref[j]
+                   : stage == 1 ? hyp_stem[i] == ref_stem[j]
+                                : share_group(&hyp_syn[i], &ref_syn[j]);
+        if (hit) {
           matches.push_back({(int)i, (int)j, sw});
           used_h[i] = true;
           used_r[j] = true;
@@ -266,17 +312,41 @@ double score_pair(const std::vector<std::string>& hyp,
           matches[k].j == matches[k - 1].j + 1))
       ++chunks;
   }
-  double penalty = 0.0;
-  if (chunks > 1 || matches.size() < hyp.size()) {
-    double frag = (double)chunks / matches.size();
-    penalty = GAMMA * std::pow(frag, BETA);
-  }
+  // METEOR 1.5: penalty applies unconditionally whenever matches > 0.
+  double frag = (double)chunks / matches.size();
+  double penalty = GAMMA * std::pow(frag, BETA);
   return (1.0 - penalty) * fmean;
 }
 
 }  // namespace
 
 extern "C" {
+
+// blob: one synonym group per '\n'-separated line, words space-separated
+// (show_and_tell_tpu/metrics/synonyms.py serialize()). Replaces any prior
+// table. Not thread-safe vs concurrent scoring; call once at load.
+void meteor_set_synonyms(const char* blob) {
+  auto& idx = synonym_index();
+  idx.clear();
+  std::string s(blob);
+  int gid = 0;
+  size_t start = 0;
+  while (start <= s.size()) {
+    size_t end = s.find('\n', start);
+    if (end == std::string::npos) end = s.size();
+    for (const auto& w : split_ws(s.substr(start, end - start))) {
+      // index surface form and Porter stem (synonyms.build_index parity)
+      auto& v = idx[w];
+      if (v.empty() || v.back() != gid) v.push_back(gid);
+      auto& vs = idx[porter_stem(w)];
+      if (vs.empty() || vs.back() != gid) vs.push_back(gid);
+    }
+    ++gid;
+    if (end == s.size()) break;
+    start = end + 1;
+  }
+  // group ids are appended in increasing order, so vectors are sorted
+}
 
 char* meteor_stem(const char* word) {
   std::string s = porter_stem(word);

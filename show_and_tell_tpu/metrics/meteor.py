@@ -4,20 +4,25 @@ The reference drives ``meteor-1.5.jar`` over a stdio line protocol
 (pycocoevalcap/meteor/meteor.py:18-56) — and the jar is not shipped
 (meteor.py:12 references it; SURVEY.md §2.2), so the metric never actually
 ran there. This module is a from-scratch METEOR implementation following the
-METEOR 1.5 English task definition:
+METEOR 1.5 English task definition (Denkowski & Lavie 2014):
 
-- matcher stages: exact match (weight 1.0) then Porter-stem match
-  (weight 0.6), one-to-one word alignments, leftmost-greedy within stage
-  (synonym/paraphrase stages need WordNet/paraphrase tables that are not in
-  this zero-egress image; they're omitted and the module weights renormalise
-  over the available stages — documented deviation),
+- matcher modules, applied in priority order over remaining unmatched words
+  with METEOR 1.5's module weights, NOT renormalized: exact (w=1.0),
+  Porter-stem (w=0.6), synonym (w=0.8, share-a-group over the compact
+  embedded table in metrics/synonyms.py — WordNet itself is not available in
+  this zero-egress image). The paraphrase module (w=0.6) is omitted: its
+  matches simply never fire, exactly as if the module were disabled in the
+  jar. One-to-one alignments, leftmost-greedy within a module (METEOR's
+  chunk-minimizing beam search is approximated — documented deviation,
+  docs/PARITY.md),
 - content/function word distinction with delta = 0.75 (function words from a
   compact English closed-class list),
 - weighted precision/recall over hypothesis/reference word counts,
   Fmean = P*R / (alpha*P + (1-alpha)*R), alpha = 0.85,
-- fragmentation penalty gamma * (chunks / matches)^beta with gamma = 0.6,
-  beta = 0.2; chunks counted on the final alignment sorted by hypothesis
-  position,
+- fragmentation penalty gamma * (chunks / matches)^beta with the METEOR 1.5
+  English parameters gamma = 0.45, beta = 2.15, applied UNCONDITIONALLY
+  whenever matches > 0 (real METEOR does not zero it for single-chunk
+  alignments; a perfect match therefore scores slightly below 1),
 - multiple references: score each, keep the max (METEOR's multi-ref rule).
 
 API contract identical to the reference wrapper:
@@ -32,12 +37,17 @@ from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 
+from show_and_tell_tpu.metrics import synonyms as _synonyms
+
 ALPHA = 0.85
-BETA = 0.2
-GAMMA = 0.6
+BETA = 2.15
+GAMMA = 0.45
 DELTA = 0.75
 W_EXACT = 1.0
 W_STEM = 0.6
+W_SYN = 0.8
+
+_EMPTY: frozenset = frozenset()
 
 # Compact English closed-class (function) word list for the delta weighting.
 FUNCTION_WORDS = frozenset(
@@ -205,21 +215,40 @@ def porter_stem(word: str) -> str:
 # Alignment + score
 # ---------------------------------------------------------------------------
 
+# built after porter_stem exists (build_index stems each table word)
+_SYN_INDEX = _synonyms.build_index()
+
+
+def _syn_groups(word: str, stem: str) -> frozenset:
+    """Group ids for a word: surface form unioned with its Porter stem —
+    the morphological fallback documented in synonyms.build_index."""
+    a = _SYN_INDEX.get(word, _EMPTY)
+    b = _SYN_INDEX.get(stem, _EMPTY)
+    return a | b if b else a
+
 
 def _align(hyp: List[str], ref: List[str]) -> List[Tuple[int, int, float]]:
-    """One-to-one (hyp_i, ref_j, weight) matches, exact stage then stem."""
+    """One-to-one (hyp_i, ref_j, weight) matches: exact, then stem, then
+    synonym (share a group in the embedded table), leftmost-greedy."""
     matches: List[Tuple[int, int, float]] = []
     used_h = [False] * len(hyp)
     used_r = [False] * len(ref)
+    hyp_stems = [porter_stem(w) for w in hyp]
+    ref_stems = [porter_stem(w) for w in ref]
+    hyp_syn = [_syn_groups(w, s) for w, s in zip(hyp, hyp_stems)]
+    ref_syn = [_syn_groups(w, s) for w, s in zip(ref, ref_stems)]
 
-    for stage_weight, key in ((W_EXACT, lambda w: w), (W_STEM, porter_stem)):
-        ref_keys = [key(w) for w in ref]
-        for i, hw in enumerate(hyp):
+    stages = (
+        (W_EXACT, lambda i, j: hyp[i] == ref[j]),
+        (W_STEM, lambda i, j: hyp_stems[i] == ref_stems[j]),
+        (W_SYN, lambda i, j: bool(hyp_syn[i]) and not hyp_syn[i].isdisjoint(ref_syn[j])),
+    )
+    for stage_weight, pred in stages:
+        for i in range(len(hyp)):
             if used_h[i]:
                 continue
-            hk = key(hw)
-            for j, rk in enumerate(ref_keys):
-                if not used_r[j] and hk == rk:
+            for j in range(len(ref)):
+                if not used_r[j] and pred(i, j):
                     matches.append((i, j, stage_weight))
                     used_h[i] = True
                     used_r[j] = True
@@ -266,10 +295,10 @@ def meteor_sentence(hypothesis: str, references: Sequence[str]) -> float:
             continue
         fmean = P * R / (ALPHA * P + (1 - ALPHA) * R)
         chunks = _count_chunks(matches)
+        # METEOR 1.5 applies the fragmentation penalty unconditionally for
+        # matches > 0 — no single-chunk or full-coverage special case.
         frag = chunks / float(len(matches))
-        penalty = GAMMA * (frag ** BETA) if chunks > 1 or len(matches) < len(hyp) else 0.0
-        if len(matches) == len(hyp) == len(ref) and chunks == 1:
-            penalty = 0.0
+        penalty = GAMMA * (frag ** BETA)
         score = (1.0 - penalty) * fmean
         best = max(best, score)
     return best
@@ -317,6 +346,9 @@ def _cpp_available() -> bool:
         lib.meteor_stem.restype = ctypes.c_void_p
         lib.meteor_stem.argtypes = [ctypes.c_char_p]
         lib.meteor_free.argtypes = [ctypes.c_void_p]
+        lib.meteor_set_synonyms.argtypes = [ctypes.c_char_p]
+        # share the one synonym table with the Python implementation
+        lib.meteor_set_synonyms(_synonyms.serialize())
         _CPP_LIB = lib
         return True
     except Exception:

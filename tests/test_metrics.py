@@ -137,13 +137,48 @@ def test_porter_stemmer():
 
 
 def test_meteor_identical():
-    assert meteor_sentence("a man rides a horse", ["a man rides a horse"]) == pytest.approx(1.0)
+    # METEOR 1.5 applies the fragmentation penalty unconditionally: a perfect
+    # 5-word match is one chunk over 5 matches -> pen = 0.45*(1/5)^2.15,
+    # score = 1 - pen (Fmean is exactly 1).
+    expected = 1.0 - 0.45 * (1.0 / 5.0) ** 2.15
+    assert meteor_sentence(
+        "a man rides a horse", ["a man rides a horse"]
+    ) == pytest.approx(expected, abs=1e-12)
 
 
 def test_meteor_stem_stage():
     # 'running' matches 'run' only via the stem stage (weight 0.6)
     s = meteor_sentence("dog running", ["dog runs"])
     assert 0 < s < 1.0
+
+
+def test_meteor_synonym_stage():
+    # 'large' matches 'big' only via the synonym stage (weight 0.8):
+    # strictly above the same sentence with an unmatched word, strictly
+    # below an exact match.
+    syn = meteor_sentence("a large dog", ["a big dog"])
+    none = meteor_sentence("a purple dog", ["a big dog"])
+    exact = meteor_sentence("a big dog", ["a big dog"])
+    assert none < syn < exact
+
+
+def test_meteor_hand_computed_golden():
+    """Pins the full METEOR 1.5 formula (weights 1.0/0.6/0.8 unrenormalized,
+    delta=0.75 content/function weighting, alpha=0.85, unconditional penalty
+    gamma=0.45 beta=2.15) on a case exercising all three matcher modules.
+
+    hyp = 'a large dog runs', ref = 'a big dog is running':
+    exact a-a, dog-dog; stem runs-running; synonym large-big. 'a'/'is' are
+    function words (weight .25), the rest content (.75)."""
+    m_weighted = 1.0 * 0.25 + 1.0 * 0.75 + 0.6 * 0.75 + 0.8 * 0.75  # = 2.05
+    P = m_weighted / (0.25 + 3 * 0.75)  # hyp: a + 3 content words
+    R = m_weighted / (2 * 0.25 + 3 * 0.75)  # ref: a, is + 3 content words
+    fmean = P * R / (0.85 * P + 0.15 * R)
+    # alignment (0,0),(1,1),(2,2),(3,4): the j-jump splits -> 2 chunks / 4 matches
+    pen = 0.45 * (2.0 / 4.0) ** 2.15
+    expected = fmean * (1.0 - pen)
+    got = meteor_sentence("a large dog runs", ["a big dog is running"])
+    assert got == pytest.approx(expected, abs=1e-12)
 
 
 def test_meteor_order_sensitivity():

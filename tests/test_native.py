@@ -62,6 +62,11 @@ def test_cpp_meteor_matches_python():
         ("completely unrelated words", ["a man rides a horse"]),
         ("", ["a man"]),
         ("the cat sat", ["the cat sat on the mat"]),
+        # synonym-stage coverage (shared embedded table)
+        ("a large dog runs", ["a big dog is running"]),
+        ("a guy on a bike", ["a man on a bicycle"]),
+        ("a gray couch", ["a grey sofa"]),
+        ("kids jumping", ["children leaping"]),
     ]
     for hyp, refs in pairs:
         py = m.meteor_sentence(hyp, refs)
