@@ -1,0 +1,313 @@
+"""Built-in SPICE backend: rule-based scene-graph parsing + tuple F-score.
+
+The reference's SPICE (pycocoevalcap/spice/spice.py:63-91) shells out to
+``spice-1.0.jar``, which parses captions into scene graphs with the Stanford
+dependency parser + SceneGraphParser and scores the F1 overlap of semantic
+tuples. The jar is absent from the reference repo, so SPICE never actually
+ran there. This module is a dependency-free equivalent built for caption
+English:
+
+- **Parser**: a closed-class-lexicon chunker tuned to caption grammar
+  ("DT ADJ* NOUN (VERB) (PREP DT ADJ* NOUN)*"). It emits SPICE's three tuple
+  kinds: objects ``(head,)``, attributes ``(head, attr)``, and relations
+  ``(subj, rel, obj)``. Not a CoreNLP-parity parser — a documented
+  approximation (docs/PARITY.md) that covers the constructions COCO captions
+  are made of.
+- **Scoring**: exactly SPICE's definition (Anderson et al. 2016 §3): the
+  reference scene graph is the UNION of tuples over all reference captions;
+  P = |T_c matched| / |T_c|, R = |T_c matched| / |T_r|, F = 2PR/(P+R).
+  Tuple elements match on equal Porter lemmas or shared synonym group
+  (metrics/synonyms.py) — the stand-in for SPICE's WordNet synset matching.
+
+Install as the SPICE backend via ``spice.use_builtin_backend()`` (done by
+default on import of metrics.spice).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, FrozenSet, List, Sequence, Set, Tuple
+
+import numpy as np
+
+from show_and_tell_tpu.metrics.meteor import porter_stem, _syn_groups
+
+DETERMINERS = frozenset(
+    """a an the this that these those some any each every no all both
+    his her its their my your our another other several few many most much
+    one two three four five six seven eight nine ten""".split()
+)
+# number words double as count attributes (SPICE keeps counts)
+NUMBERS = frozenset(
+    "one two three four five six seven eight nine ten".split()
+)
+PREPOSITIONS = frozenset(
+    """in on at by of over under above below between among through during
+    before after near against into onto upon inside outside behind beside
+    along across around atop underneath beneath past beyond within without
+    with to from off down toward towards""".split()
+)
+COPULAS = frozenset("is are was were be been being 's am".split())
+CONJUNCTIONS = frozenset("and or".split())
+SKIP = frozenset(
+    """there it he she they i you we who which that as while when where
+    very really quite just also not n't up out""".split()
+)
+
+Tuple3 = Tuple[str, ...]
+
+
+def _norm(word: str) -> str:
+    return porter_stem(word)
+
+
+class _NP:
+    __slots__ = ("head", "attrs")
+
+    def __init__(self, head: str, attrs: List[str]):
+        self.head = head
+        self.attrs = attrs
+
+
+def _flush_np(words: List[str]) -> _NP | None:
+    """[det]* [mod]* head -> NP(head, attrs). Number words become count
+    attributes; other pre-head content words become attributes."""
+    content = [w for w in words if w not in DETERMINERS or w in NUMBERS]
+    content = [w for w in content if w not in SKIP]
+    if not content:
+        return None
+    head = content[-1]
+    attrs = content[:-1]
+    return _NP(head, attrs)
+
+
+ING_NOUNS = frozenset(
+    """building painting ceiling clothing wedding railing awning icing
+    frosting lightning crossing landing drawing evening morning spring
+    string ring wing thing king living dining""".split()
+)
+ED_NOUNS = frozenset("speed breed seaweed tweed shed bed".split())
+# common caption verbs whose base/-s forms carry no -ing/-ed marker
+VERBS = frozenset(
+    """sit sits stand stands walk walks run runs ride rides hold holds
+    play plays eat eats drink drinks look looks watch watches wear wears
+    carry carries jump jumps fly flies drive drives sleep sleeps hang hangs
+    wait waits pose poses smile smiles talk talks read reads throw throws
+    catch catches swing swings hit hits kick kicks lean leans graze grazes
+    stare stares gaze gazes rest rests float floats swim swims climb climbs
+    pull pulls push pushes serve serves laugh laughs surf surfs ski skis
+    skate skates chase chases""".split()
+)
+
+# compound prepositions collapsed to one token before chunking
+_COMPOUND_PREPS = (
+    (("on", "top", "of"), "on"),
+    (("in", "front", "of"), "front"),
+    (("next", "to"), "near"),
+    (("close", "to"), "near"),
+)
+
+
+def _is_verbish(w: str) -> bool:
+    if len(w) > 4 and w.endswith("ing") and w not in ING_NOUNS:
+        return True
+    if len(w) > 4 and w.endswith("ed") and w not in ED_NOUNS:
+        return True
+    return w in VERBS
+
+
+def parse(caption: str) -> Set[Tuple3]:
+    """PTB-tokenized lowercase caption -> set of scene-graph tuples.
+
+    Segmentation walks the token stream: determiners open a new NP,
+    prepositions/copulas/conjunctions close the current one, gerunds are
+    verb/relation candidates ("a man RIDING a horse" -> relation; "dogs
+    RUNNING on the beach" -> attribute + preposition relation). All tuple
+    elements are Porter-normalized so candidate/reference graphs built by
+    this same parser align on lemmas.
+    """
+    toks = [t for t in caption.split() if t.isalpha() or t in COPULAS]
+    # collapse compound prepositions ("on top of" -> "on")
+    out: List[str] = []
+    i = 0
+    while i < len(toks):
+        for pat, rep in _COMPOUND_PREPS:
+            if tuple(toks[i : i + len(pat)]) == pat:
+                out.append(rep)
+                i += len(pat)
+                break
+        else:
+            out.append(toks[i])
+            i += 1
+    toks = out
+
+    tuples: Set[Tuple3] = set()
+    nps: List[_NP] = []
+    pending_rel: str | None = None  # relation awaiting its object NP
+    rel_subj: _NP | None = None
+    cur: List[str] = []
+    last_np: _NP | None = None
+
+    def close_np() -> None:
+        """Resolve cur: strip trailing gerunds (attributes of the NP head),
+        build the NP, and complete any pending relation with it."""
+        nonlocal cur, last_np, pending_rel, rel_subj
+        words = list(cur)
+        cur = []
+
+        def content_count(ws: List[str]) -> int:
+            return len(
+                [
+                    t
+                    for t in ws
+                    if (t not in DETERMINERS or t in NUMBERS) and t not in SKIP
+                ]
+            )
+
+        trailing_verbs: List[str] = []
+        # strip trailing verbs, but never strip the NP's only content word
+        # ("a watch" stays a noun; "a dog runs" -> NP dog + verb runs).
+        # A segment that is ALL verbs (copula tail "is running") empties out
+        # and attaches to the previous NP below.
+        # with a relation pending this segment must yield its object NP, so
+        # a verb-lexicon noun ("a watch") is never stripped away
+        all_verbs = pending_rel is None and all(
+            _is_verbish(t) for t in words if content_count([t])
+        )
+        while words and _is_verbish(words[-1]) and (
+            all_verbs or content_count(words[:-1]) >= 1
+        ):
+            trailing_verbs.insert(0, words.pop())
+        np_ = _flush_np(words)
+        if np_ is None:
+            # segment was all verbs/adjectives: attach to the previous NP
+            if last_np is not None:
+                for v in trailing_verbs:
+                    tuples.add((_norm(last_np.head), _norm(v)))
+            return
+        nps.append(np_)
+        if pending_rel is not None and rel_subj is not None:
+            tuples.add((_norm(rel_subj.head), _norm(pending_rel), _norm(np_.head)))
+        pending_rel = None
+        rel_subj = None
+        last_np = np_
+        for v in trailing_verbs:
+            tuples.add((_norm(np_.head), _norm(v)))
+
+    def lone_content_segment() -> bool:
+        """cur holds content but no real determiner — hangs off the previous
+        NP rather than starting a new one."""
+        return (
+            bool(cur)
+            and last_np is not None
+            and not any(c in DETERMINERS and c not in NUMBERS for c in cur)
+        )
+
+    for w in toks:
+        if w in PREPOSITIONS:
+            if lone_content_segment() and pending_rel is None:
+                # "dogs RUNNING on the beach": gerund/adjective segment ->
+                # attributes of the previous NP; the preposition then
+                # relates that same NP
+                for c in cur:
+                    if c not in SKIP:
+                        tuples.add((_norm(last_np.head), _norm(c)))
+                cur = []
+            else:
+                close_np()
+            if last_np is not None:
+                pending_rel = w
+                rel_subj = last_np
+        elif w in COPULAS:
+            close_np()
+        elif w in CONJUNCTIONS:
+            close_np()
+            pending_rel = None
+            rel_subj = None
+        elif w in DETERMINERS and w not in NUMBERS:
+            if cur:
+                content = [t for t in cur if t not in SKIP]
+                if len(content) == 1 and lone_content_segment() and pending_rel is None:
+                    # "...shirt HOLDING an umbrella": lone verb segment —
+                    # relation from the previous NP, not a new object
+                    pending_rel = content[0]
+                    rel_subj = last_np
+                    cur = []
+                elif len(content) >= 2:
+                    # "a man rides A horse" -> cur == [a, man, rides]:
+                    # final word is the verb, the rest the subject NP
+                    verb = cur[-1]
+                    np_ = _flush_np(cur[:-1])
+                    cur = []
+                    if np_ is not None:
+                        nps.append(np_)
+                        last_np = np_
+                        pending_rel = verb
+                        rel_subj = np_
+                else:
+                    close_np()
+            cur.append(w)
+        elif w in SKIP:
+            pass
+        else:
+            cur.append(w)
+
+    # end of stream: a trailing lone segment is attributes of the last NP
+    if lone_content_segment() and pending_rel is None:
+        for c in cur:
+            if c not in SKIP:
+                tuples.add((_norm(last_np.head), _norm(c)))
+        cur = []
+    close_np()
+
+    for np_ in nps:
+        tuples.add((_norm(np_.head),))
+        for a in np_.attrs:
+            tuples.add((_norm(np_.head), _norm(a)))
+    return tuples
+
+
+# --- matching + F-score ------------------------------------------------------
+
+
+def _elems_match(a: str, b: str) -> bool:
+    if a == b:
+        return True
+    ga = _syn_groups(a, a)
+    return bool(ga) and not ga.isdisjoint(_syn_groups(b, b))
+
+
+def _tuple_match(t1: Tuple3, t2: Tuple3) -> bool:
+    return len(t1) == len(t2) and all(_elems_match(a, b) for a, b in zip(t1, t2))
+
+
+def spice_f(cand: Set[Tuple3], ref: Set[Tuple3]) -> float:
+    """SPICE F1 between a candidate tuple set and the union reference set."""
+    if not cand or not ref:
+        return 0.0
+    used: Set[Tuple3] = set()
+    matched = 0
+    for t in cand:
+        for r in ref:
+            if r not in used and _tuple_match(t, r):
+                used.add(r)
+                matched += 1
+                break
+    p = matched / len(cand)
+    r = matched / len(ref)
+    return 0.0 if p + r == 0 else 2 * p * r / (p + r)
+
+
+def spice_backend(gts: Dict, res: Dict):
+    """``compute_score``-shaped backend: per-image SPICE F1 + corpus mean.
+
+    Mirrors the reference wrapper's aggregation (spice.py:80-91: mean of
+    per-image F-scores)."""
+    assert sorted(gts.keys()) == sorted(res.keys())
+    scores = []
+    for img_id in sorted(gts.keys()):
+        cand = parse(res[img_id][0])
+        ref_union: Set[Tuple3] = set()
+        for r in gts[img_id]:
+            ref_union |= parse(r)
+        scores.append(spice_f(cand, ref_union))
+    return float(np.mean(scores)) if scores else 0.0, scores

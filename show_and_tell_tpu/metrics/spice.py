@@ -9,9 +9,12 @@ contract explicitly: the same ``compute_score(gts, res)`` API, raising
 with an actionable message, and a hook (``set_backend``) where a real
 scene-graph scorer can be plugged in.
 
-The eval orchestrator includes SPICE only when ``spice=True`` is requested
-and a backend is present — matching the reference's effective behavior while
-keeping the metric name in the advertised suite.
+Unlike the reference (where SPICE always crashes), a **built-in backend** is
+installed by default: the rule-based scene-graph parser + tuple F-score in
+``metrics/scene_graph.py``. It is a documented approximation of the Java
+scorer (no CoreNLP dependency parse), qualified in docs/PARITY.md. Disable
+with ``set_backend(None)`` to reproduce the reference's de-facto behavior,
+or install a stronger parser via ``set_backend``.
 """
 
 from __future__ import annotations
@@ -24,13 +27,32 @@ class SpiceUnavailable(RuntimeError):
 
 
 _BACKEND: Optional[Callable] = None
+_DEFAULT_INSTALLED = False
 
 
 def set_backend(fn: Optional[Callable]) -> None:
     """Install a callable ``fn(gts, res) -> (score, scores)`` as the SPICE
-    implementation (e.g. a local scene-graph parser service)."""
-    global _BACKEND
+    implementation (e.g. a local scene-graph parser service). ``None``
+    disables SPICE entirely (the reference's de-facto state)."""
+    global _BACKEND, _DEFAULT_INSTALLED
     _BACKEND = fn
+    _DEFAULT_INSTALLED = True  # explicit choice overrides the lazy default
+
+
+def use_builtin_backend() -> None:
+    """Install the built-in rule-based scene-graph backend
+    (metrics/scene_graph.py)."""
+    from show_and_tell_tpu.metrics.scene_graph import spice_backend
+
+    set_backend(spice_backend)
+
+
+def _ensure_default() -> None:
+    """Lazily install the builtin backend on first use (lazy so importing
+    the metrics package never pays the parser import)."""
+    global _DEFAULT_INSTALLED
+    if not _DEFAULT_INSTALLED:
+        use_builtin_backend()
 
 
 def cached_backend(fn: Callable, cache_path: str) -> Callable:
@@ -78,16 +100,18 @@ class Spice:
         self.strict = strict
 
     def available(self) -> bool:
+        _ensure_default()
         return _BACKEND is not None
 
     def compute_score(self, gts: Dict, res: Dict):
+        _ensure_default()
         if _BACKEND is not None:
             return _BACKEND(gts, res)
         msg = (
-            "SPICE backend not installed: the reference repo itself ships only "
-            "the dependency jars, not spice-1.0.jar (pycocoevalcap/spice/spice.py:12), "
-            "so SPICE never ran there either. Install a backend via "
-            "show_and_tell_tpu.metrics.spice.set_backend()."
+            "SPICE backend disabled (set_backend(None)): the reference repo "
+            "ships only the dependency jars, not spice-1.0.jar "
+            "(pycocoevalcap/spice/spice.py:12), so SPICE never ran there. "
+            "Re-enable via spice.use_builtin_backend() or set_backend()."
         )
         if self.strict:
             raise SpiceUnavailable(msg)

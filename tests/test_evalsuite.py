@@ -61,10 +61,10 @@ def test_language_eval_filters_and_scores(tmp_path):
         {"image_id": 999, "caption": "not in set"},  # filtered out
     ]
     stats = language_eval(preds, ann)
-    for key in ["Bleu_1", "Bleu_4", "METEOR", "ROUGE_L", "CIDEr"]:
-        assert key in stats
-    assert "SPICE" not in stats  # no backend installed
+    for key in ["Bleu_1", "Bleu_4", "METEOR", "ROUGE_L", "CIDEr", "SPICE"]:
+        assert key in stats  # full suite incl. SPICE (builtin backend)
     assert stats["Bleu_1"] > 0.9  # exact matches
+    assert 0.0 < stats["SPICE"] <= 1.0
 
 
 def test_evaluation_end_to_end(tmp_path):

@@ -203,10 +203,62 @@ def test_meteor_api():
 # --- SPICE ------------------------------------------------------------------
 
 
-def test_spice_unavailable_contract():
-    with pytest.raises(SpiceUnavailable):
-        Spice().compute_score({1: ["a"]}, {1: ["a"]})
-    assert Spice(strict=False).compute_score({1: ["a"]}, {1: ["a"]}) == (None, None)
+def test_spice_builtin_backend_default():
+    """SPICE computes out of the box via the built-in scene-graph backend
+    (the reference's SPICE always crashes: jar absent)."""
+    from show_and_tell_tpu.metrics import spice as spice_mod
+
+    score, scores = Spice().compute_score(
+        {1: ["a man rides a horse", "a guy on a horse"], 2: ["a large dog runs"]},
+        {1: ["a man riding a horse"], 2: ["a big dog running"]},
+    )
+    assert 0.0 < score <= 1.0 and len(scores) == 2
+    # identical caption -> perfect tuple overlap
+    s, per = Spice().compute_score({1: ["a man rides a horse"]}, {1: ["a man rides a horse"]})
+    assert s == pytest.approx(1.0)
+    # disjoint scenes -> 0
+    s0, _ = Spice().compute_score({1: ["a man rides a horse"]}, {1: ["two cats sleep indoors"]})
+    assert s0 == 0.0
+
+
+def test_spice_disabled_contract():
+    """set_backend(None) reproduces the reference's de-facto broken SPICE."""
+    from show_and_tell_tpu.metrics import spice as spice_mod
+
+    try:
+        spice_mod.set_backend(None)
+        with pytest.raises(SpiceUnavailable):
+            Spice().compute_score({1: ["a"]}, {1: ["a"]})
+        assert Spice(strict=False).compute_score({1: ["a"]}, {1: ["a"]}) == (None, None)
+        assert not Spice(strict=False).available()
+    finally:
+        spice_mod.use_builtin_backend()
+
+
+def test_scene_graph_parse():
+    from show_and_tell_tpu.metrics.scene_graph import parse
+
+    g = parse("a large brown dog chases a small ball")
+    assert ("dog",) in g and ("ball",) in g
+    assert ("dog", "brown") in g and ("dog", "larg") in g and ("ball", "small") in g
+    assert ("dog", "chase", "ball") in g
+    g2 = parse("a man in a red shirt")
+    assert ("man", "in", "shirt") in g2 and ("shirt", "red") in g2
+    # copula attribute and gerund-as-attribute forms
+    assert ("dog", "brown") in parse("the dog is brown")
+    g3 = parse("two dogs are running on the beach")
+    assert ("dog", "run") in g3 and ("dog", "on", "beach") in g3 and ("dog", "two") in g3
+
+
+def test_scene_graph_synonym_matching():
+    """Tuple matching uses the shared synonym table: 'guy on bike' matches
+    'man on bicycle' tuples."""
+    from show_and_tell_tpu.metrics.scene_graph import spice_backend
+
+    score, _ = spice_backend(
+        {1: ["a man on a bicycle"]}, {1: ["a guy on a bike"]}
+    )
+    assert score == pytest.approx(1.0)
 
 
 def test_spice_backend_hook():
