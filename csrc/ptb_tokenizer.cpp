@@ -41,7 +41,14 @@ const std::vector<Rule>& rules() {
       {std::regex("([ (\\[{<])\""), "$1 `` "},
       {std::regex("\\.\\.\\."), " ... "},
       {std::regex("[;@#$%&]"), " $& "},
-      {std::regex("([^\\.])(\\.)([\\]\\)}>\"']*)\\s*$"), "$1 $2$3 "},
+      // PTB lexical splits (cannot -> can not, etc.)
+      {std::regex("\\b(can)(not)\\b"), "$1 $2"},
+      {std::regex("\\b(gon|wan)(na)\\b"), "$1 $2"},
+      {std::regex("\\b(got|out)(ta)\\b"), "$1 $2"},
+      {std::regex("\\b(gim|lem)(me)\\b"), "$1 $2"},
+      // final period; two-char guard keeps sentence-final acronyms intact
+      {std::regex("(^|[^\\.])([^\\.\\s])(\\.)([\\]\\)}>\"']*)\\s*$"),
+       "$1$2 $3$4 "},
       {std::regex("[?!]"), " $& "},
       {std::regex("[\\]\\[(){}<>]"), " $& "},
       {std::regex("--"), " -- "},

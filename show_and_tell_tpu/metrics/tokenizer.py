@@ -40,8 +40,15 @@ _RULES = [
     # ellipsis before other punct handling
     (re.compile(r"\.\.\."), r" ... "),
     (re.compile(r"[;@#$%&]"), r" \g<0> "),
-    # final period (only before optional closers at end of string)
-    (re.compile(r'([^\.])(\.)([\]\)}>"\']*)\s*$'), r"\1 \2\3 "),
+    # PTB lexical splits CoreNLP applies (cannot -> can not, etc.)
+    (re.compile(r"\b(can)(not)\b"), r"\1 \2"),
+    (re.compile(r"\b(gon|wan)(na)\b"), r"\1 \2"),
+    (re.compile(r"\b(got|out)(ta)\b"), r"\1 \2"),
+    (re.compile(r"\b(gim|lem)(me)\b"), r"\1 \2"),
+    # final period (only before optional closers at end of string); the
+    # two-char guard keeps sentence-final acronyms intact ("u.s." stays
+    # one token, as CoreNLP's abbreviation lexicon does)
+    (re.compile(r'(^|[^\.])([^\.\s])(\.)([\]\)}>"\']*)\s*$'), r"\1\2 \3\4 "),
     (re.compile(r"[?!]"), r" \g<0> "),
     (re.compile(r"[\]\[\(\)\{\}<>]"), r" \g<0> "),
     (re.compile(r"--"), r" -- "),

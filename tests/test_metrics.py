@@ -203,6 +203,36 @@ def test_meteor_api():
 # --- SPICE ------------------------------------------------------------------
 
 
+def test_ptb_tokenizer_golden_corpus():
+    """Golden corpus pinning PTBTokenizer(-preserveLines -lowerCase) + strip
+    semantics on tricky caption sentences (contractions, possessives,
+    quotes, abbreviations, hyphens, currency, number-internal punctuation,
+    PTB lexical splits). Expectations constructed from the documented
+    CoreNLP rules (no JVM in this image); both implementations must match."""
+    import os
+
+    from show_and_tell_tpu.metrics.tokenizer import (
+        _cpp_tokenize,
+        _cpp_tokenizer_available,
+        tokenize_caption,
+    )
+
+    path = os.path.join(os.path.dirname(__file__), "data", "ptb_golden.txt")
+    cpp = _cpp_tokenizer_available()
+    n = 0
+    with open(path) as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line or line.startswith("#"):
+                continue
+            inp, exp = line.split("\t")
+            assert tokenize_caption(inp) == exp, (inp, tokenize_caption(inp))
+            if cpp:
+                assert _cpp_tokenize(inp) == exp, (inp, _cpp_tokenize(inp))
+            n += 1
+    assert n >= 40
+
+
 def test_spice_builtin_backend_default():
     """SPICE computes out of the box via the built-in scene-graph backend
     (the reference's SPICE always crashes: jar absent)."""
