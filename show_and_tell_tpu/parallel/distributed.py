@@ -20,11 +20,14 @@ train.py:44).
 
 from __future__ import annotations
 
+import logging
 from typing import Any, Optional, Tuple
 
 import jax
 
 from show_and_tell_tpu.parallel import mesh as mesh_lib
+
+log = logging.getLogger(__name__)
 
 
 def initialize(
@@ -32,18 +35,29 @@ def initialize(
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
 ) -> None:
-    """Bring up the JAX distributed runtime (no-op if already initialised
-    or single-process). Arguments default to cluster auto-detection."""
-    if jax.process_count() > 1:
+    """Bring up the JAX distributed runtime (no-op if already initialised).
+
+    With explicit arguments, failures are REAL errors and propagate — a
+    process that was told to join a 2-process job must not silently run
+    single-process. Only the no-argument auto-detection path may fall back
+    (non-cluster environment), and it logs the reason.
+
+    NB: must be called before anything that initialises the XLA backend;
+    the already-initialised check deliberately avoids jax.process_count()
+    (which would itself initialise the backend and poison the runtime)."""
+    if jax.distributed.is_initialized():
         return
+    explicit = coordinator_address is not None
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
-    except (RuntimeError, ValueError):
-        pass  # single-process / already initialised
+    except (RuntimeError, ValueError) as e:
+        if explicit:
+            raise
+        log.info("jax.distributed auto-detection unavailable (%s); single-process", e)
 
 
 def host_shard_info() -> Tuple[int, int]:
