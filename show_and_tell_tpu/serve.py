@@ -39,14 +39,34 @@ class Captioner:
         vocab: Vocabulary,
         batch_stats=None,
         bucket_sizes: Sequence[int] = (1, 8, 32, 128),
+        mesh=None,
     ):
+        """``mesh``: optional ``jax.sharding.Mesh`` for multi-chip serving —
+        params/batch_stats are replicated, each request batch is sharded
+        over the ``data`` axis, and XLA runs the whole caption program SPMD
+        (the serving mirror of the training mesh; bucket sizes must be
+        divisible by the data-axis size)."""
         self.cfg = cfg
         self.model = model
+        self.vocab = vocab
+        self.bucket_sizes = sorted(bucket_sizes)
+        self.mesh = mesh
+        if mesh is not None:
+            from show_and_tell_tpu.parallel import mesh as mesh_lib
+
+            dp = mesh.shape[mesh_lib.DATA_AXIS]
+            bad = [b for b in self.bucket_sizes if b % dp]
+            if bad:
+                raise ValueError(
+                    f"bucket sizes {bad} not divisible by the mesh data axis ({dp})"
+                )
+            params = mesh_lib.replicate(mesh, params)
+            frozen = mesh_lib.replicate(mesh, frozen)
+            if batch_stats is not None:
+                batch_stats = mesh_lib.replicate(mesh, batch_stats)
         self.params = params
         self.frozen = frozen
-        self.vocab = vocab
         self.batch_stats = batch_stats
-        self.bucket_sizes = sorted(bucket_sizes)
         self._fns: Dict = {}
         # sampling-mode knobs (mode="sample")
         self.temperature = 1.0
@@ -143,6 +163,10 @@ class Captioner:
                 pad = np.repeat(chunk[-1:], b - chunk.shape[0], axis=0)
                 chunk = np.concatenate([chunk, pad], axis=0)
             rng = jax.random.fold_in(self._sample_key, i)
+            if self.mesh is not None:
+                from show_and_tell_tpu.parallel import mesh as mesh_lib
+
+                chunk = mesh_lib.shard_batch(self.mesh, {"images": chunk})["images"]
             ids = np.asarray(
                 self._fn(b, mode)(
                     self.params, self.batch_stats, self.frozen, chunk, rng

@@ -29,6 +29,32 @@ def test_captioner_batching_and_modes():
     assert (4, "beam") in cap._fns and (2, "beam") in cap._fns
 
 
+def test_captioner_multichip_mesh_matches_single_device():
+    """Serving over a data-parallel mesh: identical captions to the
+    single-device Captioner (SPMD is a layout, not a semantics, change)."""
+    from show_and_tell_tpu.parallel import mesh as mesh_lib
+
+    cfg = Config(
+        embed_size=16, hidden_size=32, crop_size=32, max_decode_len=4, beam_size=2
+    )
+    vocab = _vocab()
+    images = (np.random.default_rng(0).random((8, 40, 40, 3)) * 255).astype(np.uint8)
+    single = Captioner.from_checkpoint(cfg, None, vocab, bucket_sizes=(8,))
+    mesh = mesh_lib.make_mesh(num_devices=min(8, len(jax.devices())))
+    sharded = Captioner.from_checkpoint(
+        cfg, None, vocab, bucket_sizes=(8,), mesh=mesh
+    )
+    a = single.caption_images(images, mode="beam")
+    b = sharded.caption_images(images, mode="beam")
+    assert a == b
+    # bucket sizes must divide the data axis
+    try:
+        Captioner.from_checkpoint(cfg, None, vocab, bucket_sizes=(3,), mesh=mesh)
+        assert mesh.devices.size == 1  # only reachable on a 1-device mesh
+    except ValueError as e:
+        assert "divisible" in str(e)
+
+
 def test_captioner_show_tell():
     cfg = Config(
         embed_size=16, hidden_size=32, crop_size=32, max_decode_len=4,
