@@ -49,10 +49,10 @@ _NATIVE_CHECKED = False
 
 
 def _native_available() -> bool:
+    # Negative results are NOT latched (csrc may be built after first probe).
     global _NATIVE_LIB, _NATIVE_CHECKED
     if _NATIVE_CHECKED:
         return _NATIVE_LIB is not None
-    _NATIVE_CHECKED = True
     try:
         import ctypes
         import os
@@ -75,6 +75,7 @@ def _native_available() -> bool:
             ctypes.c_int,
         ]
         _NATIVE_LIB = lib
+        _NATIVE_CHECKED = True
         return True
     except Exception:
         _NATIVE_LIB = None

@@ -325,10 +325,10 @@ _CPP_CHECKED = False
 
 
 def _cpp_available() -> bool:
+    # Negative results are NOT latched (csrc may be built after first probe).
     global _CPP_LIB, _CPP_CHECKED
     if _CPP_CHECKED:
         return _CPP_LIB is not None
-    _CPP_CHECKED = True
     try:
         import ctypes
         import os
@@ -350,6 +350,7 @@ def _cpp_available() -> bool:
         # share the one synonym table with the Python implementation
         lib.meteor_set_synonyms(_synonyms.serialize())
         _CPP_LIB = lib
+        _CPP_CHECKED = True
         return True
     except Exception:
         _CPP_LIB = None

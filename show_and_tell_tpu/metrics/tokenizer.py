@@ -108,10 +108,12 @@ _CPP_CHECKED = False
 
 
 def _cpp_tokenizer_available() -> bool:
+    # Negative results are NOT latched: the .so may be built after the first
+    # probe (tests/setup build csrc on demand), and re-probing costs one
+    # os.path.exists while it stays missing.
     global _CPP_LIB, _CPP_CHECKED
     if _CPP_CHECKED:
         return _CPP_LIB is not None
-    _CPP_CHECKED = True
     try:
         import ctypes
         import os
@@ -128,6 +130,7 @@ def _cpp_tokenizer_available() -> bool:
         lib.ptb_tokenize.argtypes = [ctypes.c_char_p]
         lib.ptb_free.argtypes = [ctypes.c_void_p]
         _CPP_LIB = lib
+        _CPP_CHECKED = True
         return True
     except Exception:
         _CPP_LIB = None
