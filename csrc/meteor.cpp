@@ -237,12 +237,14 @@ struct Match {
   double w;
 };
 
-double score_pair(const std::vector<std::string>& hyp,
-                  const std::vector<std::string>& ref) {
-  if (hyp.empty() || ref.empty()) return 0.0;
-  std::vector<bool> used_h(hyp.size(), false), used_r(ref.size(), false);
-  std::vector<Match> matches;
+constexpr int RESOLVE_BEAM = 40;        // METEOR 1.5 Aligner beam width
+constexpr size_t MAX_REF_RESOLVE = 128; // bitmask width; greedy beyond
 
+// All (ref_j, weight) candidates per hyp position: every module proposes
+// over the full pair; a pair's weight is the first supporting module's
+// (module order exact, stem, synonym). Mirrors meteor.py _candidate_matches.
+std::vector<std::vector<std::pair<int, double>>> candidate_matches(
+    const std::vector<std::string>& hyp, const std::vector<std::string>& ref) {
   std::vector<std::string> hyp_stem(hyp.size()), ref_stem(ref.size());
   for (size_t i = 0; i < hyp.size(); ++i) hyp_stem[i] = porter_stem(hyp[i]);
   for (size_t j = 0; j < ref.size(); ++j) ref_stem[j] = porter_stem(ref[j]);
@@ -269,24 +271,114 @@ double score_pair(const std::vector<std::string>& hyp,
   for (size_t j = 0; j < ref.size(); ++j)
     ref_syn[j] = lookup_groups(ref[j], ref_stem[j]);
 
-  for (int stage = 0; stage < 3; ++stage) {
-    double sw = stage == 0 ? W_EXACT : (stage == 1 ? W_STEM : W_SYN);
-    for (size_t i = 0; i < hyp.size(); ++i) {
+  std::vector<std::vector<std::pair<int, double>>> cand(hyp.size());
+  for (size_t i = 0; i < hyp.size(); ++i) {
+    for (size_t j = 0; j < ref.size(); ++j) {
+      if (hyp[i] == ref[j]) cand[i].push_back({(int)j, W_EXACT});
+      else if (hyp_stem[i] == ref_stem[j]) cand[i].push_back({(int)j, W_STEM});
+      else if (share_group(&hyp_syn[i], &ref_syn[j]))
+        cand[i].push_back({(int)j, W_SYN});
+    }
+  }
+  return cand;
+}
+
+struct RState {
+  int m, c, d;
+  double ws;
+  unsigned __int128 mask;
+  int prev_j;
+  std::vector<Match> ml;
+};
+
+// METEOR 1.3/1.5 alignment resolution (Denkowski & Lavie 2011 s2.1): beam
+// search for the one-to-one alignment maximizing matched words, then
+// minimizing chunks, then summed |i-j| distance (total weight as final
+// deterministic tie-break). Bit-equal mirror of meteor.py _align: same
+// generation order, same dedup rule, stable sorts.
+std::vector<Match> resolve_alignment(
+    size_t hyp_len,
+    const std::vector<std::vector<std::pair<int, double>>>& cand) {
+  std::vector<RState> states{{0, 0, 0, 0.0, 0, -1, {}}};
+  for (size_t i = 0; i < hyp_len; ++i) {
+    std::vector<RState> raw;
+    for (const auto& s : states) {
+      raw.push_back({s.m, s.c, s.d, s.ws, s.mask, -1, s.ml});  // unmatched
+      for (const auto& jw : cand[i]) {
+        int j = jw.first;
+        if ((s.mask >> j) & 1) continue;
+        RState t = s;
+        t.m += 1;
+        t.c = (s.prev_j == j - 1) ? s.c : s.c + 1;
+        t.d += std::abs((int)i - j);
+        t.ws += jw.second;
+        t.mask |= ((unsigned __int128)1) << j;
+        t.prev_j = j;
+        t.ml.push_back({(int)i, j, jw.second});
+        raw.push_back(std::move(t));
+      }
+    }
+    // best per (mask, prev_j): stable-sort by key then objective, keep first
+    std::stable_sort(raw.begin(), raw.end(), [](const RState& a, const RState& b) {
+      if (a.mask != b.mask) return a.mask < b.mask;
+      if (a.prev_j != b.prev_j) return a.prev_j < b.prev_j;
+      if (a.m != b.m) return a.m > b.m;
+      if (a.c != b.c) return a.c < b.c;
+      if (a.d != b.d) return a.d < b.d;
+      return a.ws > b.ws;
+    });
+    std::vector<RState> dedup;
+    for (auto& s : raw) {
+      if (dedup.empty() || dedup.back().mask != s.mask ||
+          dedup.back().prev_j != s.prev_j)
+        dedup.push_back(std::move(s));
+    }
+    std::stable_sort(dedup.begin(), dedup.end(),
+                     [](const RState& a, const RState& b) {
+                       if (a.m != b.m) return a.m > b.m;
+                       if (a.c != b.c) return a.c < b.c;
+                       if (a.d != b.d) return a.d < b.d;
+                       if (a.ws != b.ws) return a.ws > b.ws;
+                       if (a.mask != b.mask) return a.mask < b.mask;
+                       return a.prev_j < b.prev_j;
+                     });
+    if (dedup.size() > (size_t)RESOLVE_BEAM) dedup.resize(RESOLVE_BEAM);
+    states = std::move(dedup);
+  }
+  return states.front().ml;
+}
+
+// Leftmost-greedy staged fallback (only beyond the resolver's 128-word
+// reference bound — never on caption-scale text). Mirrors _align_greedy.
+std::vector<Match> align_greedy(
+    size_t hyp_len, size_t ref_len,
+    const std::vector<std::vector<std::pair<int, double>>>& cand) {
+  std::vector<Match> matches;
+  std::vector<bool> used_h(hyp_len, false), used_r(ref_len, false);
+  for (double stage_weight : {W_EXACT, W_STEM, W_SYN}) {
+    for (size_t i = 0; i < hyp_len; ++i) {
       if (used_h[i]) continue;
-      for (size_t j = 0; j < ref.size(); ++j) {
-        if (used_r[j]) continue;
-        bool hit = stage == 0   ? hyp[i] == ref[j]
-                   : stage == 1 ? hyp_stem[i] == ref_stem[j]
-                                : share_group(&hyp_syn[i], &ref_syn[j]);
-        if (hit) {
-          matches.push_back({(int)i, (int)j, sw});
+      for (const auto& jw : cand[i]) {
+        if (!used_r[jw.first] && jw.second == stage_weight) {
+          matches.push_back({(int)i, jw.first, jw.second});
           used_h[i] = true;
-          used_r[j] = true;
+          used_r[jw.first] = true;
           break;
         }
       }
     }
   }
+  return matches;
+}
+
+double score_pair(const std::vector<std::string>& hyp,
+                  const std::vector<std::string>& ref) {
+  if (hyp.empty() || ref.empty()) return 0.0;
+  auto cand = candidate_matches(hyp, ref);
+  std::vector<Match> matches =
+      ref.size() > MAX_REF_RESOLVE
+          ? align_greedy(hyp.size(), ref.size(), cand)
+          : resolve_alignment(hyp.size(), cand);
   if (matches.empty()) return 0.0;
 
   double w_hyp_total = 0, w_ref_total = 0, m_hyp = 0, m_ref = 0;

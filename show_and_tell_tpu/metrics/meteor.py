@@ -6,15 +6,19 @@ The reference drives ``meteor-1.5.jar`` over a stdio line protocol
 ran there. This module is a from-scratch METEOR implementation following the
 METEOR 1.5 English task definition (Denkowski & Lavie 2014):
 
-- matcher modules, applied in priority order over remaining unmatched words
-  with METEOR 1.5's module weights, NOT renormalized: exact (w=1.0),
-  Porter-stem (w=0.6), synonym (w=0.8, share-a-group over the compact
-  embedded table in metrics/synonyms.py — WordNet itself is not available in
-  this zero-egress image). The paraphrase module (w=0.6) is omitted: its
-  matches simply never fire, exactly as if the module were disabled in the
-  jar. One-to-one alignments, leftmost-greedy within a module (METEOR's
-  chunk-minimizing beam search is approximated — documented deviation,
-  docs/PARITY.md),
+- matcher modules with METEOR 1.5's module weights, NOT renormalized:
+  exact (w=1.0), Porter-stem (w=0.6), synonym (w=0.8, share-a-group over the
+  compact embedded table in metrics/synonyms.py — WordNet itself is not
+  available in this zero-egress image). The paraphrase module (w=0.6) is
+  omitted: its matches simply never fire, exactly as if the module were
+  disabled in the jar,
+- METEOR 1.3/1.5 alignment resolution (Denkowski & Lavie 2011 §2.1): all
+  modules propose matches over the full sentence pair simultaneously (a word
+  pair's weight is that of the first supporting module in module order);
+  the final one-to-one alignment is resolved by beam search (METEOR's beam
+  width, 40) to lexicographically (1) maximize covered words, (2) minimize
+  chunks, (3) minimize the sum of |i-j| match distances — (4) total match
+  weight breaks remaining ties deterministically,
 - content/function word distinction with delta = 0.75 (function words from a
   compact English closed-class list),
 - weighted precision/recall over hypothesis/reference word counts,
@@ -227,29 +231,92 @@ def _syn_groups(word: str, stem: str) -> frozenset:
     return a | b if b else a
 
 
-def _align(hyp: List[str], ref: List[str]) -> List[Tuple[int, int, float]]:
-    """One-to-one (hyp_i, ref_j, weight) matches: exact, then stem, then
-    synonym (share a group in the embedded table), leftmost-greedy."""
-    matches: List[Tuple[int, int, float]] = []
-    used_h = [False] * len(hyp)
-    used_r = [False] * len(ref)
+_BEAM = 40  # METEOR 1.5 Aligner beam width
+_MAX_REF_RESOLVE = 128  # C++ path's bitmask width; greedy fallback beyond
+
+
+def _candidate_matches(hyp: List[str], ref: List[str]) -> List[List[Tuple[int, float]]]:
+    """All (ref_j, weight) candidates per hyp position — every module runs
+    over the whole pair; a pair's weight is the first supporting module's
+    (module order exact, stem, synonym)."""
     hyp_stems = [porter_stem(w) for w in hyp]
     ref_stems = [porter_stem(w) for w in ref]
     hyp_syn = [_syn_groups(w, s) for w, s in zip(hyp, hyp_stems)]
     ref_syn = [_syn_groups(w, s) for w, s in zip(ref, ref_stems)]
+    cand: List[List[Tuple[int, float]]] = []
+    for i in range(len(hyp)):
+        row: List[Tuple[int, float]] = []
+        for j in range(len(ref)):
+            if hyp[i] == ref[j]:
+                row.append((j, W_EXACT))
+            elif hyp_stems[i] == ref_stems[j]:
+                row.append((j, W_STEM))
+            elif hyp_syn[i] and not hyp_syn[i].isdisjoint(ref_syn[j]):
+                row.append((j, W_SYN))
+        cand.append(row)
+    return cand
 
-    stages = (
-        (W_EXACT, lambda i, j: hyp[i] == ref[j]),
-        (W_STEM, lambda i, j: hyp_stems[i] == ref_stems[j]),
-        (W_SYN, lambda i, j: bool(hyp_syn[i]) and not hyp_syn[i].isdisjoint(ref_syn[j])),
-    )
-    for stage_weight, pred in stages:
+
+def _align(hyp: List[str], ref: List[str]) -> List[Tuple[int, int, float]]:
+    """One-to-one (hyp_i, ref_j, weight) alignment per METEOR 1.3/1.5
+    resolution: over the pooled candidate matches, beam search (width 40)
+    for the alignment that lexicographically maximizes matched words, then
+    minimizes chunks, then minimizes summed |i-j| distance (total match
+    weight as a deterministic final tie-break).
+
+    Chunk counting is incremental: processing hyp positions left to right, a
+    match (i, j) extends the current chunk iff position i-1 was matched to
+    j-1. The C++ scorer (csrc/meteor.cpp) mirrors this procedure exactly —
+    generation order, dedup rule, stable sorts — and is tested bit-equal."""
+    if len(ref) > _MAX_REF_RESOLVE:
+        return _align_greedy(hyp, ref)
+    cand = _candidate_matches(hyp, ref)
+    # state: (matches, chunks, dist, wsum, mask, prev_j, match_tuple);
+    # prev_j = ref index matched at the immediately previous hyp position
+    # (-1 if it was unmatched). (mask, prev_j) fully determines the future,
+    # so only the best partial objective per key survives (exact dominance);
+    # the beam truncation afterwards is METEOR's own approximation.
+    states = [(0, 0, 0, 0.0, 0, -1, ())]
+    for i in range(len(hyp)):
+        raw = []
+        for m, c, d, ws, mask, prev_j, ml in states:
+            raw.append((m, c, d, ws, mask, -1, ml))  # hyp[i] unmatched
+            for j, w in cand[i]:
+                if (mask >> j) & 1:
+                    continue
+                nc = c if prev_j == j - 1 else c + 1
+                raw.append(
+                    (m + 1, nc, d + abs(i - j), ws + w, mask | (1 << j), j,
+                     ml + ((i, j, w),))
+                )
+        # best per (mask, prev_j): stable-sort by key then objective, keep first
+        raw.sort(key=lambda s: (s[4], s[5], -s[0], s[1], s[2], -s[3]))
+        dedup = []
+        last_key = None
+        for s in raw:
+            key = (s[4], s[5])
+            if key != last_key:
+                dedup.append(s)
+                last_key = key
+        dedup.sort(key=lambda s: (-s[0], s[1], s[2], -s[3], s[4], s[5]))
+        states = dedup[:_BEAM]
+    return list(states[0][6])
+
+
+def _align_greedy(hyp: List[str], ref: List[str]) -> List[Tuple[int, int, float]]:
+    """Leftmost-greedy staged fallback (used only beyond the resolver's
+    128-word reference bound — never on caption-scale text)."""
+    matches: List[Tuple[int, int, float]] = []
+    used_h = [False] * len(hyp)
+    used_r = [False] * len(ref)
+    cand = _candidate_matches(hyp, ref)
+    for stage_weight in (W_EXACT, W_STEM, W_SYN):
         for i in range(len(hyp)):
             if used_h[i]:
                 continue
-            for j in range(len(ref)):
-                if not used_r[j] and pred(i, j):
-                    matches.append((i, j, stage_weight))
+            for j, w in cand[i]:
+                if not used_r[j] and w == stage_weight:
+                    matches.append((i, j, w))
                     used_h[i] = True
                     used_r[j] = True
                     break

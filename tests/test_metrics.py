@@ -188,6 +188,37 @@ def test_meteor_order_sensitivity():
     assert scrambled < good
 
 
+def test_meteor_resolver_minimizes_chunks():
+    # METEOR 1.3/1.5 resolution: among max-coverage alignments, fewest
+    # chunks wins. Greedy leftmost would align a->ref[1], b->ref[0]
+    # (2 chunks); the resolver picks a->ref[1], b->ref[2] (1 chunk).
+    from show_and_tell_tpu.metrics.meteor import _align
+
+    assert _align("a b".split(), "b a b".split()) == [(0, 1, 1.0), (1, 2, 1.0)]
+
+
+def test_meteor_resolver_coverage_over_module_weight():
+    # Resolution criteria ignore module weights: a single-chunk all-stem
+    # alignment beats a two-chunk all-exact one at equal coverage
+    # (Denkowski & Lavie 2011 s2.1 — weights only enter P/R afterwards).
+    from show_and_tell_tpu.metrics.meteor import _align
+
+    assert _align("cat cats".split(), "cats cat".split()) == [
+        (0, 0, 0.6),
+        (1, 1, 0.6),
+    ]
+
+
+def test_meteor_resolver_distance_tiebreak():
+    # Equal coverage and chunks -> smaller summed |i-j| distance wins:
+    # both "the"s could map to either ref "the"; identity mapping has
+    # distance 0.
+    from show_and_tell_tpu.metrics.meteor import _align
+
+    al = _align("the dog the".split(), "the cat the".split())
+    assert [(i, j) for i, j, _ in al] == [(0, 0), (2, 2)]
+
+
 def test_meteor_multi_ref_max():
     s1 = meteor_sentence("a cat", ["a cat", "completely different"])
     s2 = meteor_sentence("a cat", ["a cat"])

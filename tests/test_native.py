@@ -74,6 +74,33 @@ def test_cpp_meteor_matches_python():
         assert cpp == pytest.approx(py, abs=1e-6), (hyp, refs, py, cpp)
 
 
+def test_cpp_meteor_resolver_randomized_differential():
+    """The alignment resolver (beam search) is mirrored line-for-line in C++;
+    pin bit-equality over randomized sentence pairs that exercise duplicate
+    words, multi-module candidates, and multi-reference max."""
+    if not _ensure_built("libmeteor.so"):
+        pytest.skip("no C++ toolchain")
+    import random
+
+    from show_and_tell_tpu.metrics import meteor as m
+
+    vocab = [
+        "a", "the", "man", "dog", "cat", "big", "large", "running", "run",
+        "runs", "horse", "rides", "riding", "beach", "on", "in", "grass",
+        "two", "kids", "children", "bike", "bicycle", "guy", "sofa", "couch",
+    ]
+    rng = random.Random(0)
+    for _ in range(400):
+        hyp = " ".join(rng.choices(vocab, k=rng.randint(1, 12)))
+        refs = [
+            " ".join(rng.choices(vocab, k=rng.randint(1, 14)))
+            for _ in range(rng.randint(1, 3))
+        ]
+        py = m.meteor_sentence(hyp, refs)
+        cpp = m._cpp_meteor_sentence(hyp, refs)
+        assert cpp == pytest.approx(py, abs=1e-12), (hyp, refs, py, cpp)
+
+
 def test_cpp_porter_matches_python():
     if not _ensure_built("libmeteor.so"):
         pytest.skip("no C++ toolchain")
