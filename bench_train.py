@@ -21,17 +21,8 @@ import numpy as np
 
 ESTIMATED_REFERENCE_GPU_TRAIN_IMG_S = 85.0  # estimate, not a measurement
 
+from bench import _load_measured_baseline as _measured_baseline  # one loader
 
-def _measured_baseline():
-    import os
-
-    path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "benchmarks", "reference_baseline.json"
-    )
-    if os.path.exists(path):
-        with open(path) as f:
-            return json.load(f)
-    return {}
 BATCH = 256
 T = 20
 N_WARMUP = 1

@@ -58,6 +58,15 @@ def measure(fn, args, iters=8, warmup=2):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument(
+        "--variant", default="all",
+        help="'xla', 'pallas' (all pallas variants), a specific "
+        "fused_decode_attention.VARIANTS name, or 'all'",
+    )
+    ap.add_argument(
+        "--bt", type=int, default=8,
+        help="images per VMEM block for the pallas variants",
+    )
     args = ap.parse_args()
 
     import jax
@@ -77,14 +86,24 @@ def main():
         ctx = jnp.einsum("bkl,bld->bkd", alpha.astype(f.dtype), f) / L
         return ctx, alpha
 
-    dt = measure(make_loop(xla_beam), (ce, f, hp, watt), args.iters)
-    print(f"xla_beam: {dt*1e3:.3f} ms/step")
+    if args.variant in ("xla", "all"):
+        dt = measure(make_loop(xla_beam), (ce, f, hp, watt), args.iters)
+        print(f"xla_beam: {dt*1e3:.3f} ms/step")
 
     from show_and_tell_tpu.ops import fused_decode_attention as fda
 
-    for name in fda.VARIANTS:
+    if args.variant == "all" or args.variant == "pallas":
+        names = fda.VARIANTS
+    elif args.variant == "xla":
+        names = ()
+    elif args.variant in fda.VARIANTS:
+        names = (args.variant,)
+    else:
+        ap.error(f"unknown --variant {args.variant!r}; "
+                 f"choose xla, pallas, all, or one of {fda.VARIANTS}")
+    for name in names:
         step = lambda ce, f, hp, watt, _n=name: fda.attention_beam(
-            ce, f, hp, watt, variant=_n)
+            ce, f, hp, watt, variant=_n, block_b=args.bt)
         try:
             dt = measure(make_loop(step), (ce, f, hp, watt), args.iters)
             # numerics check vs xla

@@ -152,6 +152,8 @@ def wl3_beam3_val5k():
              "big", "small", "street", "tree"]
     vocab = Vocabulary.from_words(words + [f"w{i}" for i in range(VOCAB - len(words) - 4)])
 
+    # warm up: exclude the one-time jit compile, as every other workload does
+    np.asarray(decode(params, jnp.asarray(feats[:B])))
     t0 = time.perf_counter()
     all_ids = []
     for i in range(0, N, B):

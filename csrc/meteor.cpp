@@ -309,7 +309,8 @@ std::vector<Match> resolve_alignment(
         if ((s.mask >> j) & 1) continue;
         RState t = s;
         t.m += 1;
-        t.c = (s.prev_j == j - 1) ? s.c : s.c + 1;
+        // >= 0 guard: unmatched sentinel (-1) must not collide with j=0
+        t.c = (s.prev_j >= 0 && s.prev_j == j - 1) ? s.c : s.c + 1;
         t.d += std::abs((int)i - j);
         t.ws += jw.second;
         t.mask |= ((unsigned __int128)1) << j;

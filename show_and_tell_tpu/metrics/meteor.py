@@ -284,7 +284,10 @@ def _align(hyp: List[str], ref: List[str]) -> List[Tuple[int, int, float]]:
             for j, w in cand[i]:
                 if (mask >> j) & 1:
                     continue
-                nc = c if prev_j == j - 1 else c + 1
+                # contiguous iff the previous hyp position was matched
+                # (prev_j >= 0) to exactly j-1; the >= 0 guard keeps the
+                # unmatched sentinel (-1) from colliding with j=0's j-1
+                nc = c if (prev_j >= 0 and prev_j == j - 1) else c + 1
                 raw.append(
                     (m + 1, nc, d + abs(i - j), ws + w, mask | (1 << j), j,
                      ml + ((i, j, w),))

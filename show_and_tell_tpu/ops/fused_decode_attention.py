@@ -72,6 +72,31 @@ VARIANTS = (
 )
 
 
+def _cmxu_context(alphas, f, L_true: int, ctx_ref) -> None:
+    """Context contraction on the MXU: one block-diagonal matmul for the
+    whole image block (works around Mosaic's missing batched-dot lowering).
+    A[k*BT+i, j*Lp+l] = alpha_k[i, l] if i == j else 0; ctx = A @ f2d where
+    f2d stacks the block's patches [BT*Lp, D]. Rows are k-major after the
+    concatenate (row = k*BT + i)."""
+    BT, Lp, D = f.shape
+    K = len(alphas)
+    af2 = jnp.concatenate(alphas, axis=0).astype(f.dtype)  # [K*BT, Lp]
+    rimg = jax.lax.broadcasted_iota(jnp.int32, (K * BT, Lp), 0) % BT
+    big = jnp.concatenate(
+        [jnp.where(rimg == j, af2, 0) for j in range(BT)], axis=1
+    )  # [K*BT, BT*Lp], block-"diagonal" in the image index
+    ctx = jax.lax.dot_general(
+        big,
+        f.reshape(BT * Lp, D),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [K*BT, D]
+    for k in range(K):
+        ctx_ref[:, k, :] = (ctx[k * BT : (k + 1) * BT] / L_true).astype(
+            ctx_ref.dtype
+        )
+
+
 def _kernel_st(L_true: int, K: int, ctx_mode: str,
                cet_ref, f_ref, hp_ref, watt_ref, ctx_ref, alpha_ref):
     """Transposed-score kernel: ce arrives [BT, D, Lp] (transposed ONCE per
@@ -101,20 +126,7 @@ def _kernel_st(L_true: int, K: int, ctx_mode: str,
             ctx_ref[:, k, :] = ctx.astype(ctx_ref.dtype)
 
     if ctx_mode == "cmxu":
-        af2 = jnp.concatenate(alphas, axis=0).astype(f.dtype)  # [K*BT, Lp]
-        rimg = jax.lax.broadcasted_iota(jnp.int32, (K * BT, Lp), 0) % BT
-        big = jnp.concatenate(
-            [jnp.where(rimg == j, af2, 0) for j in range(BT)], axis=1
-        )
-        ctx = jax.lax.dot_general(
-            big, f.reshape(BT * Lp, D),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        for k in range(K):
-            ctx_ref[:, k, :] = (ctx[k * BT : (k + 1) * BT] / L_true).astype(
-                ctx_ref.dtype
-            )
+        _cmxu_context(alphas, f, L_true, ctx_ref)
 
 
 def _kernel_grid2(L_true: int, ce_ref, f_ref, hp_ref, watt_ref, ctx_ref, alpha_ref):
@@ -189,25 +201,7 @@ def _kernel(L_true: int, K: int, variant: str,
         ctx_ref[:, k, :] = ctx.astype(ctx_ref.dtype)
 
     if _ctx_mode(variant) == "cmxu":
-        # context on the MXU: one block-diagonal matmul for the whole block.
-        # A[i*K+k, j*Lp+l] = alpha[i,k,l] if i == j else 0; then
-        # ctx = A @ f2d where f2d stacks the block's patches [BT*Lp, D].
-        af2 = jnp.concatenate(alphas, axis=0).astype(f.dtype)  # [K*BT, Lp]
-        # rows are ordered k-major after concatenate: row = k*BT + i
-        rimg = jax.lax.broadcasted_iota(jnp.int32, (K * BT, Lp), 0) % BT
-        big = jnp.concatenate(
-            [jnp.where(rimg == j, af2, 0) for j in range(BT)], axis=1
-        )  # [K*BT, BT*Lp], block-"diagonal" in the image index
-        ctx = jax.lax.dot_general(
-            big,
-            f.reshape(BT * Lp, D),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [K*BT, D], row k*BT+i
-        for k in range(K):
-            ctx_ref[:, k, :] = (ctx[k * BT : (k + 1) * BT] / L_true).astype(
-                ctx_ref.dtype
-            )
+        _cmxu_context(alphas, f, L_true, ctx_ref)
 
 
 def _impl(ce, f, hp, watt, variant: str, block_b: int = 8):
@@ -319,6 +313,10 @@ def attention_beam(
     hp: jax.Array,  # [B, K, D] per-beam hidden projections (+bias)
     watt: jax.Array,  # [D]
     variant: str = "s16_cmxu",
+    block_b: int = 8,
 ) -> Tuple[jax.Array, jax.Array]:
-    """(context [B, K, D], alpha [B, K, L]) — fused, beam-shared."""
-    return _impl(ce, f, hp, watt, variant)
+    """(context [B, K, D], alpha [B, K, L]) — fused, beam-shared.
+
+    ``block_b``: images per VMEM block (8 is the largest that compiles at
+    production shapes; 16 exceeds double-buffered VMEM)."""
+    return _impl(ce, f, hp, watt, variant, block_b)

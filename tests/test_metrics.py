@@ -209,6 +209,17 @@ def test_meteor_resolver_coverage_over_module_weight():
     ]
 
 
+def test_meteor_resolver_unmatched_sentinel_no_j0_collision():
+    # Regression: the incremental chunk counter's "previous hyp position
+    # unmatched" sentinel (-1) must not be treated as ref position j-1 for
+    # a match at j=0 — that made the search prefer a->ref[0] (2 real
+    # chunks, miscounted as 1) over the true 1-chunk resolution.
+    from show_and_tell_tpu.metrics.meteor import _align
+
+    al = _align("x a b".split(), "a z a b".split())
+    assert [(i, j) for i, j, _ in al] == [(1, 2), (2, 3)]
+
+
 def test_meteor_resolver_distance_tiebreak():
     # Equal coverage and chunks -> smaller summed |i-j| distance wins:
     # both "the"s could map to either ref "the"; identity mapping has
