@@ -30,9 +30,17 @@ constexpr double DELTA = 0.75;
 constexpr double W_EXACT = 1.0;
 constexpr double W_STEM = 0.6;
 constexpr double W_SYN = 0.8;
+constexpr double W_PARA = 0.6;
+constexpr int MAX_PHRASE_LEN = 4;  // metrics/paraphrases.py MAX_PHRASE_LEN
 
 // word -> sorted group ids; populated by meteor_set_synonyms().
 std::unordered_map<std::string, std::vector<int>>& synonym_index() {
+  static std::unordered_map<std::string, std::vector<int>> idx;
+  return idx;
+}
+
+// phrase -> sorted group ids; populated by meteor_set_paraphrases().
+std::unordered_map<std::string, std::vector<int>>& paraphrase_index() {
   static std::unordered_map<std::string, std::vector<int>> idx;
   return idx;
 }
@@ -232,18 +240,49 @@ double word_weight(const std::string& w) {
   return function_words().count(w) ? 1.0 - DELTA : DELTA;
 }
 
+// A match is a span pair: hyp[i:i+il] aligned to ref[j:j+jl] by a module
+// of weight w. Word-module matches have il == jl == 1; only the
+// paraphrase module produces longer spans. Mirrors meteor.py Match.
 struct Match {
-  int i, j;
+  int i, il, j, jl;
   double w;
 };
 
 constexpr int RESOLVE_BEAM = 40;        // METEOR 1.5 Aligner beam width
 constexpr size_t MAX_REF_RESOLVE = 128; // bitmask width; greedy beyond
 
-// All (ref_j, weight) candidates per hyp position: every module proposes
-// over the full pair; a pair's weight is the first supporting module's
-// (module order exact, stem, synonym). Mirrors meteor.py _candidate_matches.
-std::vector<std::vector<std::pair<int, double>>> candidate_matches(
+// (start, length, group-ids) for every table phrase occurring in words.
+// Mirrors meteor.py _phrase_spans.
+struct PhraseSpan {
+  int start, len;
+  const std::vector<int>* groups;
+};
+
+std::vector<PhraseSpan> phrase_spans(const std::vector<std::string>& words) {
+  const auto& idx = paraphrase_index();
+  std::vector<PhraseSpan> out;
+  if (idx.empty()) return out;
+  int n = (int)words.size();
+  for (int start = 0; start < n; ++start) {
+    std::string phrase;
+    int max_len = std::min(MAX_PHRASE_LEN, n - start);
+    for (int len = 1; len <= max_len; ++len) {
+      if (len > 1) phrase += ' ';
+      phrase += words[start + len - 1];
+      auto it = idx.find(phrase);
+      if (it != idx.end()) out.push_back({start, len, &it->second});
+    }
+  }
+  return out;
+}
+
+// Candidates per hyp start position, every module proposing over the whole
+// pair simultaneously; word pairs carry the first supporting word-module's
+// weight (exact, stem, synonym); the paraphrase module proposes span pairs
+// sharing a paraphrase group (word-word pairs a word module already
+// proposes are not duplicated). Rows sorted by (il, j, jl, -w).
+// Mirrors meteor.py _candidate_spans.
+std::vector<std::vector<Match>> candidate_spans(
     const std::vector<std::string>& hyp, const std::vector<std::string>& ref) {
   std::vector<std::string> hyp_stem(hyp.size()), ref_stem(ref.size());
   for (size_t i = 0; i < hyp.size(); ++i) hyp_stem[i] = porter_stem(hyp[i]);
@@ -271,99 +310,129 @@ std::vector<std::vector<std::pair<int, double>>> candidate_matches(
   for (size_t j = 0; j < ref.size(); ++j)
     ref_syn[j] = lookup_groups(ref[j], ref_stem[j]);
 
-  std::vector<std::vector<std::pair<int, double>>> cand(hyp.size());
+  std::vector<std::vector<Match>> cand(hyp.size());
+  std::vector<std::vector<bool>> word_pair(
+      hyp.size(), std::vector<bool>(ref.size(), false));
   for (size_t i = 0; i < hyp.size(); ++i) {
     for (size_t j = 0; j < ref.size(); ++j) {
-      if (hyp[i] == ref[j]) cand[i].push_back({(int)j, W_EXACT});
-      else if (hyp_stem[i] == ref_stem[j]) cand[i].push_back({(int)j, W_STEM});
-      else if (share_group(&hyp_syn[i], &ref_syn[j]))
-        cand[i].push_back({(int)j, W_SYN});
+      double w;
+      if (hyp[i] == ref[j]) w = W_EXACT;
+      else if (hyp_stem[i] == ref_stem[j]) w = W_STEM;
+      else if (share_group(&hyp_syn[i], &ref_syn[j])) w = W_SYN;
+      else continue;
+      cand[i].push_back({(int)i, 1, (int)j, 1, w});
+      word_pair[i][j] = true;
     }
+  }
+  auto hyp_spans = phrase_spans(hyp);
+  auto ref_sp = phrase_spans(ref);
+  for (const auto& hs : hyp_spans) {
+    for (const auto& rs : ref_sp) {
+      if (!share_group(hs.groups, rs.groups)) continue;
+      if (hs.len == 1 && rs.len == 1 && word_pair[hs.start][rs.start])
+        continue;  // a higher-priority word module owns this pair
+      cand[hs.start].push_back({hs.start, hs.len, rs.start, rs.len, W_PARA});
+    }
+  }
+  for (auto& row : cand) {
+    std::stable_sort(row.begin(), row.end(), [](const Match& a, const Match& b) {
+      if (a.il != b.il) return a.il < b.il;
+      if (a.j != b.j) return a.j < b.j;
+      if (a.jl != b.jl) return a.jl < b.jl;
+      return a.w > b.w;
+    });
   }
   return cand;
 }
 
 struct RState {
-  int m, c, d;
+  int cov, c, d;
   double ws;
   unsigned __int128 mask;
-  int prev_j;
+  int cont_j;
   std::vector<Match> ml;
 };
 
 // METEOR 1.3/1.5 alignment resolution (Denkowski & Lavie 2011 s2.1): beam
-// search for the one-to-one alignment maximizing matched words, then
-// minimizing chunks, then summed |i-j| distance (total weight as final
-// deterministic tie-break). Bit-equal mirror of meteor.py _align: same
-// generation order, same dedup rule, stable sorts.
-std::vector<Match> resolve_alignment(
-    size_t hyp_len,
-    const std::vector<std::vector<std::pair<int, double>>>& cand) {
-  std::vector<RState> states{{0, 0, 0, 0.0, 0, -1, {}}};
-  for (size_t i = 0; i < hyp_len; ++i) {
-    std::vector<RState> raw;
-    for (const auto& s : states) {
-      raw.push_back({s.m, s.c, s.d, s.ws, s.mask, -1, s.ml});  // unmatched
-      for (const auto& jw : cand[i]) {
-        int j = jw.first;
-        if ((s.mask >> j) & 1) continue;
-        RState t = s;
-        t.m += 1;
-        // >= 0 guard: unmatched sentinel (-1) must not collide with j=0
-        t.c = (s.prev_j >= 0 && s.prev_j == j - 1) ? s.c : s.c + 1;
-        t.d += std::abs((int)i - j);
-        t.ws += jw.second;
-        t.mask |= ((unsigned __int128)1) << j;
-        t.prev_j = j;
-        t.ml.push_back({(int)i, j, jw.second});
-        raw.push_back(std::move(t));
-      }
-    }
-    // best per (mask, prev_j): stable-sort by key then objective, keep first
+// search over the pooled candidates of all four modules for the
+// non-overlapping alignment maximizing covered words (both sentences),
+// then minimizing chunks, then summed |start_i-start_j| distance (total
+// weight as final deterministic tie-break). Bit-equal mirror of meteor.py
+// _align: same generation order, same dedup rule, stable sorts. States
+// advance over hyp positions (a span match advances by its hyp length);
+// cont_j = ref index following the previous match's span IF that match
+// ended exactly at this hyp position, else -1.
+std::vector<Match> resolve_alignment(size_t hyp_len,
+                                     const std::vector<std::vector<Match>>& cand) {
+  size_t n = hyp_len;
+  std::vector<std::vector<RState>> buckets(n + 1);
+  buckets[0].push_back({0, 0, 0, 0.0, 0, -1, {}});
+  for (size_t i = 0; i <= n; ++i) {
+    auto& raw = buckets[i];
+    // best per (mask, cont_j): stable-sort by key then objective, keep first
     std::stable_sort(raw.begin(), raw.end(), [](const RState& a, const RState& b) {
       if (a.mask != b.mask) return a.mask < b.mask;
-      if (a.prev_j != b.prev_j) return a.prev_j < b.prev_j;
-      if (a.m != b.m) return a.m > b.m;
+      if (a.cont_j != b.cont_j) return a.cont_j < b.cont_j;
+      if (a.cov != b.cov) return a.cov > b.cov;
       if (a.c != b.c) return a.c < b.c;
       if (a.d != b.d) return a.d < b.d;
       return a.ws > b.ws;
     });
-    std::vector<RState> dedup;
+    std::vector<RState> states;
     for (auto& s : raw) {
-      if (dedup.empty() || dedup.back().mask != s.mask ||
-          dedup.back().prev_j != s.prev_j)
-        dedup.push_back(std::move(s));
+      if (states.empty() || states.back().mask != s.mask ||
+          states.back().cont_j != s.cont_j)
+        states.push_back(std::move(s));
     }
-    std::stable_sort(dedup.begin(), dedup.end(),
+    std::stable_sort(states.begin(), states.end(),
                      [](const RState& a, const RState& b) {
-                       if (a.m != b.m) return a.m > b.m;
+                       if (a.cov != b.cov) return a.cov > b.cov;
                        if (a.c != b.c) return a.c < b.c;
                        if (a.d != b.d) return a.d < b.d;
                        if (a.ws != b.ws) return a.ws > b.ws;
                        if (a.mask != b.mask) return a.mask < b.mask;
-                       return a.prev_j < b.prev_j;
+                       return a.cont_j < b.cont_j;
                      });
-    if (dedup.size() > (size_t)RESOLVE_BEAM) dedup.resize(RESOLVE_BEAM);
-    states = std::move(dedup);
+    if (states.size() > (size_t)RESOLVE_BEAM) states.resize(RESOLVE_BEAM);
+    if (i == n) return states.front().ml;
+    for (const auto& s : states) {
+      buckets[i + 1].push_back({s.cov, s.c, s.d, s.ws, s.mask, -1, s.ml});
+      for (const auto& m : cand[i]) {
+        unsigned __int128 span = ((((unsigned __int128)1) << m.jl) - 1) << m.j;
+        if (s.mask & span) continue;
+        RState t = s;
+        t.cov += m.il + m.jl;
+        // contiguous iff the previous match ended exactly here with its
+        // ref span ending at j (>= 0 guards the broken sentinel vs j=0)
+        t.c = (s.cont_j >= 0 && s.cont_j == m.j) ? s.c : s.c + 1;
+        t.d += std::abs(m.i - m.j);
+        t.ws += m.w;
+        t.mask |= span;
+        t.cont_j = m.j + m.jl;
+        t.ml.push_back(m);
+        buckets[i + m.il].push_back(std::move(t));
+      }
+    }
+    buckets[i] = std::move(states);  // free the raw bucket
   }
-  return states.front().ml;
+  return {};  // unreachable
 }
 
-// Leftmost-greedy staged fallback (only beyond the resolver's 128-word
-// reference bound — never on caption-scale text). Mirrors _align_greedy.
-std::vector<Match> align_greedy(
-    size_t hyp_len, size_t ref_len,
-    const std::vector<std::vector<std::pair<int, double>>>& cand) {
+// Leftmost-greedy staged word-level fallback (only beyond the resolver's
+// 128-word reference bound — never on caption-scale text). Mirrors
+// _align_greedy.
+std::vector<Match> align_greedy(size_t hyp_len, size_t ref_len,
+                                const std::vector<std::vector<Match>>& cand) {
   std::vector<Match> matches;
   std::vector<bool> used_h(hyp_len, false), used_r(ref_len, false);
   for (double stage_weight : {W_EXACT, W_STEM, W_SYN}) {
     for (size_t i = 0; i < hyp_len; ++i) {
       if (used_h[i]) continue;
-      for (const auto& jw : cand[i]) {
-        if (!used_r[jw.first] && jw.second == stage_weight) {
-          matches.push_back({(int)i, jw.first, jw.second});
+      for (const auto& m : cand[i]) {
+        if (m.il == 1 && m.jl == 1 && !used_r[m.j] && m.w == stage_weight) {
+          matches.push_back({(int)i, 1, m.j, 1, m.w});
           used_h[i] = true;
-          used_r[jw.first] = true;
+          used_r[m.j] = true;
           break;
         }
       }
@@ -375,7 +444,7 @@ std::vector<Match> align_greedy(
 double score_pair(const std::vector<std::string>& hyp,
                   const std::vector<std::string>& ref) {
   if (hyp.empty() || ref.empty()) return 0.0;
-  auto cand = candidate_matches(hyp, ref);
+  auto cand = candidate_spans(hyp, ref);
   std::vector<Match> matches =
       ref.size() > MAX_REF_RESOLVE
           ? align_greedy(hyp.size(), ref.size(), cand)
@@ -383,11 +452,17 @@ double score_pair(const std::vector<std::string>& hyp,
   if (matches.empty()) return 0.0;
 
   double w_hyp_total = 0, w_ref_total = 0, m_hyp = 0, m_ref = 0;
+  long cov_h = 0, cov_r = 0;
   for (const auto& w : hyp) w_hyp_total += word_weight(w);
   for (const auto& w : ref) w_ref_total += word_weight(w);
   for (const auto& m : matches) {
-    m_hyp += m.w * word_weight(hyp[m.i]);
-    m_ref += m.w * word_weight(ref[m.j]);
+    double wh = 0, wr = 0;
+    for (int t = 0; t < m.il; ++t) wh += word_weight(hyp[m.i + t]);
+    for (int t = 0; t < m.jl; ++t) wr += word_weight(ref[m.j + t]);
+    m_hyp += m.w * wh;
+    m_ref += m.w * wr;
+    cov_h += m.il;
+    cov_r += m.jl;
   }
   if (w_hyp_total == 0 || w_ref_total == 0) return 0.0;
   double P = m_hyp / w_hyp_total;
@@ -401,12 +476,14 @@ double score_pair(const std::vector<std::string>& hyp,
             });
   int chunks = 1;
   for (size_t k = 1; k < matches.size(); ++k) {
-    if (!(matches[k].i == matches[k - 1].i + 1 &&
-          matches[k].j == matches[k - 1].j + 1))
+    if (!(matches[k].i == matches[k - 1].i + matches[k - 1].il &&
+          matches[k].j == matches[k - 1].j + matches[k - 1].jl))
       ++chunks;
   }
-  // METEOR 1.5: penalty applies unconditionally whenever matches > 0.
-  double frag = (double)chunks / matches.size();
+  // METEOR 1.5: penalty applies unconditionally whenever matches > 0; with
+  // phrase matches the denominator is the average covered-word count
+  // (== match count when all matches are word-level).
+  double frag = (double)chunks / ((cov_h + cov_r) / 2.0);
   double penalty = GAMMA * std::pow(frag, BETA);
   return (1.0 - penalty) * fmean;
 }
@@ -439,6 +516,39 @@ void meteor_set_synonyms(const char* blob) {
     start = end + 1;
   }
   // group ids are appended in increasing order, so vectors are sorted
+}
+
+// blob: one paraphrase group per '\n'-separated line, phrases separated by
+// '|' (phrases contain spaces) — show_and_tell_tpu/metrics/paraphrases.py
+// serialize(). Replaces any prior table. Not thread-safe vs concurrent
+// scoring; call at load / table swap.
+void meteor_set_paraphrases(const char* blob) {
+  auto& idx = paraphrase_index();
+  idx.clear();
+  std::string s(blob);
+  int gid = 0;
+  size_t start = 0;
+  while (start <= s.size()) {
+    size_t end = s.find('\n', start);
+    if (end == std::string::npos) end = s.size();
+    std::string line = s.substr(start, end - start);
+    size_t p0 = 0;
+    while (p0 <= line.size() && !line.empty()) {
+      size_t p1 = line.find('|', p0);
+      if (p1 == std::string::npos) p1 = line.size();
+      std::string phrase = line.substr(p0, p1 - p0);
+      if (!phrase.empty()) {
+        auto& v = idx[phrase];
+        if (v.empty() || v.back() != gid) v.push_back(gid);
+      }
+      if (p1 == line.size()) break;
+      p0 = p1 + 1;
+    }
+    ++gid;
+    if (end == s.size()) break;
+    start = end + 1;
+  }
+  // group ids appended in increasing order, so vectors are sorted
 }
 
 char* meteor_stem(const char* word) {

@@ -6,19 +6,22 @@ The reference drives ``meteor-1.5.jar`` over a stdio line protocol
 ran there. This module is a from-scratch METEOR implementation following the
 METEOR 1.5 English task definition (Denkowski & Lavie 2014):
 
-- matcher modules with METEOR 1.5's module weights, NOT renormalized:
-  exact (w=1.0), Porter-stem (w=0.6), synonym (w=0.8, share-a-group over the
-  compact embedded table in metrics/synonyms.py — WordNet itself is not
-  available in this zero-egress image). The paraphrase module (w=0.6) is
-  omitted: its matches simply never fire, exactly as if the module were
-  disabled in the jar,
+- all four METEOR 1.5 matcher modules with its English module weights, NOT
+  renormalized: exact (w=1.0), Porter-stem (w=0.6), synonym (w=0.8,
+  share-a-group over the compact embedded table in metrics/synonyms.py —
+  WordNet itself is not available in this zero-egress image), and paraphrase
+  (w=0.6, PHRASE-level spans over the compact caption-domain table in
+  metrics/paraphrases.py; the real corpus-derived paraphrase-en database is
+  not fetchable here, and a user holding one can install it via
+  paraphrases.set_paraphrase_groups — both scorers rebuild),
 - METEOR 1.3/1.5 alignment resolution (Denkowski & Lavie 2011 §2.1): all
-  modules propose matches over the full sentence pair simultaneously (a word
-  pair's weight is that of the first supporting module in module order);
-  the final one-to-one alignment is resolved by beam search (METEOR's beam
-  width, 40) to lexicographically (1) maximize covered words, (2) minimize
-  chunks, (3) minimize the sum of |i-j| match distances — (4) total match
-  weight breaks remaining ties deterministically,
+  modules propose matches over the full sentence pair simultaneously (a
+  span pair's weight is that of the first supporting module in module
+  order); the final non-overlapping alignment is resolved by beam search
+  (METEOR's beam width, 40) to lexicographically (1) maximize covered words
+  across both sentences, (2) minimize chunks, (3) minimize the sum of
+  |start_i-start_j| match distances — (4) total match weight breaks
+  remaining ties deterministically,
 - content/function word distinction with delta = 0.75 (function words from a
   compact English closed-class list),
 - weighted precision/recall over hypothesis/reference word counts,
@@ -41,6 +44,7 @@ from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 
+from show_and_tell_tpu.metrics import paraphrases as _paraphrases
 from show_and_tell_tpu.metrics import synonyms as _synonyms
 
 ALPHA = 0.85
@@ -50,6 +54,7 @@ DELTA = 0.75
 W_EXACT = 1.0
 W_STEM = 0.6
 W_SYN = 0.8
+W_PARA = 0.6
 
 _EMPTY: frozenset = frozenset()
 
@@ -234,105 +239,164 @@ def _syn_groups(word: str, stem: str) -> frozenset:
 _BEAM = 40  # METEOR 1.5 Aligner beam width
 _MAX_REF_RESOLVE = 128  # C++ path's bitmask width; greedy fallback beyond
 
+# A match is a span pair (i, i_len, j, j_len, w): hyp[i:i+i_len] aligned to
+# ref[j:j+j_len] by a module of weight w. Word-module matches have
+# i_len == j_len == 1; only the paraphrase module produces longer spans.
+Match = Tuple[int, int, int, int, float]
 
-def _candidate_matches(hyp: List[str], ref: List[str]) -> List[List[Tuple[int, float]]]:
-    """All (ref_j, weight) candidates per hyp position — every module runs
-    over the whole pair; a pair's weight is the first supporting module's
-    (module order exact, stem, synonym)."""
+_PARA_INDEX = None
+_PARA_GEN = -1
+
+
+def _para_index():
+    """Phrase -> group-id index over the ACTIVE paraphrase table, rebuilt
+    when paraphrases.set_paraphrase_groups swaps the table."""
+    global _PARA_INDEX, _PARA_GEN
+    if _PARA_GEN != _paraphrases.generation():
+        _PARA_INDEX = _paraphrases.build_index()
+        _PARA_GEN = _paraphrases.generation()
+    return _PARA_INDEX
+
+
+def _phrase_spans(words: List[str], index) -> List[Tuple[int, int, frozenset]]:
+    """(start, length, group_ids) for every table phrase occurring in
+    ``words``, lengths 1..MAX_PHRASE_LEN."""
+    out = []
+    n = len(words)
+    for start in range(n):
+        for length in range(1, min(_paraphrases.MAX_PHRASE_LEN, n - start) + 1):
+            groups = index.get(" ".join(words[start : start + length]))
+            if groups:
+                out.append((start, length, groups))
+    return out
+
+
+def _candidate_spans(hyp: List[str], ref: List[str]) -> List[List[Match]]:
+    """Candidates per hyp start position, every module proposing over the
+    whole pair simultaneously. Word pairs carry the weight of the first
+    supporting module in module order (exact, stem, synonym); the
+    paraphrase module proposes span pairs that share a paraphrase group
+    (word-word pairs a word module already proposes are not duplicated).
+    Each row is sorted by (i_len, j, j_len, -w) — the resolver's generation
+    order, mirrored in C++."""
     hyp_stems = [porter_stem(w) for w in hyp]
     ref_stems = [porter_stem(w) for w in ref]
     hyp_syn = [_syn_groups(w, s) for w, s in zip(hyp, hyp_stems)]
     ref_syn = [_syn_groups(w, s) for w, s in zip(ref, ref_stems)]
-    cand: List[List[Tuple[int, float]]] = []
+    cand: List[List[Match]] = [[] for _ in hyp]
+    word_pairs = set()
     for i in range(len(hyp)):
-        row: List[Tuple[int, float]] = []
         for j in range(len(ref)):
             if hyp[i] == ref[j]:
-                row.append((j, W_EXACT))
+                w = W_EXACT
             elif hyp_stems[i] == ref_stems[j]:
-                row.append((j, W_STEM))
+                w = W_STEM
             elif hyp_syn[i] and not hyp_syn[i].isdisjoint(ref_syn[j]):
-                row.append((j, W_SYN))
-        cand.append(row)
+                w = W_SYN
+            else:
+                continue
+            cand[i].append((i, 1, j, 1, w))
+            word_pairs.add((i, j))
+    index = _para_index()
+    if index:
+        ref_spans = _phrase_spans(ref, index)
+        for i, il, hg in _phrase_spans(hyp, index):
+            for j, jl, rg in ref_spans:
+                if hg.isdisjoint(rg):
+                    continue
+                if il == 1 and jl == 1 and (i, j) in word_pairs:
+                    continue  # a higher-priority word module owns this pair
+                cand[i].append((i, il, j, jl, W_PARA))
+    for row in cand:
+        row.sort(key=lambda m: (m[1], m[2], m[3], -m[4]))
     return cand
 
 
-def _align(hyp: List[str], ref: List[str]) -> List[Tuple[int, int, float]]:
-    """One-to-one (hyp_i, ref_j, weight) alignment per METEOR 1.3/1.5
-    resolution: over the pooled candidate matches, beam search (width 40)
-    for the alignment that lexicographically maximizes matched words, then
-    minimizes chunks, then minimizes summed |i-j| distance (total match
-    weight as a deterministic final tie-break).
+def _align(hyp: List[str], ref: List[str]) -> List[Match]:
+    """Non-overlapping alignment per METEOR 1.3/1.5 resolution: over the
+    pooled candidate matches of all four modules, beam search (width 40)
+    for the alignment that lexicographically maximizes covered words
+    (both sentences), then minimizes chunks, then minimizes summed
+    |start_i - start_j| distance (total match weight as a deterministic
+    final tie-break).
 
-    Chunk counting is incremental: processing hyp positions left to right, a
-    match (i, j) extends the current chunk iff position i-1 was matched to
-    j-1. The C++ scorer (csrc/meteor.cpp) mirrors this procedure exactly —
-    generation order, dedup rule, stable sorts — and is tested bit-equal."""
+    States advance over hyp positions (a span match advances by its hyp
+    length); a match extends the current chunk iff the previous match ended
+    exactly at this hyp position with its ref span ending at j (tracked as
+    cont_j; -1 = broken). The C++ scorer (csrc/meteor.cpp) mirrors this
+    procedure exactly — generation order, dedup rule, stable sorts — and is
+    tested bit-equal."""
     if len(ref) > _MAX_REF_RESOLVE:
         return _align_greedy(hyp, ref)
-    cand = _candidate_matches(hyp, ref)
-    # state: (matches, chunks, dist, wsum, mask, prev_j, match_tuple);
-    # prev_j = ref index matched at the immediately previous hyp position
-    # (-1 if it was unmatched). (mask, prev_j) fully determines the future,
-    # so only the best partial objective per key survives (exact dominance);
-    # the beam truncation afterwards is METEOR's own approximation.
-    states = [(0, 0, 0, 0.0, 0, -1, ())]
-    for i in range(len(hyp)):
-        raw = []
-        for m, c, d, ws, mask, prev_j, ml in states:
-            raw.append((m, c, d, ws, mask, -1, ml))  # hyp[i] unmatched
-            for j, w in cand[i]:
-                if (mask >> j) & 1:
-                    continue
-                # contiguous iff the previous hyp position was matched
-                # (prev_j >= 0) to exactly j-1; the >= 0 guard keeps the
-                # unmatched sentinel (-1) from colliding with j=0's j-1
-                nc = c if (prev_j >= 0 and prev_j == j - 1) else c + 1
-                raw.append(
-                    (m + 1, nc, d + abs(i - j), ws + w, mask | (1 << j), j,
-                     ml + ((i, j, w),))
-                )
-        # best per (mask, prev_j): stable-sort by key then objective, keep first
+    cand = _candidate_spans(hyp, ref)
+    n = len(hyp)
+    # state: (cov, chunks, dist, wsum, mask, cont_j, match_tuple); cov =
+    # covered words across both sentences. (mask, cont_j) fully determines
+    # the future at a given position, so only the best partial objective
+    # per key survives (exact dominance); the beam truncation afterwards is
+    # METEOR's own approximation.
+    buckets: List[List] = [[] for _ in range(n + 1)]
+    buckets[0] = [(0, 0, 0, 0.0, 0, -1, ())]
+    for i in range(n + 1):
+        # best per (mask, cont_j): stable-sort by key then objective, keep first
+        raw = buckets[i]
         raw.sort(key=lambda s: (s[4], s[5], -s[0], s[1], s[2], -s[3]))
-        dedup = []
+        states = []
         last_key = None
         for s in raw:
             key = (s[4], s[5])
             if key != last_key:
-                dedup.append(s)
+                states.append(s)
                 last_key = key
-        dedup.sort(key=lambda s: (-s[0], s[1], s[2], -s[3], s[4], s[5]))
-        states = dedup[:_BEAM]
-    return list(states[0][6])
+        states.sort(key=lambda s: (-s[0], s[1], s[2], -s[3], s[4], s[5]))
+        del states[_BEAM:]
+        if i == n:
+            return list(states[0][6])
+        for cov, c, d, ws, mask, cont_j, ml in states:
+            buckets[i + 1].append((cov, c, d, ws, mask, -1, ml))  # skip hyp[i]
+            for m in cand[i]:
+                _, il, j, jl, w = m
+                span = ((1 << jl) - 1) << j
+                if mask & span:
+                    continue
+                # contiguous iff the previous match ended exactly here with
+                # its ref span ending at j (cont_j >= 0 guards the broken
+                # sentinel from colliding with j=0)
+                nc = c if (cont_j >= 0 and cont_j == j) else c + 1
+                buckets[i + il].append(
+                    (cov + il + jl, nc, d + abs(i - j), ws + w, mask | span,
+                     j + jl, ml + (m,))
+                )
+    raise AssertionError("unreachable")
 
 
-def _align_greedy(hyp: List[str], ref: List[str]) -> List[Tuple[int, int, float]]:
-    """Leftmost-greedy staged fallback (used only beyond the resolver's
-    128-word reference bound — never on caption-scale text)."""
-    matches: List[Tuple[int, int, float]] = []
+def _align_greedy(hyp: List[str], ref: List[str]) -> List[Match]:
+    """Leftmost-greedy staged word-level fallback (used only beyond the
+    resolver's 128-word reference bound — never on caption-scale text)."""
+    matches: List[Match] = []
     used_h = [False] * len(hyp)
     used_r = [False] * len(ref)
-    cand = _candidate_matches(hyp, ref)
+    cand = _candidate_spans(hyp, ref)
     for stage_weight in (W_EXACT, W_STEM, W_SYN):
         for i in range(len(hyp)):
             if used_h[i]:
                 continue
-            for j, w in cand[i]:
-                if not used_r[j] and w == stage_weight:
-                    matches.append((i, j, w))
+            for _, il, j, jl, w in cand[i]:
+                if il == 1 and jl == 1 and not used_r[j] and w == stage_weight:
+                    matches.append((i, 1, j, 1, w))
                     used_h[i] = True
                     used_r[j] = True
                     break
     return matches
 
 
-def _count_chunks(matches: List[Tuple[int, int, float]]) -> int:
+def _count_chunks(matches: List[Match]) -> int:
     if not matches:
         return 0
     ms = sorted(matches)
     chunks = 1
-    for (i1, j1, _), (i2, j2, _) in zip(ms, ms[1:]):
-        if not (i2 == i1 + 1 and j2 == j1 + 1):
+    for (i1, il1, j1, jl1, _), (i2, _, j2, _, _) in zip(ms, ms[1:]):
+        if not (i2 == i1 + il1 and j2 == j1 + jl1):
             chunks += 1
     return chunks
 
@@ -355,8 +419,13 @@ def meteor_sentence(hypothesis: str, references: Sequence[str]) -> float:
             continue
         w_hyp_total = sum(_word_weight(w) for w in hyp)
         w_ref_total = sum(_word_weight(w) for w in ref)
-        m_hyp = sum(mw * _word_weight(hyp[i]) for i, _, mw in matches)
-        m_ref = sum(mw * _word_weight(ref[j]) for _, j, mw in matches)
+        m_hyp = m_ref = 0.0
+        cov_h = cov_r = 0
+        for i, il, j, jl, mw in matches:
+            m_hyp += mw * sum(_word_weight(w) for w in hyp[i : i + il])
+            m_ref += mw * sum(_word_weight(w) for w in ref[j : j + jl])
+            cov_h += il
+            cov_r += jl
         if w_hyp_total == 0 or w_ref_total == 0:
             continue
         P = m_hyp / w_hyp_total
@@ -366,8 +435,10 @@ def meteor_sentence(hypothesis: str, references: Sequence[str]) -> float:
         fmean = P * R / (ALPHA * P + (1 - ALPHA) * R)
         chunks = _count_chunks(matches)
         # METEOR 1.5 applies the fragmentation penalty unconditionally for
-        # matches > 0 — no single-chunk or full-coverage special case.
-        frag = chunks / float(len(matches))
+        # matches > 0 — no single-chunk or full-coverage special case; with
+        # phrase matches the denominator is the average covered-word count
+        # (== match count when all matches are word-level).
+        frag = chunks / ((cov_h + cov_r) / 2.0)
         penalty = GAMMA * (frag ** BETA)
         score = (1.0 - penalty) * fmean
         best = max(best, score)
@@ -377,7 +448,11 @@ def meteor_sentence(hypothesis: str, references: Sequence[str]) -> float:
 class Meteor:
     def compute_score(self, gts: Dict, res: Dict):
         assert sorted(gts.keys()) == sorted(res.keys())
-        sentence_fn = _cpp_meteor_sentence if _cpp_available() else meteor_sentence
+        if _cpp_available():
+            _cpp_sync_tables()
+            sentence_fn = _cpp_meteor_sentence
+        else:
+            sentence_fn = meteor_sentence
         scores = []
         for img_id in sorted(gts.keys()):
             assert len(res[img_id]) == 1
@@ -417,14 +492,30 @@ def _cpp_available() -> bool:
         lib.meteor_stem.argtypes = [ctypes.c_char_p]
         lib.meteor_free.argtypes = [ctypes.c_void_p]
         lib.meteor_set_synonyms.argtypes = [ctypes.c_char_p]
-        # share the one synonym table with the Python implementation
+        lib.meteor_set_paraphrases.argtypes = [ctypes.c_char_p]
+        # share the synonym + paraphrase tables with the Python scorer
         lib.meteor_set_synonyms(_synonyms.serialize())
+        lib.meteor_set_paraphrases(_paraphrases.serialize())
+        global _CPP_PARA_GEN
+        _CPP_PARA_GEN = _paraphrases.generation()
         _CPP_LIB = lib
         _CPP_CHECKED = True
         return True
     except Exception:
         _CPP_LIB = None
         return False
+
+
+_CPP_PARA_GEN = -1
+
+
+def _cpp_sync_tables() -> None:
+    """Re-push the paraphrase table to the C++ scorer after a
+    set_paraphrase_groups swap (generation-tracked, cheap no-op otherwise)."""
+    global _CPP_PARA_GEN
+    if _CPP_LIB is not None and _CPP_PARA_GEN != _paraphrases.generation():
+        _CPP_LIB.meteor_set_paraphrases(_paraphrases.serialize())
+        _CPP_PARA_GEN = _paraphrases.generation()
 
 
 def _cpp_meteor_sentence(hypothesis: str, references: Sequence[str]) -> float:

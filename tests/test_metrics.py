@@ -194,7 +194,10 @@ def test_meteor_resolver_minimizes_chunks():
     # (2 chunks); the resolver picks a->ref[1], b->ref[2] (1 chunk).
     from show_and_tell_tpu.metrics.meteor import _align
 
-    assert _align("a b".split(), "b a b".split()) == [(0, 1, 1.0), (1, 2, 1.0)]
+    assert _align("a b".split(), "b a b".split()) == [
+        (0, 1, 1, 1, 1.0),
+        (1, 1, 2, 1, 1.0),
+    ]
 
 
 def test_meteor_resolver_coverage_over_module_weight():
@@ -204,8 +207,8 @@ def test_meteor_resolver_coverage_over_module_weight():
     from show_and_tell_tpu.metrics.meteor import _align
 
     assert _align("cat cats".split(), "cats cat".split()) == [
-        (0, 0, 0.6),
-        (1, 1, 0.6),
+        (0, 1, 0, 1, 0.6),
+        (1, 1, 1, 1, 0.6),
     ]
 
 
@@ -217,7 +220,7 @@ def test_meteor_resolver_unmatched_sentinel_no_j0_collision():
     from show_and_tell_tpu.metrics.meteor import _align
 
     al = _align("x a b".split(), "a z a b".split())
-    assert [(i, j) for i, j, _ in al] == [(1, 2), (2, 3)]
+    assert [(i, j) for i, _, j, _, _ in al] == [(1, 2), (2, 3)]
 
 
 def test_meteor_resolver_distance_tiebreak():
@@ -227,7 +230,53 @@ def test_meteor_resolver_distance_tiebreak():
     from show_and_tell_tpu.metrics.meteor import _align
 
     al = _align("the dog the".split(), "the cat the".split())
-    assert [(i, j) for i, j, _ in al] == [(0, 0), (2, 2)]
+    assert [(i, j) for i, _, j, _, _ in al] == [(0, 0), (2, 2)]
+
+
+def test_meteor_paraphrase_stage():
+    # phrase<->word: "next to" (2 tokens) ~ "beside" via the embedded table,
+    # matched as one span pair with w=0.6 covering 2+1 words
+    from show_and_tell_tpu.metrics.meteor import _align
+
+    al = _align("a dog next to a cat".split(), "a dog beside a cat".split())
+    assert (2, 2, 2, 1, 0.6) in al
+    with_para = meteor_sentence("a dog next to a cat", ["a dog beside a cat"])
+    without = meteor_sentence("a dog towards a cat", ["a dog beside a cat"])
+    assert with_para > without
+
+
+def test_meteor_paraphrase_table_swap():
+    # set_paraphrase_groups replaces the table for BOTH scorers (the C++
+    # path re-syncs via generation tracking); restore the default after.
+    from show_and_tell_tpu.metrics import paraphrases
+    from show_and_tell_tpu.metrics import meteor as m
+
+    default = paraphrases.active_groups()
+    base = m.meteor_sentence("a dog next to a cat", ["a dog beside a cat"])
+    try:
+        paraphrases.set_paraphrase_groups([("zzz qqq", "www")])
+        swapped = m.meteor_sentence("a dog next to a cat", ["a dog beside a cat"])
+        assert swapped < base  # "next to"~"beside" no longer matches
+        hit = m.meteor_sentence("zzz qqq", ["www"])
+        assert hit > 0
+        if m._cpp_available():
+            m._cpp_sync_tables()
+            assert m._cpp_meteor_sentence("zzz qqq", ["www"]) == pytest.approx(
+                hit, abs=1e-12
+            )
+    finally:
+        paraphrases.set_paraphrase_groups(default)
+        if m._cpp_available():
+            m._cpp_sync_tables()
+
+
+def test_meteor_paraphrase_length_limit():
+    from show_and_tell_tpu.metrics import paraphrases
+
+    with pytest.raises(ValueError):
+        paraphrases.set_paraphrase_groups([("one two three four five", "x")])
+    # restore (the raise happens before assignment, but be explicit)
+    paraphrases.set_paraphrase_groups(paraphrases.PARAPHRASE_GROUPS)
 
 
 def test_meteor_multi_ref_max():
@@ -339,7 +388,12 @@ def test_spice_backend_hook():
         assert Spice().compute_score({1: ["a"]}, {1: ["a"]})[0] == 0.42
         assert Spice().available()
     finally:
-        set_backend(None)
+        # restore the lazy-default state (set_backend(None) would latch
+        # SPICE off for the whole process — it leaked into later tests)
+        from show_and_tell_tpu.metrics import spice as spice_mod
+
+        spice_mod._BACKEND = None
+        spice_mod._DEFAULT_INSTALLED = False
 
 
 # --- PTB tokenizer ----------------------------------------------------------
