@@ -6,7 +6,10 @@ A from-scratch rebuild of the capabilities of ``incredible-vision/show-and-tell`
 re-architected for TPU hardware:
 
 - Models are Flax modules compiled with ``jax.jit``; the LSTM hot loop is a
-  ``lax.scan`` over a fused Pallas 4-gate cell kernel.
+  ``lax.scan`` over a fused 4-gate cell (XLA-fused by default — measured
+  faster than the hand kernels at these shapes; the Pallas cell and fused
+  attention kernels ship numerics-verified as opt-ins, see ops/ and
+  docs/KERNELS.md).
 - Decoding (greedy + batched beam search) runs fully on device with static
   shapes (the reference's ``sample_beam`` is an empty stub, model2.py:113-114).
 - Scaling is SPMD over a ``jax.sharding.Mesh`` (axes ``data``/``model``) with
