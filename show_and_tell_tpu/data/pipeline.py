@@ -145,12 +145,19 @@ class Loader:
         self.native_decode = native_decode
         self._epoch = 0
         self._explicit_epoch: Optional[int] = None
+        self._resume_skip = 0
 
     def set_epoch(self, epoch: int) -> None:
         """Pin the shuffle seed to a logical epoch number so a resumed run
         reproduces the original epoch's batch order (the implicit per-process
         counter would restart at 0 after a crash)."""
         self._explicit_epoch = epoch
+
+    def set_resume_skip(self, n: int) -> None:
+        """Skip the first ``n`` batch plans of the NEXT epoch only — resume
+        replay without paying decode for already-trained batches (the batch
+        order past the skip is identical to the original epoch's)."""
+        self._resume_skip = n
 
     def __len__(self) -> int:
         return self.dataset.num_batches(self.batch_size, self.drop_remainder)
@@ -209,6 +216,10 @@ class Loader:
                 self.batch_size, self.shuffle, rng, self.drop_remainder
             )
         )
+        skip = getattr(self, "_resume_skip", 0)
+        if skip:
+            plans = plans[skip:]
+            self._resume_skip = 0
         if not plans:
             return
         # Bounded prefetch: at most prefetch_depth + num_workers batches are

@@ -153,7 +153,11 @@ def beam_search(
             state, _ = jax.lax.scan(scan_step, state, jnp.arange(1, max_len))
     carry, scores, finished, tokens, _ = state
 
-    # Rank by length-normalised score; unfinished beams keep raw score.
+    # Rank by length-normalised score. Lengths count every non-pad token —
+    # including <end> for finished beams, and the full step budget for
+    # unfinished ones (i.e. unfinished beams are normalised at max_len, one
+    # token more than the GNMT definition would give a just-finished beam;
+    # with length_penalty=0 the divisor is 1 and raw scores rank).
     lengths = jnp.sum(tokens != PAD_ID, axis=-1)  # [B, k]
     norm = scores / _length_penalty(lengths, length_penalty)
     if return_all:

@@ -29,7 +29,7 @@ import numpy as np
 
 from show_and_tell_tpu.config import Config
 from show_and_tell_tpu.data.transforms import eval_transform
-from show_and_tell_tpu.decode import beam_search, greedy_decode
+from show_and_tell_tpu.decode import decode_ids
 from show_and_tell_tpu.metrics.coco import COCO
 from show_and_tell_tpu.metrics.orchestrator import COCOEvalCap
 from show_and_tell_tpu.train.step import make_eval_loss_step
@@ -60,32 +60,10 @@ def make_caption_fn(
     mode: str = "greedy",
 ) -> Callable:
     """Returns jitted ``fn(params, batch_stats, features) -> ids [B, L]``."""
-    is_sat = type(model).__name__ == "ShowAttendTellModel"
-    max_len = cfg.max_decode_len
-    beam = cfg.beam_size
 
     @jax.jit
     def fn(params, batch_stats, features):
-        B = features.shape[0]
-        if is_sat:
-            k = beam if mode == "beam" else 1
-            step_fn, carry, first = model.make_decode_state(
-                params, features, beam_size=k
-            )
-            tile = False  # SAT pre-tiles (static tensors live in the closure)
-        else:
-            step_fn, carry, first = model.make_decode_state(
-                params, batch_stats, features
-            )
-            tile = True
-        if mode == "beam":
-            ids, _ = beam_search(
-                step_fn, carry, B, beam_size=beam, max_len=max_len,
-                first_logits=first, tile=tile,
-                length_penalty=cfg.length_penalty,
-            )
-            return ids
-        return greedy_decode(step_fn, carry, B, max_len, first_logits=first)
+        return decode_ids(model, cfg, params, batch_stats, features, mode)
 
     return fn
 

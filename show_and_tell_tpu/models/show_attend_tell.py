@@ -223,6 +223,13 @@ class ShowAttendTellModel:
 
     # --- decoding step interface -----------------------------------------
 
+    def decode_state(self, trainable, batch_stats, features, beam_size: int = 1):
+        """Uniform dispatch surface (decode.dispatch.decode_ids) shared with
+        ShowTell: SAT has no batch stats (ignored) and pre-tiles the beam
+        statics in the step closure, so callers pass tile=False onward."""
+        step_fn, carry, first = self.make_decode_state(trainable, features, beam_size)
+        return step_fn, carry, first, False
+
     def make_decode_state(
         self, trainable: Params, features: jax.Array, beam_size: int = 1
     ):

@@ -208,6 +208,13 @@ class ShowTellModel:
 
     # --- decoding step interface (for decode/greedy.py, decode/beam.py) ---
 
+    def decode_state(self, trainable, batch_stats, features, beam_size: int = 1):
+        """Uniform dispatch surface (decode.dispatch.decode_ids) shared with
+        SAT: ShowTell's carry is small, so ``beam_search`` tiles it
+        internally (tile=True); ``beam_size`` is handled there."""
+        step_fn, carry, first = self.make_decode_state(trainable, batch_stats, features)
+        return step_fn, carry, first, True
+
     def make_decode_state(self, trainable, batch_stats, features):
         """features [B, feature_dim] -> (step_fn, carry, first_logits).
 

@@ -31,9 +31,14 @@ class StepTimer:
         if result is not None:
             jax.block_until_ready(result)
         dt = time.perf_counter() - self._t0
+        self.record(dt)
+        return dt
+
+    def record(self, dt: float) -> None:
+        """Feed an externally measured per-step time (e.g. a synced window's
+        average) into the EMA without the start/stop bracket."""
         self.last_s = dt
         self.avg_s = dt if self.avg_s is None else self.ema * self.avg_s + (1 - self.ema) * dt
-        return dt
 
 
 class ThroughputMeter:

@@ -23,7 +23,7 @@ from show_and_tell_tpu import ckpt
 from show_and_tell_tpu.config import Config
 from show_and_tell_tpu.data.pipeline import _load_image
 from show_and_tell_tpu.data.transforms import eval_transform
-from show_and_tell_tpu.decode import beam_search, greedy_decode, sample_decode
+from show_and_tell_tpu.decode import decode_ids
 from show_and_tell_tpu.models.registry import build_model
 from show_and_tell_tpu.utils.rng import KeyChain
 from show_and_tell_tpu.utils.vocab import Vocabulary
@@ -38,27 +38,33 @@ class Captioner:
         frozen,
         vocab: Vocabulary,
         batch_stats=None,
-        bucket_sizes: Sequence[int] = (1, 8, 32, 128),
+        bucket_sizes: Optional[Sequence[int]] = None,
         mesh=None,
     ):
         """``mesh``: optional ``jax.sharding.Mesh`` for multi-chip serving —
         params/batch_stats are replicated, each request batch is sharded
         over the ``data`` axis, and XLA runs the whole caption program SPMD
-        (the serving mirror of the training mesh; bucket sizes must be
-        divisible by the data-axis size)."""
+        (the serving mirror of the training mesh). Explicit ``bucket_sizes``
+        must be divisible by the data-axis size; the default buckets
+        (1, 8, 32, 128) are rounded up to multiples of it automatically."""
         self.cfg = cfg
         self.model = model
         self.vocab = vocab
-        self.bucket_sizes = sorted(bucket_sizes)
+        explicit_buckets = bucket_sizes is not None
+        self.bucket_sizes = sorted(bucket_sizes or (1, 8, 32, 128))
         self.mesh = mesh
         if mesh is not None:
             from show_and_tell_tpu.parallel import mesh as mesh_lib
 
             dp = mesh.shape[mesh_lib.DATA_AXIS]
             bad = [b for b in self.bucket_sizes if b % dp]
-            if bad:
+            if bad and explicit_buckets:
                 raise ValueError(
                     f"bucket sizes {bad} not divisible by the mesh data axis ({dp})"
+                )
+            if bad:  # adapt the defaults instead of erroring
+                self.bucket_sizes = sorted(
+                    {-(-b // dp) * dp for b in self.bucket_sizes}
                 )
             params = mesh_lib.replicate(mesh, params)
             frozen = mesh_lib.replicate(mesh, frozen)
@@ -109,7 +115,6 @@ class Captioner:
         if key in self._fns:
             return self._fns[key]
         model, cfg = self.model, self.cfg
-        is_sat = type(model).__name__ == "ShowAttendTellModel"
         temperature, top_k = self.temperature, self.top_k
 
         @jax.jit
@@ -117,30 +122,9 @@ class Captioner:
             feats = model.backbone_features(
                 frozen, eval_transform(images_u8, cfg.crop_size)
             )
-            if is_sat:
-                k = cfg.beam_size if mode == "beam" else 1
-                step_fn, carry, first = model.make_decode_state(params, feats, k)
-                tile = False
-            else:
-                step_fn, carry, first = model.make_decode_state(
-                    params, batch_stats, feats
-                )
-                tile = True
-            if mode == "beam":
-                ids, _ = beam_search(
-                    step_fn, carry, batch, beam_size=cfg.beam_size,
-                    max_len=cfg.max_decode_len, first_logits=first, tile=tile,
-                    length_penalty=cfg.length_penalty,
-                )
-                return ids
-            if mode == "sample":
-                return sample_decode(
-                    step_fn, carry, batch, rng, cfg.max_decode_len,
-                    temperature=temperature, top_k=top_k,
-                    first_logits=first,
-                )
-            return greedy_decode(
-                step_fn, carry, batch, cfg.max_decode_len, first_logits=first
+            return decode_ids(
+                model, cfg, params, batch_stats, feats, mode,
+                rng=rng, temperature=temperature, top_k=top_k,
             )
 
         self._fns[key] = fn

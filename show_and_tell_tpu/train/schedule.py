@@ -14,7 +14,9 @@ from show_and_tell_tpu.config import Config
 
 
 def lr_for_epoch(cfg: Config, epoch: int) -> float:
-    if cfg.learning_rate_decay_start >= 1 and epoch > cfg.learning_rate_decay_start:
+    # -1 disables decay (config contract); 0 means decay from the first
+    # epoch boundary, so the guard must be >= 0 (matching ss_prob_for_epoch)
+    if cfg.learning_rate_decay_start >= 0 and epoch > cfg.learning_rate_decay_start:
         frac = (epoch - cfg.learning_rate_decay_start) // cfg.learning_rate_decay_every
         return cfg.learning_rate * (cfg.learning_rate_decay_rate ** frac)
     return cfg.learning_rate

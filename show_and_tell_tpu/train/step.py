@@ -112,7 +112,9 @@ def make_train_step(
         if cfg.skip_nonfinite:
             # Failure detection (absent from the reference, SURVEY.md §5):
             # a non-finite gradient anywhere drops this step's update —
-            # params and optimizer state are carried forward unchanged.
+            # params, optimizer state, AND batch stats are carried forward
+            # unchanged (a NaN batch would otherwise permanently poison the
+            # ShowTell encoder's BN running stats through the EMA).
             finite = jnp.isfinite(grad_norm)
             params = jax.tree.map(
                 lambda new, old: jnp.where(finite, new, old), params, state.params
@@ -122,6 +124,12 @@ def make_train_step(
                 opt_state,
                 state.opt_state,
             )
+            if new_stats is not None:
+                new_stats = jax.tree.map(
+                    lambda new, old: jnp.where(finite, new, old),
+                    new_stats,
+                    state.batch_stats,
+                )
         new_state = TrainState(
             params=params,
             opt_state=opt_state,

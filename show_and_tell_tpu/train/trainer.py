@@ -22,6 +22,7 @@ What's different (TPU-native):
 from __future__ import annotations
 
 import logging
+import time
 from typing import Callable, Iterable, Optional
 
 import jax
@@ -33,7 +34,7 @@ from show_and_tell_tpu.obs.meters import StepTimer, ThroughputMeter
 from show_and_tell_tpu.obs.profiler import profile_trace
 from show_and_tell_tpu.parallel import mesh as mesh_lib
 from show_and_tell_tpu.train.schedule import lr_for_epoch, ss_prob_for_epoch
-from show_and_tell_tpu.train.step import make_eval_loss_step, make_train_state, make_train_step
+from show_and_tell_tpu.train.step import make_train_state, make_train_step
 from show_and_tell_tpu.utils.rng import KeyChain
 
 log = logging.getLogger(__name__)
@@ -88,7 +89,6 @@ class Trainer:
         self.frozen = mesh_lib.replicate(self.mesh, frozen)
         self.state = make_train_state(cfg, params, batch_stats)
         self.train_step = make_train_step(model, cfg, donate=cfg.donate)
-        self.eval_loss_step = make_eval_loss_step(model, cfg)
         self.timer = StepTimer()
         self.throughput = ThroughputMeter()
 
@@ -141,10 +141,26 @@ class Trainer:
             if hasattr(self.trainloader, "set_epoch"):
                 self.trainloader.set_epoch(epoch)  # resume-deterministic order
 
+            # Resume replay: skip already-trained iterations BEFORE any
+            # decode/transfer work. Loaders exposing set_resume_skip drop the
+            # batch plans outright (no host decode); otherwise raw batches
+            # are consumed and discarded without the device transfer.
+            skip_n = loaded_iteration if epoch == loaded_epoch else 0
+            raw_skip = 0
+            if skip_n and hasattr(self.trainloader, "set_resume_skip"):
+                self.trainloader.set_resume_skip(skip_n)
+            else:
+                raw_skip = skip_n
+
             # One-batch transfer lookahead: batch i+1 is placed on device
             # (async) while step i computes, hiding host->device copies.
-            def _sharded_batches():
+            def _sharded_batches(discard: int):
                 it_ = iter(self.trainloader)
+                for _ in range(discard):
+                    try:
+                        next(it_)
+                    except StopIteration:
+                        return
                 try:
                     nxt = next(it_)
                 except StopIteration:
@@ -156,13 +172,15 @@ class Trainer:
                     nxt, nxt_dev = following, fol_dev
                 yield nxt, nxt_dev
 
-            for it, (batch, dev_batch) in enumerate(_sharded_batches()):
-                it += 1
-                if epoch == loaded_epoch and it <= loaded_iteration:
-                    continue
+            # Device sync happens once per log window (not per step), so
+            # host dispatch for step i+1 overlaps device compute of step i;
+            # per-step time is the window average.
+            window_t0 = time.perf_counter()
+            window_items = window_steps = 0
+            for off, (batch, dev_batch) in enumerate(_sharded_batches(raw_skip)):
+                it = off + 1 + skip_n
                 total_iteration += 1
 
-                self.timer.start()
                 rng = self.keys.key("train", epoch, it)
                 with profile_trace(
                     cfg.profile_dir or "/tmp/sat_trace",
@@ -171,12 +189,16 @@ class Trainer:
                     self.state, metrics = self.train_step(
                         self.state, self.frozen, dev_batch, lr, ss_prob, rng
                     )
-                dt = self.timer.stop(metrics["loss"])
-                bsz = int(np.asarray(batch["captions"]).shape[0])
-                self.throughput.update(bsz, dt)
+                window_items += int(np.asarray(batch["captions"]).shape[0])
+                window_steps += 1
 
                 if it % cfg.log_step == 0:
-                    loss = float(metrics["loss"])
+                    loss = float(metrics["loss"])  # syncs the window
+                    dt = time.perf_counter() - window_t0
+                    self.timer.record(dt / window_steps)
+                    self.throughput.update(window_items, dt)
+                    window_t0 = time.perf_counter()
+                    window_items = window_steps = 0
                     log.info(
                         "Epoch [%d/%d], Step [%d], Loss: %.4f, Perplexity: %5.4f, "
                         "%.1f img/s, %.0f ms/step",
@@ -202,6 +224,9 @@ class Trainer:
                         lr_history,
                         infos,
                     )
+                    # eval + checkpoint I/O must not pollute the timing window
+                    window_t0 = time.perf_counter()
+                    window_items = window_steps = 0
             loaded_iteration = 0  # after the resume epoch, run all iterations
 
         return infos

@@ -197,6 +197,24 @@ def test_loader_set_epoch_resume_determinism():
     assert a == b_
 
 
+def test_loader_resume_skip():
+    """set_resume_skip drops the first n batch plans of the next epoch only
+    (resume replay without decode), preserving the order past the skip."""
+    vocab = Vocabulary.from_words(["w"])
+    ds = CocoCaptionDataset(_records(16), vocab, num_buckets=2)
+    l1 = Loader(ds, batch_size=4, seed=7, load_images=False)
+    l1.set_epoch(2)
+    full = [b["imgids"] for b in l1]
+    l2 = Loader(ds, batch_size=4, seed=7, load_images=False)
+    l2.set_epoch(2)
+    l2.set_resume_skip(2)
+    tail = [b["imgids"] for b in l2]
+    assert tail == full[2:]
+    # the skip is one-shot: a fresh epoch on the same loader is complete
+    l2.set_epoch(2)
+    assert [b["imgids"] for b in l2] == full
+
+
 def test_loader_with_images(tmp_path):
     ann, img_root = make_karpathy_json(tmp_path)
     cfg = Config(

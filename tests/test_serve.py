@@ -47,12 +47,18 @@ def test_captioner_multichip_mesh_matches_single_device():
     a = single.caption_images(images, mode="beam")
     b = sharded.caption_images(images, mode="beam")
     assert a == b
-    # bucket sizes must divide the data axis
+    # EXPLICIT bucket sizes must divide the data axis
     try:
         Captioner.from_checkpoint(cfg, None, vocab, bucket_sizes=(3,), mesh=mesh)
         assert mesh.devices.size == 1  # only reachable on a 1-device mesh
     except ValueError as e:
         assert "divisible" in str(e)
+    # DEFAULT buckets adapt to the mesh instead of erroring (review fix):
+    # every bucket a multiple of dp, and captioning still works
+    dp = mesh.shape[mesh_lib.DATA_AXIS]
+    auto = Captioner.from_checkpoint(cfg, None, vocab, mesh=mesh)
+    assert all(b % dp == 0 for b in auto.bucket_sizes)
+    assert auto.caption_images(images[:3], mode="greedy")  # pads to a bucket
 
 
 def test_captioner_show_tell():
@@ -93,6 +99,44 @@ def test_nonfinite_guard_skips_update():
         for a, b in zip(jax.tree.leaves(s2.params), jax.tree.leaves(state.params))
     )
     assert changed
+
+
+def test_nonfinite_guard_protects_batch_stats():
+    """ShowTell carries BN running stats: a NaN batch must not poison them
+    through the EMA when the update is skipped (review regression)."""
+    from show_and_tell_tpu.train.step import make_train_state, make_train_step
+
+    cfg = Config(
+        embed_size=16, hidden_size=32, crop_size=32, model="show_tell",
+        skip_nonfinite=True,
+    )
+    model = build_model(cfg, 9)
+    params, frozen = model.init(jax.random.PRNGKey(0))
+    stats = model.init_batch_stats()
+    state = make_train_state(cfg, params, batch_stats=stats)
+    step = make_train_step(model, cfg, donate=False)
+    B, T = 4, 5
+    batch = {
+        "captions": np.ones((B, T), np.int32),
+        "lengths": np.full((B,), T, np.int32),
+        "features": np.full((B, 2048), np.nan, np.float32),
+    }
+    new_state, metrics = step(state, frozen, batch, 1e-2, 0.0, jax.random.PRNGKey(0))
+    assert not np.isfinite(float(metrics["grad_norm"]))
+    for a, b in zip(
+        jax.tree.leaves(new_state.batch_stats), jax.tree.leaves(state.batch_stats)
+    ):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.isfinite(a).all()
+        np.testing.assert_array_equal(a, b)
+    # a healthy batch does advance the running stats
+    batch["features"] = np.random.default_rng(0).random((B, 2048)).astype(np.float32)
+    s2, _ = step(state, frozen, batch, 1e-2, 0.0, jax.random.PRNGKey(0))
+    moved = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(s2.batch_stats), jax.tree.leaves(state.batch_stats))
+    )
+    assert moved
 
 
 def test_scaled_config_inception_dp():

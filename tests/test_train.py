@@ -30,6 +30,11 @@ def test_lr_schedule_matches_reference_formula():
     assert lr_for_epoch(cfg, 4) == pytest.approx(1e-3 * 0.8 ** 1)
     assert lr_for_epoch(cfg, 7) == pytest.approx(1e-3 * 0.8 ** 2)
     assert lr_for_epoch(Config(learning_rate_decay_start=-1), 10) == 1e-3
+    # decay_start=0 is valid (decay from the first epoch boundary) — only -1
+    # disables; a >=1 guard silently turned it off (review regression)
+    cfg0 = cfg.replace(learning_rate_decay_start=0)
+    assert lr_for_epoch(cfg0, 1) == pytest.approx(1e-3 * 0.8 ** 0)
+    assert lr_for_epoch(cfg0, 3) == pytest.approx(1e-3 * 0.8 ** 1)
 
 
 def test_ss_schedule():
@@ -135,6 +140,43 @@ def test_trainer_resume_skips_iterations(tmp_path):
     # epoch 1 fully skipped (4 iters done), epoch 2 adds 4 more
     assert infos2["total_iter"] == 8
     assert infos2["epoch"] == 2
+
+
+def test_trainer_resume_uses_loader_skip(tmp_path):
+    """Loaders exposing set_resume_skip get the replay skip pushed down
+    (no decode/transfer for already-trained batches); iteration numbering
+    and totals are identical to the consume-and-discard fallback."""
+
+    class SkippingLoader:
+        def __init__(self, batches):
+            self.batches = batches
+            self.skip_calls = []
+            self._skip = 0
+
+        def set_epoch(self, epoch):
+            pass
+
+        def set_resume_skip(self, n):
+            self.skip_calls.append(n)
+            self._skip = n
+
+        def __iter__(self):
+            s, self._skip = self._skip, 0
+            return iter(self.batches[s:])
+
+    cfg = small_cfg(tmp_path, max_epochs=1)
+    model = build_model(cfg, V)
+    Trainer(cfg, model, SkippingLoader(_loader()), eval_fn=lambda *a: (1.0, [], {})).train()
+    assert ckpt.load_infos(cfg.expr_dir)["total_iter"] == 4
+
+    cfg2 = small_cfg(tmp_path, max_epochs=2, start_from=str(tmp_path))
+    loader2 = SkippingLoader(_loader())
+    Trainer(cfg2, model, loader2, eval_fn=lambda *a: (1.0, [], {})).train()
+    assert loader2.skip_calls == [4]  # epoch 1 skipped at the loader level
+    infos = ckpt.load_infos(cfg.expr_dir)
+    assert infos["total_iter"] == 8
+    assert infos["epoch"] == 2
+    assert infos["iter"] == 4  # within-epoch numbering preserved
 
 
 def test_checkpoint_roundtrip(tmp_path):
