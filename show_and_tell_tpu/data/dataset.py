@@ -25,11 +25,13 @@ from typing import Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
 
+from show_and_tell_tpu.utils.shapes import round_up
 from show_and_tell_tpu.utils.vocab import Vocabulary
 
 
 def _round_up(x: int, m: int = 4) -> int:
-    return ((x + m - 1) // m) * m
+    # bucket edges pad caption lengths to multiples of 4 (shared helper)
+    return round_up(x, m)
 
 
 class CocoCaptionDataset:

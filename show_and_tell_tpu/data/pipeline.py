@@ -146,6 +146,11 @@ class Loader:
         self._epoch = 0
         self._explicit_epoch: Optional[int] = None
         self._resume_skip = 0
+        # The native decoder spawns its own C++ thread pool per call; with
+        # num_workers _materialize calls in flight that would oversubscribe
+        # the host num_workers^2-fold. Serialize native calls (each gets the
+        # full thread budget); batch-level pipelining continues via the pool.
+        self._native_decode_lock = threading.Lock()
 
     def set_epoch(self, epoch: int) -> None:
         """Pin the shuffle seed to a logical epoch number so a resumed run
@@ -193,9 +198,10 @@ class Loader:
                     "auto-fallback"
                 )
             if self.native_decode is not False and _native_available():
-                images, ok = _native_load_batch(
-                    meta["paths"], self.image_size, self.num_workers
-                )
+                with self._native_decode_lock:
+                    images, ok = _native_load_batch(
+                        meta["paths"], self.image_size, self.num_workers
+                    )
                 for i in np.nonzero(~ok)[0]:  # PIL fallback per failure
                     images[i] = _load_image(meta["paths"][i], self.image_size)
                 batch["images"] = images
@@ -216,9 +222,8 @@ class Loader:
                 self.batch_size, self.shuffle, rng, self.drop_remainder
             )
         )
-        skip = getattr(self, "_resume_skip", 0)
-        if skip:
-            plans = plans[skip:]
+        if self._resume_skip:
+            plans = plans[self._resume_skip:]
             self._resume_skip = 0
         if not plans:
             return

@@ -79,8 +79,13 @@ def resize_transform(
     rng: jax.Array = None, dtype=jnp.float32,
 ) -> jax.Array:
     """Full fused device path: resize -> (random|center) crop/flip ->
-    normalize."""
+    normalize. Accepts uint8 (0..255) or already-0..1 float inputs."""
+    # resize_bilinear outputs float32 but KEEPS the input's value range, so
+    # rescale uint8-range inputs to 0..1 here — normalize's uint8 branch
+    # can't fire on the float resize output.
     x = resize_bilinear(images, size)
+    if images.dtype == jnp.uint8:
+        x = x / 255.0
     if train:
         return normalize(random_crop_flip(rng, x, crop), dtype)
     return normalize(center_crop(x, crop), dtype)

@@ -101,10 +101,17 @@ def batch_norm_train(
     weight (torch convention; models.py:17 uses momentum=0.01).
     """
     axes = tuple(range(x.ndim - 1))
-    mean = jnp.mean(x, axis=axes)
-    var = jnp.var(x, axis=axes)
+    # Batch statistics and the normalization itself in fp32 regardless of the
+    # compute dtype: the running-stat EMA accumulates hundreds of updates, so
+    # bf16-rounded means/vars would drift the inference-time normalization
+    # away from the fp32 stats the design promises (show_tell.py mixed
+    # precision: bf16 matmuls, fp32 params/BN).
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=axes)
+    var = jnp.var(xf, axis=axes)
     inv = jax.lax.rsqrt(var + eps)
-    y = (x - mean) * inv * p["scale"].astype(x.dtype) + p["bias"].astype(x.dtype)
+    y = ((xf - mean) * inv * p["scale"].astype(jnp.float32)
+         + p["bias"].astype(jnp.float32)).astype(x.dtype)
     n = float(np.prod([x.shape[a] for a in axes]))
     unbiased = var * (n / max(n - 1.0, 1.0))
     new_stats = {
@@ -119,19 +126,26 @@ def batch_norm_train(
 def max_pool(x: jax.Array, window: int, stride: int, padding="VALID") -> jax.Array:
     if isinstance(padding, int):
         padding = [(0, 0), (padding, padding), (padding, padding), (0, 0)]
-        return jax.lax.reduce_window(
-            x, -jnp.inf, jax.lax.max, (1, window, window, 1), (1, stride, stride, 1), padding
-        )
     return jax.lax.reduce_window(
         x, -jnp.inf, jax.lax.max, (1, window, window, 1), (1, stride, stride, 1), padding
     )
 
 
-def avg_pool(x: jax.Array, window: int, stride: int, padding="VALID") -> jax.Array:
+def avg_pool(
+    x: jax.Array,
+    window: int,
+    stride: int,
+    padding="VALID",
+    count_include_pad: bool = True,
+) -> jax.Array:
+    """``count_include_pad=True`` (default) divides by window² everywhere —
+    torch ``F.avg_pool2d``'s default, which torchvision Inception-v3's
+    branch_pool uses; imported-weight parity depends on matching it at the
+    borders. ``False`` divides by the number of valid (non-pad) cells."""
     s = jax.lax.reduce_window(
         x, 0.0, jax.lax.add, (1, window, window, 1), (1, stride, stride, 1), padding
     )
-    if padding == "VALID":
+    if padding == "VALID" or count_include_pad:
         return s / (window * window)
     ones = jnp.ones_like(x)
     cnt = jax.lax.reduce_window(

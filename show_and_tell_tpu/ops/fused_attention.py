@@ -41,12 +41,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from show_and_tell_tpu.ops import lstm as lstm_mod
+from show_and_tell_tpu.utils.shapes import round_up as _round_up
 
 Params = Dict
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 def _attn_kernel(L_true, ce_ref, f_ref, hp_ref, watt_ref, ctx_ref, alpha_ref):

@@ -63,6 +63,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from show_and_tell_tpu.ops import lstm as lstm_mod
+from show_and_tell_tpu.utils.shapes import round_up as _round_up
 
 # variant = "<score>_<context>": score in {s32, s16, smxu}, context in
 # {cvpu, cmxu}; "grid2" = 2D grid over (B-blocks, beams)
@@ -154,10 +155,6 @@ def _score_mode(variant: str) -> str:
 
 def _ctx_mode(variant: str) -> str:
     return variant.split("_")[1]
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 def _kernel(L_true: int, K: int, variant: str,

@@ -43,6 +43,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from show_and_tell_tpu.utils.shapes import round_up as _round_up
 
 Params = Dict[str, jax.Array]
 
@@ -89,7 +90,6 @@ def lstm_cell_reference(
 ) -> Tuple[jax.Array, jax.Array]:
     hx = jnp.concatenate([x, h], axis=-1)
     z = hx @ params["w"] + params["b"]
-    hidden = h.shape[-1]
     zi, zf, zg, zo = jnp.split(z, 4, axis=-1)
     i = jax.nn.sigmoid(zi)
     f = jax.nn.sigmoid(zf)
@@ -97,7 +97,6 @@ def lstm_cell_reference(
     o = jax.nn.sigmoid(zo)
     c_new = f * c + i * g
     h_new = o * jnp.tanh(c_new)
-    del hidden
     # Match carry dtypes (h may be bf16 compute dtype while c stays fp32).
     return h_new.astype(h.dtype), c_new.astype(c.dtype)
 
@@ -122,10 +121,6 @@ def _cell_kernel(hx_ref, c_ref, wi, wf, wg, wo, b_ref, h_out, c_out):
     c_new = f * c_ref[:].astype(jnp.float32) + i * g
     h_out[:] = (o * jnp.tanh(c_new)).astype(h_out.dtype)
     c_out[:] = c_new.astype(c_out.dtype)
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 def _pick_tile(h: int, in_h: int = 0, itemsize: int = 4) -> int:

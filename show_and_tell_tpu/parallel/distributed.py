@@ -47,7 +47,9 @@ def initialize(
     (which would itself initialise the backend and poison the runtime)."""
     if jax.distributed.is_initialized():
         return
-    explicit = coordinator_address is not None
+    explicit = any(
+        a is not None for a in (coordinator_address, num_processes, process_id)
+    )
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,

@@ -81,3 +81,32 @@ def test_sat_bf16_beam_consistent_with_greedy_top1():
     stepg, carryg, _ = m.make_decode_state(trainable, feats)
     g = greedy_decode(stepg, carryg, 2, 5)
     np.testing.assert_array_equal(np.asarray(b1), np.asarray(g))
+
+
+def test_batch_norm_train_bf16_stats_are_fp32_accurate():
+    """BN batch statistics must be computed in fp32 even for bf16 inputs:
+    the running-stat EMA accumulates hundreds of updates, so bf16-rounded
+    means/vars would drift the inference normalization away from the fp32
+    stats the mixed-precision design stores."""
+    from show_and_tell_tpu.models.layers import batch_norm_train
+
+    rng = np.random.default_rng(0)
+    x = (rng.random((64, 128)) * 10 + 5).astype(np.float32)
+    p = {
+        "scale": jnp.ones((128,)),
+        "bias": jnp.zeros((128,)),
+        "mean": jnp.zeros((128,)),
+        "var": jnp.ones((128,)),
+    }
+    _, s32 = batch_norm_train(p, jnp.asarray(x), momentum=1.0)
+    y16, s16 = batch_norm_train(p, jnp.asarray(x, jnp.bfloat16), momentum=1.0)
+    assert y16.dtype == jnp.bfloat16
+    assert s16["mean"].dtype == jnp.float32
+    # bf16 input quantization costs ~1e-2 relative; fp32 stat accumulation
+    # keeps the batch mean/var within that, not bf16's ~4e-3 * range drift
+    np.testing.assert_allclose(
+        np.asarray(s16["mean"]), np.asarray(s32["mean"]), rtol=3e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(s16["var"]), np.asarray(s32["var"]), rtol=5e-2
+    )

@@ -166,3 +166,29 @@ def test_encoder_weights_config_wiring(tmp_path):
     want = np.asarray(sd["features.0.bias"])
     # first leaf of the converted tree is conv0's bias ('b' sorts before 'w')
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_avg_pool_matches_torch_count_include_pad():
+    """Inception branch_pool parity: torch F.avg_pool2d defaults to
+    count_include_pad=True (divide by k*k even at padded borders); our
+    avg_pool default must match or imported Inception-v3 weights drift at
+    every feature-map border."""
+    torch = pytest.importorskip("torch")
+    from show_and_tell_tpu.models.layers import avg_pool
+
+    x = np.random.default_rng(0).random((2, 7, 7, 5)).astype(np.float32)
+    pad = [(0, 0), (1, 1), (1, 1), (0, 0)]
+    ours = np.asarray(avg_pool(jnp.asarray(x), 3, 1, pad))
+    with torch.no_grad():
+        theirs = torch.nn.functional.avg_pool2d(
+            torch.from_numpy(x.transpose(0, 3, 1, 2)), 3, 1, padding=1
+        ).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(ours, theirs, atol=1e-6)
+    # the explicit opt-out divides by the valid-cell count instead
+    excl = np.asarray(avg_pool(jnp.asarray(x), 3, 1, pad, count_include_pad=False))
+    with torch.no_grad():
+        theirs_excl = torch.nn.functional.avg_pool2d(
+            torch.from_numpy(x.transpose(0, 3, 1, 2)), 3, 1, padding=1,
+            count_include_pad=False,
+        ).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(excl, theirs_excl, atol=1e-6)

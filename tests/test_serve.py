@@ -179,6 +179,15 @@ def test_device_resize_transform():
     imgs = (np.random.default_rng(0).random((2, 100, 80, 3)) * 255).astype(np.uint8)
     out = resize_transform(jnp.asarray(imgs), size=64, crop=56)
     assert out.shape == (2, 56, 56, 3)
+    # value-range regression: a constant uint8 image must normalize exactly
+    # as (v/255 - mean)/std — resize outputs float in the INPUT's range, so
+    # the uint8 rescale has to happen inside resize_transform
+    from show_and_tell_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+
+    const = np.full((1, 100, 80, 3), 128, np.uint8)
+    got = np.asarray(resize_transform(jnp.asarray(const), size=64, crop=56))
+    want = (128 / 255.0 - np.asarray(IMAGENET_MEAN)) / np.asarray(IMAGENET_STD)
+    np.testing.assert_allclose(got, np.broadcast_to(want, got.shape), atol=1e-5)
     out_t = resize_transform(
         jnp.asarray(imgs), size=64, crop=56, train=True, rng=jax.random.PRNGKey(0)
     )
