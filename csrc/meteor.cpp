@@ -223,13 +223,20 @@ std::string porter_stem(const std::string& word) {
 
 // --- alignment + sentence score -------------------------------------------
 
+// Matches Python str.split(): ANY whitespace run separates tokens (the
+// scorer's bit-equality contract with metrics/meteor.py depends on this —
+// space-only splitting scored tab/newline-joined tokens as unmatched).
+static inline bool is_ws(char c) {
+  return c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == '\v';
+}
+
 std::vector<std::string> split_ws(const std::string& s) {
   std::vector<std::string> out;
   size_t i = 0;
   while (i < s.size()) {
-    while (i < s.size() && s[i] == ' ') ++i;
+    while (i < s.size() && is_ws(s[i])) ++i;
     size_t j = i;
-    while (j < s.size() && s[j] != ' ') ++j;
+    while (j < s.size() && !is_ws(s[j])) ++j;
     if (j > i) out.push_back(s.substr(i, j - i));
     i = j;
   }

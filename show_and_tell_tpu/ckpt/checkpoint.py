@@ -28,12 +28,25 @@ INFOS_BEST = "infos-best.json"
 MODEL_BEST = "model-best.msgpack"
 
 
+def _jsonable(obj):
+    """Coerce numpy/jax scalars and arrays to native JSON types; anything
+    else fails loudly. ``default=str`` here would silently stringify a
+    numeric ``best_val_score``, and the resumed run would then compare
+    float > str and crash at its first checkpoint — a write-time TypeError
+    is strictly better than that."""
+    if hasattr(obj, "item") and getattr(obj, "ndim", 1) == 0:
+        return obj.item()
+    if hasattr(obj, "tolist"):
+        return obj.tolist()
+    raise TypeError(f"not JSON-serializable in infos: {type(obj).__name__}")
+
+
 def save_infos(expr_dir: str, infos: Dict, best: bool = False) -> str:
     os.makedirs(expr_dir, exist_ok=True)
     path = os.path.join(expr_dir, INFOS_BEST if best else INFOS)
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
-        json.dump(infos, f, indent=1, default=str)
+        json.dump(infos, f, indent=1, default=_jsonable)
     os.replace(tmp, path)  # atomic: a crash never leaves a torn file
     return path
 

@@ -45,6 +45,17 @@ def main(argv=None):
 
         frozen = load_torch_encoder(model.encoder_name, cfg.encoder_weights)
     batch_stats = model.init_batch_stats() if hasattr(model, "init_batch_stats") else None
+    if cfg.load_model_path and not cfg.encoder_weights:
+        # Checkpoints persist only trainable params + batch stats; the frozen
+        # backbone is rebuilt from init. Without --encoder_weights that means
+        # a RANDOM encoder under a trained decoder — scores would be garbage
+        # with no error, so make the footgun loud.
+        log.warning(
+            "--load_model_path given without --encoder_weights: the frozen "
+            "encoder is randomly initialized (checkpoints do not store it). "
+            "Pass the same --encoder_weights used in training, or expect "
+            "near-zero scores."
+        )
     if cfg.load_model_path:
         restored = ckpt.load_best_params(cfg.load_model_path, params, batch_stats)
         if restored is None:

@@ -56,15 +56,24 @@ def extract(cfg, splits=("train", "val")) -> str:
 
     out = {}
     for split in splits:
-        ds = CocoCaptionDataset(records, vocab, split, cfg.max_caption_len, 1)
+        # One record per image: the dataset yields one record per CAPTION
+        # (~5/image on COCO), and the encoder output is identical for all of
+        # them — dedup before loading so each image is decoded+encoded once.
+        seen, unique_records = set(), []
+        for r in records:
+            if r.get("split") == split and r["cocoid"] not in seen:
+                seen.add(r["cocoid"])
+                unique_records.append(r)
+        ds = CocoCaptionDataset(unique_records, vocab, split, cfg.max_caption_len, 1)
         loader = Loader(
             ds, cfg.batch_size, shuffle=False, num_workers=cfg.num_workers
         )
+        n_before = len(out)
         for batch in loader:
             feats = np.asarray(encode(frozen, batch["images"]), np.float32)
             for cocoid, f in zip(batch["cocoids"], feats):
-                out[str(cocoid)] = f  # dedup across per-caption records
-        log.info("%s: %d images encoded", split, len(out))
+                out[str(cocoid)] = f
+        log.info("%s: %d images encoded", split, len(out) - n_before)
 
     path = cfg.output_json if cfg.output_json.endswith(".npz") else cfg.output_json + ".npz"
     np.savez_compressed(path, **out)

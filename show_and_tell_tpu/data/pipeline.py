@@ -45,41 +45,29 @@ def _load_image(path: str, size: int = 256) -> np.ndarray:
 # throughput scales with host cores instead of Python threads.
 
 _NATIVE_LIB = None
-_NATIVE_CHECKED = False
+
+
+def _configure_native(lib) -> None:
+    import ctypes
+
+    lib.load_images_batch.restype = ctypes.c_int
+    lib.load_images_batch.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int,
+    ]
 
 
 def _native_available() -> bool:
-    # Negative results are NOT latched (csrc may be built after first probe).
-    global _NATIVE_LIB, _NATIVE_CHECKED
-    if _NATIVE_CHECKED:
-        return _NATIVE_LIB is not None
-    try:
-        import ctypes
-        import os
+    global _NATIVE_LIB
+    if _NATIVE_LIB is None:
+        from show_and_tell_tpu.utils.native import load_csrc_lib
 
-        path = os.path.join(
-            os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-            "csrc",
-            "libimage_loader.so",
-        )
-        if not os.path.exists(path):
-            return False
-        lib = ctypes.CDLL(path)
-        lib.load_images_batch.restype = ctypes.c_int
-        lib.load_images_batch.argtypes = [
-            ctypes.c_char_p,
-            ctypes.c_int,
-            ctypes.c_int,
-            ctypes.POINTER(ctypes.c_uint8),
-            ctypes.POINTER(ctypes.c_uint8),
-            ctypes.c_int,
-        ]
-        _NATIVE_LIB = lib
-        _NATIVE_CHECKED = True
-        return True
-    except Exception:
-        _NATIVE_LIB = None
-        return False
+        _NATIVE_LIB = load_csrc_lib("libimage_loader.so", _configure_native)
+    return _NATIVE_LIB is not None
 
 
 def _native_load_batch(paths, size: int, n_threads: int):

@@ -199,8 +199,6 @@ def porter_stem(word: str) -> str:
     for suf in step4:
         if w.endswith(suf):
             stem = w[: -len(suf)]
-            if suf == "ion":
-                pass
             if _measure(stem) > 1:
                 w = stem
             break
@@ -466,44 +464,32 @@ class Meteor:
 # --- C++ fast path (csrc/meteor.cpp via ctypes) -----------------------------
 
 _CPP_LIB = None
-_CPP_CHECKED = False
+
+
+def _configure_cpp(lib) -> None:
+    import ctypes
+
+    lib.meteor_score.restype = ctypes.c_double
+    lib.meteor_score.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+    lib.meteor_stem.restype = ctypes.c_void_p
+    lib.meteor_stem.argtypes = [ctypes.c_char_p]
+    lib.meteor_free.argtypes = [ctypes.c_void_p]
+    lib.meteor_set_synonyms.argtypes = [ctypes.c_char_p]
+    lib.meteor_set_paraphrases.argtypes = [ctypes.c_char_p]
+    # share the synonym + paraphrase tables with the Python scorer
+    lib.meteor_set_synonyms(_synonyms.serialize())
+    lib.meteor_set_paraphrases(_paraphrases.serialize())
+    global _CPP_PARA_GEN
+    _CPP_PARA_GEN = _paraphrases.generation()
 
 
 def _cpp_available() -> bool:
-    # Negative results are NOT latched (csrc may be built after first probe).
-    global _CPP_LIB, _CPP_CHECKED
-    if _CPP_CHECKED:
-        return _CPP_LIB is not None
-    try:
-        import ctypes
-        import os
+    global _CPP_LIB
+    if _CPP_LIB is None:
+        from show_and_tell_tpu.utils.native import load_csrc_lib
 
-        path = os.path.join(
-            os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-            "csrc",
-            "libmeteor.so",
-        )
-        if not os.path.exists(path):
-            return False
-        lib = ctypes.CDLL(path)
-        lib.meteor_score.restype = ctypes.c_double
-        lib.meteor_score.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
-        lib.meteor_stem.restype = ctypes.c_void_p
-        lib.meteor_stem.argtypes = [ctypes.c_char_p]
-        lib.meteor_free.argtypes = [ctypes.c_void_p]
-        lib.meteor_set_synonyms.argtypes = [ctypes.c_char_p]
-        lib.meteor_set_paraphrases.argtypes = [ctypes.c_char_p]
-        # share the synonym + paraphrase tables with the Python scorer
-        lib.meteor_set_synonyms(_synonyms.serialize())
-        lib.meteor_set_paraphrases(_paraphrases.serialize())
-        global _CPP_PARA_GEN
-        _CPP_PARA_GEN = _paraphrases.generation()
-        _CPP_LIB = lib
-        _CPP_CHECKED = True
-        return True
-    except Exception:
-        _CPP_LIB = None
-        return False
+        _CPP_LIB = load_csrc_lib("libmeteor.so", _configure_cpp)
+    return _CPP_LIB is not None
 
 
 _CPP_PARA_GEN = -1

@@ -91,7 +91,8 @@ class COCOEvalCap:
                 missing[:10],
                 "..." if len(missing) > 10 else "",
             )
-            ids = [i for i in ids if i not in set(missing)]
+            missing_set = set(missing)
+            ids = [i for i in ids if i not in missing_set]
         gts = {i: self.coco.imgToAnns[i] for i in ids}
         res = {i: self.cocoRes.imgToAnns[i] for i in ids}
         log.info("tokenization...")

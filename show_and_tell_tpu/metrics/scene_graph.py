@@ -284,14 +284,25 @@ def spice_f(cand: Set[Tuple3], ref: Set[Tuple3]) -> float:
     """SPICE F1 between a candidate tuple set and the union reference set."""
     if not cand or not ref:
         return 0.0
-    used: Set[Tuple3] = set()
-    matched = 0
-    for t in cand:
-        for r in ref:
-            if r not in used and _tuple_match(t, r):
-                used.add(r)
-                matched += 1
-                break
+    # One-to-one assignment via maximum bipartite matching (augmenting
+    # paths). Greedy iteration over raw sets would make the count depend on
+    # hash-seed iteration order (synonym matches are many-to-many); maximum
+    # matching is both order-independent and maximal, so a candidate tuple
+    # never loses its only partner to one that had alternatives.
+    cl, rl = sorted(cand), sorted(ref)
+    adj = [[j for j, r in enumerate(rl) if _tuple_match(t, r)] for t in cl]
+    owner = [-1] * len(rl)  # ref index -> matched cand index
+
+    def _augment(i: int, seen: List[bool]) -> bool:
+        for j in adj[i]:
+            if not seen[j]:
+                seen[j] = True
+                if owner[j] < 0 or _augment(owner[j], seen):
+                    owner[j] = i
+                    return True
+        return False
+
+    matched = sum(_augment(i, [False] * len(rl)) for i in range(len(cl)))
     p = matched / len(cand)
     r = matched / len(ref)
     return 0.0 if p + r == 0 else 2 * p * r / (p + r)

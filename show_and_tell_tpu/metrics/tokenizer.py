@@ -104,37 +104,23 @@ class PTBTokenizer:
 # --- optional C++ fast path -------------------------------------------------
 
 _CPP_LIB = None
-_CPP_CHECKED = False
+
+
+def _configure_cpp(lib) -> None:
+    import ctypes
+
+    lib.ptb_tokenize.restype = ctypes.c_void_p
+    lib.ptb_tokenize.argtypes = [ctypes.c_char_p]
+    lib.ptb_free.argtypes = [ctypes.c_void_p]
 
 
 def _cpp_tokenizer_available() -> bool:
-    # Negative results are NOT latched: the .so may be built after the first
-    # probe (tests/setup build csrc on demand), and re-probing costs one
-    # os.path.exists while it stays missing.
-    global _CPP_LIB, _CPP_CHECKED
-    if _CPP_CHECKED:
-        return _CPP_LIB is not None
-    try:
-        import ctypes
-        import os
+    global _CPP_LIB
+    if _CPP_LIB is None:
+        from show_and_tell_tpu.utils.native import load_csrc_lib
 
-        path = os.path.join(
-            os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-            "csrc",
-            "libptb_tokenizer.so",
-        )
-        if not os.path.exists(path):
-            return False
-        lib = ctypes.CDLL(path)
-        lib.ptb_tokenize.restype = ctypes.c_void_p
-        lib.ptb_tokenize.argtypes = [ctypes.c_char_p]
-        lib.ptb_free.argtypes = [ctypes.c_void_p]
-        _CPP_LIB = lib
-        _CPP_CHECKED = True
-        return True
-    except Exception:
-        _CPP_LIB = None
-        return False
+        _CPP_LIB = load_csrc_lib("libptb_tokenizer.so", _configure_cpp)
+    return _CPP_LIB is not None
 
 
 def _cpp_tokenize(caption: str) -> str:

@@ -173,3 +173,37 @@ def test_loader_native_decode_matches_pil(tmp_path):
     b_native = next(iter(Loader(ds, batch_size=4, shuffle=False, native_decode=True)))
     b_pil = next(iter(Loader(ds, batch_size=4, shuffle=False, native_decode=False)))
     np.testing.assert_array_equal(b_native["images"], b_pil["images"])
+
+
+def test_cpp_meteor_whitespace_split_matches_python():
+    """str.split() parity: the C++ scorer must treat ANY whitespace as a
+    separator, not just ' ' — a tab-joined hypothesis used to score 0.0 on
+    the C++ path while Python matched it."""
+    from show_and_tell_tpu.metrics import meteor
+
+    if not meteor._cpp_available():
+        pytest.skip("libmeteor.so not built")
+    meteor._cpp_sync_tables()
+    cases = [
+        ("man\tbike", ["man bike"]),
+        ("a\ndog  runs\r\nfast", ["a dog runs fast"]),
+        ("\t leading and trailing \n", ["leading and trailing"]),
+    ]
+    for hyp, refs in cases:
+        py = meteor.meteor_sentence(hyp, refs)
+        cpp = meteor._cpp_meteor_sentence(hyp, refs)
+        assert abs(py - cpp) < 1e-12, (hyp, py, cpp)
+
+
+def test_spice_hash_seed_deterministic_and_maximal():
+    """SPICE tuple matching is a maximum bipartite matching over sorted
+    lists: the score may not depend on set iteration order, and a candidate
+    with one partner must not lose it to one that had alternatives."""
+    from show_and_tell_tpu.metrics.scene_graph import spice_backend
+
+    # 'bike' matches both refs (exact + synonym), 'bicycle' only 'bike':
+    # maximum matching pairs bike->motorcycle, bicycle->bike => F1 = 1.0
+    score, _ = spice_backend(
+        {1: ["a bike and a motorcycle"]}, {1: ["a bicycle and a bike"]}
+    )
+    assert score == 1.0
