@@ -68,10 +68,19 @@ def main() -> None:
     for i in range(N_WARMUP):
         state, m = step(state, frozen, batch, 1e-3, 0.05, jax.random.PRNGKey(i))
         float(m["loss"])
+    # Steady-state loop: fetch step i-1's loss while step i runs — the real
+    # Trainer syncs the loss only every ``log_step`` (trainer.py:196), so a
+    # per-step float() here would bill one relay host round-trip (~30 ms) to
+    # every step, which training never pays. The final fetch syncs the chain
+    # (steps serialize through the donated state on device regardless).
     t0 = time.perf_counter()
+    prev = None
     for i in range(N_ITERS):
         state, m = step(state, frozen, batch, 1e-3, 0.05, jax.random.PRNGKey(i))
-        float(m["loss"])  # forces completion through the relay
+        if prev is not None:
+            float(prev["loss"])
+        prev = m
+    float(prev["loss"])  # forces completion through the relay
     dt = time.perf_counter() - t0
 
     img_s = BATCH * N_ITERS / dt

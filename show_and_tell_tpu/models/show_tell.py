@@ -183,6 +183,23 @@ class ShowTellModel:
         tokens = jnp.swapaxes(shifted, 0, 1)  # [T-1, B]
         if rng is None:
             rng = jax.random.PRNGKey(0)
+
+        # Static pure-teacher-forcing fast path (see show_attend_tell.py:
+        # same reasoning): recurrence in the scan, output head batched over
+        # all steps as one [(T-1)*B, H] x [H, V] matmul. Identical math.
+        if isinstance(ss_prob, (int, float)) and float(ss_prob) == 0.0:
+            xs = embedding_lookup(trainable["embed"], tokens)  # [T-1, B, E]
+            xs = xs.at[0].set(feat_embed)  # step 0 consumes the image feature
+
+            def tf_step(lstm_state, x):
+                out, lstm_state = self._run_lstm_stack(trainable, x, lstm_state)
+                return lstm_state, out
+
+            _, outs = jax.lax.scan(tf_step, self.zero_state(B), xs)
+            logits = jnp.swapaxes(dense(trainable["out"], outs), 0, 1)
+            mask = jnp.arange(steps)[None, :] < (lengths[:, None] - 1)
+            return logits, mask
+
         step_rngs = jax.random.split(rng, steps)
         ts = jnp.arange(steps)
 

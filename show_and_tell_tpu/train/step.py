@@ -69,8 +69,15 @@ def make_train_step(
     """
     tx = make_optimizer(cfg)
     is_sat = type(model).__name__ == "ShowAttendTellModel"
+    # With the schedule disabled (the default, and the reference's actual
+    # behavior) pass a STATIC 0.0 so decode_train takes its batched-head
+    # teacher-forcing path; the traced ss_prob argument still exists in the
+    # step signature but is ignored.
+    ss_enabled = cfg.scheduled_sampling_start >= 0
 
     def loss_fn(params, batch_stats, features, captions, lengths, ss_prob, rng_ss):
+        if not ss_enabled:
+            ss_prob = 0.0
         if is_sat:
             logits, mask, _ = model.decode_train(
                 params, features, captions, lengths, rng_ss, ss_prob

@@ -191,3 +191,49 @@ def test_show_tell_scheduled_sampling():
     assert not np.allclose(np.asarray(l0), np.asarray(l1))
     # step 0 consumes the image feature either way: identical logits
     np.testing.assert_allclose(np.asarray(l0[:, 0]), np.asarray(l1[:, 0]), atol=1e-6)
+
+
+def test_sat_teacher_forcing_fast_path_matches_scan_head():
+    """decode_train's static ss=0.0 fast path (head batched outside the
+    scan) must be bit-identical to the general scheduled-sampling path
+    (head in-scan; forced by passing ss_prob as a traced-style jnp scalar,
+    which the isinstance check rejects)."""
+    cfg = small_cfg(model="show_attend_tell")
+    model = build_model(cfg, V)
+    params, _ = model.init(jax.random.PRNGKey(0))
+    feats = jnp.asarray(
+        np.random.default_rng(0).standard_normal((3, model.num_patches, model.feature_dim)),
+        jnp.float32,
+    )
+    caps = jnp.asarray(np.random.default_rng(1).integers(4, V, (3, 7)), jnp.int32)
+    caps = caps.at[:, 0].set(1)
+    lengths = jnp.asarray([7, 5, 3], jnp.int32)
+    rng = jax.random.PRNGKey(2)
+    lf, mf, af = model.decode_train(params, feats, caps, lengths, rng, 0.0)
+    ls, ms, as_ = model.decode_train(
+        params, feats, caps, lengths, rng, jnp.float32(0.0)
+    )
+    np.testing.assert_array_equal(np.asarray(lf), np.asarray(ls))
+    np.testing.assert_array_equal(np.asarray(mf), np.asarray(ms))
+    np.testing.assert_array_equal(np.asarray(af), np.asarray(as_))
+
+
+def test_show_tell_teacher_forcing_fast_path_matches_scan_head():
+    cfg = small_cfg(model="show_tell")
+    model = build_model(cfg, V)
+    params, _ = model.init(jax.random.PRNGKey(0))
+    stats = model.init_batch_stats()
+    feats = jnp.asarray(
+        np.random.default_rng(0).standard_normal((3, model.feature_dim)), jnp.float32
+    )
+    feat_embed, _ = model.encode(params, stats, feats, train=False)
+    caps = jnp.asarray(np.random.default_rng(1).integers(4, V, (3, 7)), jnp.int32)
+    caps = caps.at[:, 0].set(1)
+    lengths = jnp.asarray([7, 5, 3], jnp.int32)
+    rng = jax.random.PRNGKey(2)
+    lf, mf = model.decode_train(params, feat_embed, caps, lengths, rng, 0.0)
+    ls, ms = model.decode_train(
+        params, feat_embed, caps, lengths, rng, jnp.float32(0.0)
+    )
+    np.testing.assert_array_equal(np.asarray(lf), np.asarray(ls))
+    np.testing.assert_array_equal(np.asarray(mf), np.asarray(ms))
