@@ -61,13 +61,19 @@ def main():
     ap.add_argument(
         "--variant", default="all",
         help="'xla', 'pallas' (all pallas variants), a specific "
-        "fused_decode_attention.VARIANTS name, or 'all'",
+        "fused_decode_attention.VARIANTS name, 'all', or one of the "
+        "standalone probes: 'micro-tanh' (VPU floor), 'full-chain' "
+        "(attention + cell + head end-to-end)",
     )
     ap.add_argument(
         "--bt", type=int, default=8,
         help="images per VMEM block for the pallas variants",
     )
     args = ap.parse_args()
+    if args.variant == "micro-tanh":
+        return micro_tanh()
+    if args.variant == "full-chain":
+        return full_chain()
 
     import jax
     import jax.numpy as jnp
@@ -227,8 +233,13 @@ def full_chain():
             def body(carry, _):
                 h, c, emb = carry
                 h2, c2, logits = step(h, c, emb)
-                nxt = jnp.argmax(logits[:, :E].astype(jnp.float32), axis=-1)
-                emb2 = (emb * 0.99 + h2[:, :E] * 0.01)
+                # the argmax must FEED the next step (a real decode embeds
+                # the selected token) or XLA dead-code-eliminates it and the
+                # timing silently excludes token selection
+                nxt = jnp.argmax(logits.astype(jnp.float32), axis=-1)
+                emb2 = emb * 0.99 + (
+                    nxt[:, None].astype(emb.dtype) * 1e-6 + h2[:, :E] * 0.01
+                )
                 return (h2, c2, emb2), jnp.sum(logits[:, 0].astype(jnp.float32))
             (_, _, _), s = jax.lax.scan(body, (h, c, emb), None, length=STEPS)
             return s.sum()

@@ -60,8 +60,12 @@ def wl1_lstm_fwd_bwd():
     captions = jnp.asarray(rng.integers(4, VOCAB, (B, T)), jnp.int32).at[:, 0].set(1)
     lengths = jnp.full((B,), T, jnp.int32)
 
-    def loss_fn(p):
-        fe, _ = model.encode(p, stats, feats, train=True)
+    def loss_fn(p, eps):
+        # ``eps`` (the loop carry, numerically ~0 but dynamic) perturbs the
+        # features so each scan iteration's gradient genuinely depends on
+        # the previous one — without it XLA hoists the loop-invariant
+        # fwd+bwd out of the while loop and the timing measures ~1 step.
+        fe, _ = model.encode(p, stats, feats + eps, train=True)
         logits, mask = model.decode_train(p, fe, captions, lengths)
         loss, _ = masked_cross_entropy(logits, captions[:, 1:], mask)
         return loss
@@ -73,9 +77,11 @@ def wl1_lstm_fwd_bwd():
         # iterate on device so the relay's per-call dispatch overhead
         # doesn't swamp a ~ms-scale step
         def body(carry, _):
-            g = jax.grad(loss_fn)(p)
+            g = jax.grad(loss_fn)(p, carry)
             gn = sum(jnp.sum(jnp.abs(x)) for x in jax.tree.leaves(g))
-            return carry + gn * 0, carry
+            # ~1e-17 — vanishes in f32 addition but is not provably zero,
+            # so the chain body -> carry -> next body cannot be folded away
+            return gn * 1e-20, None
         s, _ = jax.lax.scan(body, jnp.zeros(()), None, length=iters)
         return s
 
@@ -152,12 +158,31 @@ def wl3_beam3_val5k():
              "big", "small", "street", "tree"]
     vocab = Vocabulary.from_words(words + [f"w{i}" for i in range(VOCAB - len(words) - 4)])
 
+    import ml_dtypes
+
+    # features stored bf16, their compute dtype — a bf16 serving pipeline
+    # would keep them that way on disk; halves the host->device bytes
+    feats16 = feats.astype(ml_dtypes.bfloat16)
+
     # warm up: exclude the one-time jit compile, as every other workload does
-    np.asarray(decode(params, jnp.asarray(feats[:B])))
+    np.asarray(decode(params, jnp.asarray(feats16[:B])))
+    # Pipelined loop, like the serving path: batch i+1's transfer and
+    # dispatch overlap batch i's result fetch. A synchronous
+    # transfer->decode->fetch loop serialized ~100MB of feature upload per
+    # batch with everything else and measured ~500x slower end-to-end on
+    # the relay backend.
     t0 = time.perf_counter()
     all_ids = []
+    d_next = jnp.asarray(feats16[:B])
+    pending = None
     for i in range(0, N, B):
-        all_ids.append(np.asarray(decode(params, jnp.asarray(feats[i : i + B]))))
+        ids_d = decode(params, d_next)
+        if i + B < N:
+            d_next = jnp.asarray(feats16[i + B : i + 2 * B])
+        if pending is not None:
+            all_ids.append(np.asarray(pending))
+        pending = ids_d
+    all_ids.append(np.asarray(pending))
     t_decode = time.perf_counter() - t0
     ids = np.concatenate(all_ids)
 
@@ -186,7 +211,12 @@ def wl3_beam3_val5k():
           unit="images/sec end-to-end (decode+scoring)",
           decode_img_s=round(N / t_decode, 1),
           metrics_s=round(t_metrics, 2),
-          metrics=sorted(out.keys()))
+          metrics=sorted(out.keys()),
+          note="decode_img_s is bound by THIS image's remote-relay tunnel "
+          "(~12 MB/s host->device, measured; ~98MB of features per 500-img "
+          "batch), not by compute — the same decode from device-resident "
+          "features measures >12k img/s (see bench.py / docs/KERNELS.md); "
+          "on real TPU-host PCIe the transfer is ~3 orders faster")
 
 
 def wl4_train_epoch():
@@ -257,12 +287,90 @@ def wl5_scaled_dp8():
     float(m["loss"])
     dt = (time.perf_counter() - t0) / iters
     n_dev = len(jax.devices())
+    dp8 = _run_dp8_validation()
     _emit(workload="5 scaled_inception_2layer_dp",
           value=round(B / dt, 1), unit="images/sec/chip",
           devices=n_dev,
-          note="v5e-8 not available in this image; per-chip number on the "
-          "real chip, 8-way DP validated by dryrun_multichip + "
-          "tests/test_parallel.py (DP8 == single-device math)")
+          dp8_executed=dp8.get("ok", False),
+          dp8_loss=dp8.get("loss"),
+          note="v5e-8 not available in this image: per-chip throughput on "
+          "the real chip, plus the same scaled config executed 8-way "
+          "data-parallel on a virtual CPU mesh (tiny shapes, one step) — "
+          "see dp8_executed/dp8_loss")
+
+
+def _run_dp8_validation() -> dict:
+    """Execute the scaled config's train step 8-way data-parallel on a
+    virtual CPU mesh in a subprocess (the live process already holds a real
+    backend, which cannot be swapped in-place — same re-exec pattern as
+    __graft_entry__.dryrun_multichip)."""
+    import json as _json
+    import re
+    import subprocess
+
+    env = os.environ.copy()
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = re.sub(
+        r"--xla_force_host_platform_device_count=\d+", "", env.get("XLA_FLAGS", "")
+    )
+    env["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    for var in ("JAX_PLATFORM_NAME", "PALLAS_AXON_POOL_IPS", "TPU_WORKER_HOSTNAMES"):
+        env.pop(var, None)
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--workload", "5dp-child"],
+        env=env, capture_output=True, text=True, timeout=900,
+    )
+    for line in reversed(proc.stdout.splitlines()):
+        try:
+            rec = _json.loads(line)
+        except ValueError:
+            continue
+        if rec.get("workload") == "5dp-child":
+            return rec
+    sys.stderr.write(
+        f"dp8 validation subprocess failed (rc={proc.returncode}); "
+        f"stderr tail: {proc.stderr[-500:]}\n"
+    )
+    return {"ok": False}
+
+
+def wl5dp_child():
+    """(child of workload 5) One 8-way data-parallel step of the scaled
+    Inception-v3 + 2-layer-LSTM config on the virtual CPU mesh — tiny crop
+    (Inception's stride stack handles 75px) so one host core finishes in
+    seconds; the sharding/collective structure is the production one."""
+    import jax
+    import jax.numpy as jnp
+
+    from show_and_tell_tpu.config import Config
+    from show_and_tell_tpu.models.registry import build_model
+    from show_and_tell_tpu.parallel import mesh as mesh_lib
+    from show_and_tell_tpu.train.step import make_train_state, make_train_step
+
+    assert len(jax.devices()) >= 8, jax.devices()
+    B, T = 16, 8
+    cfg = Config(encoder="inception_v3", num_layers=2, embed_size=64,
+                 hidden_size=96, crop_size=75, dtype="bfloat16",
+                 model="show_tell", batch_size=B)
+    model = build_model(cfg, 100)
+    mesh = mesh_lib.make_mesh(num_devices=8)
+    params, frozen = model.init(jax.random.PRNGKey(0))
+    params = mesh_lib.place_params(mesh, params)
+    frozen = mesh_lib.replicate(mesh, frozen)
+    state = make_train_state(cfg, params, batch_stats=model.init_batch_stats())
+    step = make_train_step(model, cfg, donate=False)
+    rng = np.random.default_rng(0)
+    batch = mesh_lib.shard_batch(mesh, {
+        "images": rng.integers(0, 256, (B, 90, 90, 3), dtype=np.uint8),
+        "captions": np.ascontiguousarray(
+            np.concatenate([np.ones((B, 1), np.int32),
+                            rng.integers(4, 100, (B, T - 1), dtype=np.int32)], 1)
+        ),
+        "lengths": np.full((B,), T, np.int32),
+    })
+    state, m = step(state, frozen, batch, 1e-3, 0.0, jax.random.PRNGKey(1))
+    _emit(workload="5dp-child", ok=True, loss=round(float(m["loss"]), 4),
+          devices=len(jax.devices()))
 
 
 WORKLOADS = {
@@ -271,6 +379,7 @@ WORKLOADS = {
     "3": wl3_beam3_val5k,
     "4": wl4_train_epoch,
     "5": wl5_scaled_dp8,
+    "5dp-child": wl5dp_child,  # internal: spawned by wl5 on a CPU mesh
 }
 
 
@@ -281,7 +390,11 @@ def main():
     from show_and_tell_tpu.utils.compile_cache import enable as _enable_cache
 
     _enable_cache()
-    keys = list(WORKLOADS) if args.workload == "all" else [args.workload]
+    keys = (
+        [k for k in WORKLOADS if not k.endswith("-child")]
+        if args.workload == "all"
+        else [args.workload]
+    )
     for k in keys:
         WORKLOADS[k]()
 

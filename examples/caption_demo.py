@@ -102,13 +102,20 @@ def main(workdir: str = "/tmp/sat_demo") -> None:
 
     import jax.numpy as jnp
 
+    from show_and_tell_tpu.data.transforms import eval_transform
+
+    # Same input path the Captioner (and training) uses: 256px uint8 ->
+    # center-crop + ImageNet normalize on device. Feeding raw 0..1 pixels
+    # here would give the model out-of-distribution inputs, so the attention
+    # maps would not correspond to the captions printed above.
+    imgs = np.stack(
+        [
+            np.asarray(Image.open(p).convert("RGB").resize((256, 256)), np.uint8)
+            for p in paths
+        ]
+    )
     feats = cap.model.backbone_features(
-        cap.frozen,
-        jnp.asarray(
-            np.stack(
-                [np.asarray(Image.open(p).resize((224, 224))) for p in paths]
-            )
-        ).astype(jnp.float32) / 255.0,
+        cap.frozen, eval_transform(jnp.asarray(imgs), cfg.crop_size)
     )
     ids, alphas = cap.model.greedy_with_attention(cap.params, feats, max_len=8)
     print("attention grid per step:", np.asarray(alphas).shape)  # [B, T, 196]

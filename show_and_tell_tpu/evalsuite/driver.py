@@ -97,6 +97,23 @@ def evaluation(
     predictions: List[Dict] = []
     seen = set()
 
+    def collect(loss_d, ids_d, imgids, cocoids):
+        nonlocal loss_sum, loss_evals
+        loss_sum += float(loss_d)
+        loss_evals += 1
+        sentences = vocab.decode_batch(np.asarray(ids_d))
+        for i, sentence in enumerate(sentences):
+            imgid = imgids[i]
+            if imgid in seen:  # dedup (eval.py:112-118)
+                continue
+            seen.add(imgid)
+            predictions.append({"image_id": cocoids[i], "caption": sentence})
+
+    # One-batch-lag pipeline (the serving loop's pattern): dispatch batch
+    # i's encode/loss/decode, then fetch + host-process batch i-1 while the
+    # device works — the id->string decode and the result transfers overlap
+    # compute instead of serializing a host round-trip into every batch.
+    inflight = None
     for batch in validloader:
         dbatch = {
             "captions": batch["captions"],
@@ -106,20 +123,13 @@ def evaluation(
             dbatch["features"] = batch["features"]
         else:
             dbatch["features"] = encode_images(frozen, batch["images"])
-        loss, _ = loss_step(params, batch_stats, frozen, dbatch)
-        loss_sum += float(loss)
-        loss_evals += 1
-
-        ids = np.asarray(caption_fn(params, batch_stats, dbatch["features"]))
-        sentences = vocab.decode_batch(ids)
-        for i, sentence in enumerate(sentences):
-            imgid = batch["imgids"][i]
-            if imgid in seen:  # dedup (eval.py:112-118)
-                continue
-            seen.add(imgid)
-            predictions.append(
-                {"image_id": batch["cocoids"][i], "caption": sentence}
-            )
+        loss_d, _ = loss_step(params, batch_stats, frozen, dbatch)
+        ids_d = caption_fn(params, batch_stats, dbatch["features"])
+        if inflight is not None:
+            collect(*inflight)
+        inflight = (loss_d, ids_d, batch["imgids"], batch["cocoids"])
+    if inflight is not None:
+        collect(*inflight)
 
     lang_stats: Dict = {}
     if run_language_eval and ann_file:

@@ -139,6 +139,11 @@ class Captioner:
         top-k via the ``temperature`` / ``top_k`` attributes)."""
         n = images_u8.shape[0]
         out: List[str] = []
+        # One-batch-lag pipeline: dispatch chunk i, then fetch + id->string
+        # decode chunk i-1 while the device works on i (the double-buffered
+        # loop bench.py measures; a per-chunk sync serializes a host round
+        # trip into every batch).
+        pending = None  # (device ids, live row count)
         i = 0
         while i < n:
             b = self._bucket(n - i)
@@ -151,13 +156,15 @@ class Captioner:
                 from show_and_tell_tpu.parallel import mesh as mesh_lib
 
                 chunk = mesh_lib.shard_batch(self.mesh, {"images": chunk})["images"]
-            ids = np.asarray(
-                self._fn(b, mode)(
-                    self.params, self.batch_stats, self.frozen, chunk, rng
-                )
+            ids_d = self._fn(b, mode)(
+                self.params, self.batch_stats, self.frozen, chunk, rng
             )
-            out.extend(self.vocab.decode_batch(ids)[: min(b, n - i)])
+            if pending is not None:
+                out.extend(self.vocab.decode_batch(np.asarray(pending[0]))[: pending[1]])
+            pending = (ids_d, min(b, n - i))
             i += b
+        if pending is not None:
+            out.extend(self.vocab.decode_batch(np.asarray(pending[0]))[: pending[1]])
         return out
 
     def caption_paths(self, paths: Sequence[str], mode: str = "beam") -> List[str]:
