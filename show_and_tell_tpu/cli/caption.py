@@ -1,0 +1,101 @@
+"""Caption images from a trained checkpoint — the serving CLI.
+
+The reference has no inference entry point at all (eval.py is
+validation-only and its beam search is a stub, model2.py:113-114); this is
+the "give me captions for these files" workflow a framework user actually
+wants. Wraps :class:`show_and_tell_tpu.serve.Captioner` (bucketed batches,
+device-side transforms, one-batch-lag pipelining).
+
+Usage::
+
+    python -m show_and_tell_tpu.cli.caption \
+        --vocab_path data/vocab.json --load_model_path experiment/u/e \
+        --encoder_weights vgg16.pth --beam_size 3 \
+        img1.jpg img2.jpg some/dir/
+
+Positional arguments are image files and/or directories (searched for
+jpg/jpeg/png, non-recursive). Output: one JSON line per image on stdout —
+``{"image": path, "caption": text}`` — so it pipes cleanly into jq etc.
+Decode mode follows ``--beam_size`` (1 = greedy, >1 = beam); for sampling
+use the :class:`Captioner` API directly (``temperature`` / ``top_k``).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import sys
+from typing import List
+
+from show_and_tell_tpu.config import parse_config
+from show_and_tell_tpu.serve import Captioner
+from show_and_tell_tpu.utils.logging import setup_logging
+from show_and_tell_tpu.utils.vocab import Vocabulary
+
+log = logging.getLogger(__name__)
+
+_EXTS = (".jpg", ".jpeg", ".png")
+
+
+def _expand(paths: List[str]) -> List[str]:
+    out: List[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            out.extend(
+                os.path.join(p, f)
+                for f in sorted(os.listdir(p))
+                if f.lower().endswith(_EXTS)
+            )
+        else:
+            out.append(p)
+    return out
+
+
+def _split_args(argv: List[str]) -> tuple:
+    """Separate positional image paths from ``--flag [value]`` pairs.
+
+    Deterministic because every generated config flag takes exactly one
+    value (config._add_field_arg: no store_true flags)."""
+    image_args: List[str] = []
+    flag_args: List[str] = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a.startswith("--"):
+            flag_args.append(a)
+            if "=" not in a and i + 1 < len(argv):
+                flag_args.append(argv[i + 1])
+                i += 1
+        else:
+            image_args.append(a)
+        i += 1
+    return image_args, flag_args
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    image_args, flag_args = _split_args(argv)
+    cfg = parse_config(flag_args)
+    setup_logging("caption_log.txt")
+    paths = _expand(image_args)
+    if not paths:
+        raise SystemExit("no images given (files or directories)")
+    vocab = Vocabulary.load(cfg.vocab_path)
+    if cfg.load_model_path and not cfg.encoder_weights:
+        log.warning(
+            "--load_model_path without --encoder_weights: the frozen encoder "
+            "is randomly initialized (checkpoints do not store it)"
+        )
+    cap = Captioner.from_checkpoint(cfg, cfg.load_model_path, vocab)
+    mode = "greedy" if cfg.beam_size <= 1 else "beam"
+    results = []
+    for path, caption in zip(paths, cap.caption_paths(paths, mode=mode)):
+        rec = {"image": path, "caption": caption}
+        print(json.dumps(rec))
+        results.append(rec)
+    return results
+
+
+if __name__ == "__main__":
+    main()

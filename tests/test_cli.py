@@ -34,3 +34,55 @@ def test_evaluate_requires_existing_checkpoint(tmp_path):
                 "--embed_size", "8", "--hidden_size", "16", "--crop_size", "32",
             ]
         )
+
+
+def test_caption_cli_arg_split():
+    from show_and_tell_tpu.cli.caption import _split_args
+
+    imgs, flags = _split_args(
+        ["a.jpg", "--beam_size", "3", "dir/", "--vocab_path=v.json", "b.png"]
+    )
+    assert imgs == ["a.jpg", "dir/", "b.png"]
+    assert flags == ["--beam_size", "3", "--vocab_path=v.json"]
+
+
+def test_caption_cli_end_to_end(tmp_path):
+    """Caption two PNGs with a random-weight tiny model through the real CLI
+    path (no checkpoint: from_checkpoint with load_model_path=None)."""
+    import json
+
+    import numpy as np
+    from PIL import Image
+
+    from show_and_tell_tpu.cli.caption import main as caption_main
+    from show_and_tell_tpu.utils.vocab import Vocabulary
+
+    v = Vocabulary.from_words(["a", "dog", "runs"])
+    vp = str(tmp_path / "vocab.json")
+    v.save(vp)
+    imgdir = tmp_path / "imgs"
+    imgdir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        Image.fromarray(
+            rng.integers(0, 255, (40, 50, 3), dtype=np.uint8)
+        ).save(imgdir / f"im{i}.png")
+    results = caption_main(
+        [
+            str(imgdir),
+            "--vocab_path", vp,
+            "--embed_size", "8", "--hidden_size", "16", "--crop_size", "32",
+            "--max_decode_len", "4", "--beam_size", "2",
+        ]
+    )
+    assert len(results) == 2
+    assert all(set(r) == {"image", "caption"} for r in results)
+
+
+def test_caption_cli_no_images():
+    import pytest as _pytest
+
+    from show_and_tell_tpu.cli.caption import main as caption_main
+
+    with _pytest.raises(SystemExit):
+        caption_main(["--beam_size", "2"])
