@@ -192,3 +192,28 @@ def test_avg_pool_matches_torch_count_include_pad():
             count_include_pad=False,
         ).numpy().transpose(0, 2, 3, 1)
     np.testing.assert_allclose(excl, theirs_excl, atol=1e-6)
+
+
+@pytest.mark.parametrize(
+    "k,stride,pad,cin",
+    [(3, 1, "SAME", 3), (7, 2, 3, 3), (3, 2, "VALID", 3), (1, 1, "SAME", 4)],
+)
+def test_conv2d_im2col_stem_path_matches_lax_conv(k, stride, pad, cin):
+    """The small-C_in im2col path (stem convs) must equal
+    lax.conv_general_dilated across stride/padding shapes: VGG 3x3s1,
+    ResNet 7x7s2p3, Inception 3x3s2 VALID."""
+    from show_and_tell_tpu.models.layers import conv2d
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 20, 20, cin)), jnp.float32)
+    p = {
+        "w": jnp.asarray(rng.standard_normal((k, k, cin, 16)) * 0.1, jnp.float32),
+        "b": jnp.asarray(rng.standard_normal((16,)) * 0.1, jnp.float32),
+    }
+    got = np.asarray(conv2d(p, x, stride=stride, padding=pad))
+    padding = [(pad, pad), (pad, pad)] if isinstance(pad, int) else pad
+    want = jax.lax.conv_general_dilated(
+        x, p["w"], (stride, stride), padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + p["b"]
+    np.testing.assert_allclose(got, np.asarray(want), atol=1e-5)
