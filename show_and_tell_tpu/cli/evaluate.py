@@ -45,7 +45,7 @@ def main(argv=None):
 
         frozen = load_torch_encoder(model.encoder_name, cfg.encoder_weights)
     batch_stats = model.init_batch_stats() if hasattr(model, "init_batch_stats") else None
-    if cfg.load_model_path and not cfg.encoder_weights:
+    if cfg.load_model_path and not cfg.encoder_weights and not cfg.features_path:
         # Checkpoints persist only trainable params + batch stats; the frozen
         # backbone is rebuilt from init. Without --encoder_weights that means
         # a RANDOM encoder under a trained decoder — scores would be garbage

@@ -104,6 +104,10 @@ class Config:
     # None = auto (C++ GIL-free decoder when built — measured 1.6x PIL);
     # False forces PIL, True requires the native library.
     native_decode: Optional[bool] = None
+    # .npz from cli/extract_features (keys = str(cocoid)): loaders feed
+    # precomputed encoder features instead of images — decoder-only training
+    # and image-free eval (BASELINE config 2's workflow)
+    features_path: Optional[str] = None
 
     # --- Eval data (reference eval.py:20 hardcodes this path) ---
     ann_file: Optional[str] = None

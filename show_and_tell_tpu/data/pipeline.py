@@ -264,6 +264,8 @@ def make_loader(
 ) -> Loader:
     """Loader factory mirroring the reference's ``get_loader`` surface
     (data_loader.py:64-77): batch size / workers / shuffle from config."""
+    if features is None and getattr(cfg, "features_path", None):
+        features = cfg.features_path  # .npz from cli/extract_features
     return Loader(
         dataset,
         batch_size=cfg.batch_size,
@@ -271,7 +273,7 @@ def make_loader(
         num_workers=cfg.num_workers,
         prefetch_depth=cfg.prefetch_depth,
         seed=cfg.random_seed,
-        load_images=load_images,
+        load_images=load_images and features is None,
         features=features,
         drop_remainder=(mode == "train"),
         native_decode=getattr(cfg, "native_decode", None),

@@ -85,3 +85,39 @@ def test_npz_loader_thread_safety(tmp_path):
     for a, b in zip(l1, l2):
         np.testing.assert_array_equal(a["features"], b["features"])
         assert a["cocoids"] == b["cocoids"]
+
+
+def test_features_path_config_wires_loaders(tmp_path):
+    """--features_path flows Config -> make_loader -> Loader: batches carry
+    features, never images (the decoder-only CLI workflow)."""
+    ann, img_root = make_karpathy_json(tmp_path)
+    cfg = Config(
+        caption_json=ann,
+        images_root=img_root,
+        vocab_path=str(tmp_path / "vocab.json"),
+        output_json=str(tmp_path / "data.json"),
+        word_count_threshold=1,
+        print_stats=False,
+        crop_size=32,
+        embed_size=16,
+        hidden_size=32,
+        batch_size=4,
+        num_buckets=1,
+    )
+    preprocess(cfg, resize_images=True, data_root=str(tmp_path / "resized"))
+    cfg = cfg.replace(
+        data_json=cfg.output_json, output_json=str(tmp_path / "feats.npz")
+    )
+    path = extract(cfg, splits=("train", "val"))
+
+    from show_and_tell_tpu.data.pipeline import make_loader
+
+    cfg = cfg.replace(features_path=path)
+    vocab = Vocabulary.load(cfg.vocab_path)
+    with open(cfg.data_json) as f:
+        records = json.load(f)
+    ds = CocoCaptionDataset(records, vocab, "train", num_buckets=1)
+    loader = make_loader(cfg, ds, mode="train")
+    batch = next(iter(loader))
+    assert "features" in batch and "images" not in batch
+    assert batch["features"].shape[0] == 4
