@@ -121,10 +121,6 @@ def main():
             print(f"pallas[{name}]: FAILED: {type(e).__name__}: {str(e)[:300]}")
 
 
-if __name__ == "__main__":
-    main()
-
-
 def micro_tanh():
     """VPU floor probe: just tanh(ce + hp_k) summed, no softmax/context."""
     import functools
@@ -260,3 +256,7 @@ def full_chain():
         for _ in range(6):
             np.asarray(loop(h, c, emb))
         print(f"full chain [{name}]: {(time.perf_counter()-t0)/6/STEPS*1e3:.3f} ms/step")
+
+
+if __name__ == "__main__":
+    main()

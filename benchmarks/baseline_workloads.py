@@ -316,10 +316,14 @@ def _run_dp8_validation() -> dict:
     env["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
     for var in ("JAX_PLATFORM_NAME", "PALLAS_AXON_POOL_IPS", "TPU_WORKER_HOSTNAMES"):
         env.pop(var, None)
-    proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--workload", "5dp-child"],
-        env=env, capture_output=True, text=True, timeout=900,
-    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--workload", "5dp-child"],
+            env=env, capture_output=True, text=True, timeout=900,
+        )
+    except subprocess.TimeoutExpired:
+        sys.stderr.write("dp8 validation subprocess timed out after 900s\n")
+        return {"ok": False}
     for line in reversed(proc.stdout.splitlines()):
         try:
             rec = _json.loads(line)

@@ -56,15 +56,20 @@ def _split_args(argv: List[str]) -> tuple:
     """Separate positional image paths from ``--flag [value]`` pairs.
 
     Deterministic because every generated config flag takes exactly one
-    value (config._add_field_arg: no store_true flags)."""
+    value (config._add_field_arg: no store_true flags). Zero-value flags
+    (``--help``) and a following ``--flag`` are never consumed as values,
+    and swallowed image paths can't go unnoticed: ``main`` errors on any
+    positional that doesn't exist on disk."""
     image_args: List[str] = []
     flag_args: List[str] = []
     i = 0
     while i < len(argv):
         a = argv[i]
-        if a.startswith("--"):
+        if a in ("-h", "--help"):
             flag_args.append(a)
-            if "=" not in a and i + 1 < len(argv):
+        elif a.startswith("--"):
+            flag_args.append(a)
+            if "=" not in a and i + 1 < len(argv) and not argv[i + 1].startswith("--"):
                 flag_args.append(argv[i + 1])
                 i += 1
         else:
@@ -78,15 +83,15 @@ def main(argv=None):
     image_args, flag_args = _split_args(argv)
     cfg = parse_config(flag_args)
     setup_logging("caption_log.txt")
+    missing = [p for p in image_args if not os.path.exists(p)]
+    if missing:
+        raise SystemExit(f"no such file or directory: {missing}")
     paths = _expand(image_args)
     if not paths:
         raise SystemExit("no images given (files or directories)")
     vocab = Vocabulary.load(cfg.vocab_path)
-    if cfg.load_model_path and not cfg.encoder_weights:
-        log.warning(
-            "--load_model_path without --encoder_weights: the frozen encoder "
-            "is randomly initialized (checkpoints do not store it)"
-        )
+    # (Captioner.from_checkpoint warns if load_model_path is set without
+    # encoder_weights — the random-frozen-encoder footgun.)
     cap = Captioner.from_checkpoint(cfg, cfg.load_model_path, vocab)
     mode = "greedy" if cfg.beam_size <= 1 else "beam"
     results = []

@@ -49,7 +49,8 @@ def main(argv=None):
         # Checkpoints persist only trainable params + batch stats; the frozen
         # backbone is rebuilt from init. Without --encoder_weights that means
         # a RANDOM encoder under a trained decoder — scores would be garbage
-        # with no error, so make the footgun loud.
+        # with no error. (Captioner.from_checkpoint carries the same warning
+        # for the serving path; the eval path doesn't go through it.)
         log.warning(
             "--load_model_path given without --encoder_weights: the frozen "
             "encoder is randomly initialized (checkpoints do not store it). "

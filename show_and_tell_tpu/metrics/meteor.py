@@ -505,9 +505,15 @@ def _cpp_sync_tables() -> None:
 
 
 def _cpp_meteor_sentence(hypothesis: str, references: Sequence[str]) -> float:
-    joined = "\x01".join(references)
+    # Normalize with str.split() BEFORE crossing the ctypes boundary: the
+    # C++ splitter handles ASCII whitespace only, while Python's split()
+    # also breaks on Unicode whitespace (U+00A0 etc.) — pre-joining with
+    # single spaces makes the two paths see identical token streams for any
+    # input, keeping the bit-equality contract.
+    hyp = " ".join(hypothesis.split())
+    joined = "\x01".join(" ".join(r.split()) for r in references)
     return float(
-        _CPP_LIB.meteor_score(hypothesis.encode("utf-8", "ignore"), joined.encode("utf-8", "ignore"))
+        _CPP_LIB.meteor_score(hyp.encode("utf-8", "ignore"), joined.encode("utf-8", "ignore"))
     )
 
 

@@ -14,6 +14,7 @@ padded to the bucket size so every request shape hits a cached compilation.
 
 from __future__ import annotations
 
+import logging
 from typing import Dict, List, Optional, Sequence
 
 import jax
@@ -27,6 +28,8 @@ from show_and_tell_tpu.decode import decode_ids
 from show_and_tell_tpu.models.registry import build_model
 from show_and_tell_tpu.utils.rng import KeyChain
 from show_and_tell_tpu.utils.vocab import Vocabulary
+
+log = logging.getLogger(__name__)
 
 
 class Captioner:
@@ -93,6 +96,17 @@ class Captioner:
             model.init_batch_stats() if hasattr(model, "init_batch_stats") else None
         )
         if expr_dir:
+            if not cfg.encoder_weights:
+                # Checkpoints persist only trainable params + batch stats;
+                # a trained decoder over a RANDOM frozen encoder silently
+                # produces garbage. One warning here covers every restore
+                # path (serve CLI, evaluate CLI, direct API use).
+                log.warning(
+                    "restoring %s without encoder_weights: the frozen "
+                    "encoder is randomly initialized (checkpoints do not "
+                    "store it) — pass the encoder weights used in training",
+                    expr_dir,
+                )
             restored = ckpt.load_best_params(expr_dir, params, batch_stats)
             if restored is not None:
                 params, batch_stats = restored
@@ -168,5 +182,13 @@ class Captioner:
         return out
 
     def caption_paths(self, paths: Sequence[str], mode: str = "beam") -> List[str]:
-        images = np.stack([_load_image(p) for p in paths])
-        return self.caption_images(images, mode)
+        # Load + caption in bucket-sized chunks: materializing every image
+        # up front costs ~200KB each (a 100k-image directory would need
+        # ~20GB host RAM before the first batch even dispatches), while the
+        # Captioner only ever consumes one bucket at a time.
+        chunk = max(self.bucket_sizes)
+        out: List[str] = []
+        for i in range(0, len(paths), chunk):
+            images = np.stack([_load_image(p) for p in paths[i : i + chunk]])
+            out.extend(self.caption_images(images, mode))
+        return out

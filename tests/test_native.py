@@ -188,6 +188,7 @@ def test_cpp_meteor_whitespace_split_matches_python():
         ("man\tbike", ["man bike"]),
         ("a\ndog  runs\r\nfast", ["a dog runs fast"]),
         ("\t leading and trailing \n", ["leading and trailing"]),
+        ("man\u00a0bike", ["man bike"]),  # Unicode NBSP: str.split() splits it
     ]
     for hyp, refs in cases:
         py = meteor.meteor_sentence(hyp, refs)
