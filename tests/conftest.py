@@ -24,9 +24,13 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 assert jax.default_backend() == "cpu", jax.default_backend()
-# Multi-device tests assume 8 virtual devices; honor an externally forced
-# count but fail loudly if somehow fewer than 2.
-assert len(jax.devices()) >= 2, jax.devices()
+# Multi-device tests hard-require 8 virtual devices (mesh shapes, shard
+# counts, 8-way DP == 1-device math): a different externally forced count
+# would fail a dozen tests with opaque mesh errors, so fail loudly here.
+assert len(jax.devices()) == 8, (
+    f"tests require exactly 8 virtual CPU devices, got {len(jax.devices())} "
+    f"(check an externally set --xla_force_host_platform_device_count)"
+)
 
 import sys
 

@@ -47,11 +47,28 @@ def make_karpathy_json(tmp_path, n_images=6):
 
 
 def test_build_vocab_threshold(tmp_path):
-    ann, _ = make_karpathy_json(tmp_path)
-    vocab, imgs = build_vocab(ann, word_count_threshold=2, show_stats=False)
-    assert vocab("a") >= 4  # special tokens occupy 0..3
-    assert vocab("rare1") == 3  # below threshold -> <unk>
-    assert len(imgs) == 6
+    # Controlled corpus so the threshold genuinely excludes something:
+    # counts are a=2, man=2, rides=1, rare1=1 — threshold 2 must keep
+    # {a, man} and map {rides, rare1} to <unk> (preprocess keeps
+    # cnt >= word_count_threshold).
+    images = [
+        {"split": "train", "imgid": 0, "cocoid": 1000, "filepath": "",
+         "filename": "x0.png", "sentids": [0],
+         "sentences": [{"tokens": ["a", "man", "rides"]}]},
+        {"split": "train", "imgid": 1, "cocoid": 1001, "filepath": "",
+         "filename": "x1.png", "sentids": [1],
+         "sentences": [{"tokens": ["a", "man", "rare1"]}]},
+    ]
+    ann = tmp_path / "thresh.json"
+    with open(ann, "w") as f:
+        json.dump({"images": images}, f)
+    vocab, imgs = build_vocab(str(ann), word_count_threshold=2, show_stats=False)
+    assert vocab("a") >= 4 and vocab("man") >= 4  # specials occupy 0..3
+    assert vocab("rides") == 3 and vocab("rare1") == 3  # below threshold -> <unk>
+    assert len(imgs) == 2
+    # threshold 1 keeps everything — proves the filter (not absence) did it
+    vocab1, _ = build_vocab(str(ann), word_count_threshold=1, show_stats=False)
+    assert vocab1("rides") >= 4 and vocab1("rare1") >= 4
 
 
 def test_preprocess_outputs(tmp_path):
@@ -163,10 +180,18 @@ def test_loader_bounded_prefetch_and_abandon():
     assert len(materialized) <= limit, (len(materialized), limit)
     # abandoning stops the producer
     it.close()
-    time.sleep(0.5)
-    after_close = len(materialized)
-    time.sleep(0.3)
-    assert len(materialized) == after_close < n_batches
+    # poll until the count is stable for several consecutive checks — a fixed
+    # two-snapshot comparison races a worker that was mid-_materialize at
+    # close() on an oversubscribed machine
+    deadline = time.monotonic() + 10.0
+    stable, prev = 0, -1
+    while stable < 5 and time.monotonic() < deadline:
+        time.sleep(0.1)
+        cur = len(materialized)
+        stable = stable + 1 if cur == prev else 0
+        prev = cur
+    assert stable >= 5, "materialize count never stabilized after close()"
+    assert len(materialized) < n_batches
 
 
 def test_loader_deterministic_and_reiterable():

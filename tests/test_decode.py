@@ -201,10 +201,14 @@ def test_early_stop_no_end_reaches_budget():
     b = greedy_decode(step_fn, {}, batch=3, max_len=6, early_stop=False)
     # random table: if no <end> sampled, both run the full budget identically
     ea, eb = np.asarray(a), np.asarray(b)
+    checked = 0
     for row_a, row_b in zip(ea, eb):
-        la = list(row_a)
-        if END_ID not in la:
+        if END_ID not in list(row_a):
             np.testing.assert_array_equal(row_a, row_b)
+            checked += 1
+    # guard against silent vacuity: the seed-11 table must keep producing at
+    # least one end-free row, or this test asserts nothing
+    assert checked > 0
 
 
 def test_length_penalty_prefers_longer():

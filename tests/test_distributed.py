@@ -15,14 +15,16 @@ from show_and_tell_tpu.train.step import make_train_state, make_train_step
 from show_and_tell_tpu.utils.vocab import Vocabulary
 
 
+from tests.test_data import _records as _data_records
+
+
 def _records(n=12):
-    return [
-        {
-            "split": "train", "imgid": i, "cocoid": i, "file_path": "x",
-            "final_caption": ["w"] * 3, "sentids": i,
-        }
-        for i in range(n)
-    ]
+    # shared synthetic-record factory (tests/test_data.py) with the fixed
+    # caption length this file's shard-math assertions assume
+    recs = _data_records(n)
+    for r in recs:
+        r["final_caption"] = ["w"] * 3
+    return recs
 
 
 def test_host_shard_partitions_records():

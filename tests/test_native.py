@@ -137,7 +137,12 @@ def test_native_image_loader_matches_pil(tmp_path):
     imgs, ok = pl._native_load_batch(paths, 256, 2)
     assert ok.all()
     np.testing.assert_array_equal(imgs[0], pl._load_image(p1, 256))
-    np.testing.assert_array_equal(imgs[1], pl._load_image(p2, 256))
+    # JPEG decode is not bit-specified across decoder builds (system
+    # libjpeg.so.62 vs Pillow's bundled turbo): allow +-1 LSB, PNG stays exact
+    diff = np.abs(
+        imgs[1].astype(np.int16) - pl._load_image(p2, 256).astype(np.int16)
+    )
+    assert diff.max() <= 1, diff.max()
     # grayscale promoted to RGB, resized: channels equal
     assert imgs[2].shape == (256, 256, 3)
     np.testing.assert_array_equal(imgs[2][..., 0], imgs[2][..., 1])

@@ -72,13 +72,18 @@ def test_tensor_parallel_classifier():
     """model axis = 2: vocab-dim params shard; training still runs."""
     mesh = mesh_lib.make_mesh(model_parallel=2)
     cfg = small_cfg(model_parallel=2)
-    model = build_model(cfg, V)
+    # EVEN vocab so the vocab-dim sharding branch actually executes — with
+    # an odd vocab every param falls back to replication and this test
+    # would pass with param_shardings' model-axis logic deleted
+    V_even = V + (V % 2)
+    model = build_model(cfg, V_even)
     params, _ = model.init(jax.random.PRNGKey(0))
     sh = mesh_lib.param_shardings(mesh, params)
     # classifier w [E, V] must be sharded on its last (vocab) dim iff divisible
-    spec = sh["classifier"]["w"].spec
-    if V % 2 == 0:
-        assert spec == jax.sharding.PartitionSpec(None, "model")
+    assert sh["classifier"]["w"].spec == jax.sharding.PartitionSpec(None, "model")
+    assert sh["embed"].spec == jax.sharding.PartitionSpec("model", None)
+    # non-vocab params stay replicated
+    assert sh["lstm"]["w"].spec == jax.sharding.PartitionSpec()
     losses, _ = _run_steps(mesh, model_parallel=2)
     assert np.isfinite(losses).all()
 

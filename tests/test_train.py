@@ -133,7 +133,6 @@ def test_trainer_resume_skips_iterations(tmp_path):
 
     # Resume in a fresh trainer from the same dir with more epochs.
     cfg2 = small_cfg(tmp_path, max_epochs=2, start_from=str(tmp_path))
-    steps = []
     t2 = Trainer(cfg2, model, _loader(), eval_fn=lambda *a: (1.0, [], {}))
     t2.train()
     infos2 = ckpt.load_infos(cfg.expr_dir)
