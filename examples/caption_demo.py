@@ -120,6 +120,19 @@ def main(workdir: str = "/tmp/sat_demo") -> None:
     ids, alphas = cap.model.greedy_with_attention(cap.params, feats, max_len=8)
     print("attention grid per step:", np.asarray(alphas).shape)  # [B, T, 196]
 
+    # Hallmark visualisation: per-word attention overlays, saved as contact
+    # sheets (the overlays correspond to the center-cropped input the model
+    # actually attended over).
+    from show_and_tell_tpu.utils.visualize import save_attention_sheets
+
+    off = (256 - cfg.crop_size) // 2
+    cropped = imgs[:, off : off + cfg.crop_size, off : off + cfg.crop_size]
+    outs = save_attention_sheets(
+        cropped, np.asarray(ids), np.asarray(alphas), vocab,
+        [f"{workdir}/attention_{os.path.basename(p)}" for p in paths],
+    )
+    print("attention sheets:", outs)
+
 
 if __name__ == "__main__":
     main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/sat_demo")

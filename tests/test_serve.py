@@ -212,3 +212,32 @@ def test_captioner_sample_mode():
     greedy = cap.caption_images(images, mode="greedy")
     k1 = cap.caption_images(images, mode="sample")
     assert greedy == k1
+
+
+def test_attention_sheet_rendering(tmp_path):
+    """visualize.save_attention_sheets: one panel per word + input, written
+    as a real PNG with the expected geometry."""
+    from show_and_tell_tpu.utils.visualize import attention_overlay, save_attention_sheets
+    from show_and_tell_tpu.utils.vocab import Vocabulary
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    H = W = 32
+    img = rng.integers(0, 255, (1, H, W, 3), dtype=np.uint8)
+    L, T = 16, 3  # 4x4 grid, 3 steps
+    alphas = rng.random((1, T, L)).astype(np.float32)
+    v = Vocabulary.from_words(["a", "dog", "runs"])
+    ids = np.array([[4, 5, 2]], np.int32)  # "a dog" then <end>
+    out = str(tmp_path / "sheet.png")
+    written = save_attention_sheets(img, ids, alphas, v, [out])
+    assert written == [out]
+    sheet = Image.open(out)
+    # 3 panels (input + 2 words) in one row of width 3*W
+    assert sheet.size[0] == 3 * W and sheet.size[1] >= H
+
+    # peaked attention brightens its own cell relative to a dark cell
+    alpha = np.zeros((L,), np.float32)
+    alpha[0] = 1.0
+    const = np.full((H, W, 3), 128, np.uint8)
+    ov = attention_overlay(const, alpha)
+    assert ov[2, 2].mean() > ov[-2, -2].mean()
