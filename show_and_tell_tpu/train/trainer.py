@@ -174,9 +174,13 @@ class Trainer:
 
             # Device sync happens once per log window (not per step), so
             # host dispatch for step i+1 overlaps device compute of step i;
-            # per-step time is the window average.
+            # per-step time is the window average. The fetch itself is lazy
+            # by one window: at step N we log step N-log_step's loss (already
+            # complete on device — the float() returns immediately) instead
+            # of blocking ~one host round-trip on step N's result.
             window_t0 = time.perf_counter()
             window_items = window_steps = 0
+            pending_log = None  # (epoch, it, metrics) awaiting its log line
             for off, (batch, dev_batch) in enumerate(_sharded_batches(raw_skip)):
                 it = off + 1 + skip_n
                 total_iteration += 1
@@ -193,23 +197,16 @@ class Trainer:
                 window_steps += 1
 
                 if it % cfg.log_step == 0:
-                    loss = float(metrics["loss"])  # syncs the window
                     dt = time.perf_counter() - window_t0
                     self.timer.record(dt / window_steps)
                     self.throughput.update(window_items, dt)
                     window_t0 = time.perf_counter()
                     window_items = window_steps = 0
-                    log.info(
-                        "Epoch [%d/%d], Step [%d], Loss: %.4f, Perplexity: %5.4f, "
-                        "%.1f img/s, %.0f ms/step",
-                        epoch,
-                        cfg.max_epochs,
-                        it,
-                        loss,
-                        float(np.exp(loss)),
-                        self.throughput.items_per_sec,
-                        1000 * (self.timer.avg_s or 0),
-                    )
+                    if pending_log is not None:
+                        self._log_step_line(*pending_log)
+                    pending_log = (epoch, it, metrics)
+                    # (dispatch can't race ahead unboundedly: donated state
+                    # buffers serialize step N+1's dispatch on step N)
 
                 if total_iteration % cfg.save_checkpoint_every == 0:
                     best_val_score = self._checkpoint(
@@ -227,9 +224,26 @@ class Trainer:
                     # eval + checkpoint I/O must not pollute the timing window
                     window_t0 = time.perf_counter()
                     window_items = window_steps = 0
+            if pending_log is not None:  # flush the lagged window at epoch end
+                self._log_step_line(*pending_log)
+                pending_log = None
             loaded_iteration = 0  # after the resume epoch, run all iterations
 
         return infos
+
+    def _log_step_line(self, epoch, it, metrics) -> None:
+        loss = float(metrics["loss"])
+        log.info(
+            "Epoch [%d/%d], Step [%d], Loss: %.4f, Perplexity: %5.4f, "
+            "%.1f img/s, %.0f ms/step",
+            epoch,
+            self.cfg.max_epochs,
+            it,
+            loss,
+            float(np.exp(loss)),
+            self.throughput.items_per_sec,
+            1000 * (self.timer.avg_s or 0),
+        )
 
     # ------------------------------------------------------------------
 
