@@ -39,25 +39,40 @@ class CiderScorer:
     def __init__(self, n: int = 4, sigma: float = 6.0):
         self.n = n
         self.sigma = sigma
-        self.crefs: List[List[Dict[tuple, int]]] = []
-        self.ctest: List[Dict[tuple, int]] = []
+        # raw sentences; n-gram precooking happens lazily in compute_score's
+        # Python fallback (the C++ fast path tokenizes in native code)
+        self.raw_tests: List[str] = []
+        self.raw_refs: List[List[str]] = []
 
     def append(self, test: str, refs) -> None:
-        self.crefs.append([_precook(r, self.n) for r in refs])
-        self.ctest.append(_precook(test, self.n))
+        self.raw_tests.append(test)
+        self.raw_refs.append(list(refs))
 
-    def _doc_freq(self) -> Dict[tuple, float]:
+    @property
+    def ctest(self) -> List[Dict[tuple, int]]:
+        return [_precook(t, self.n) for t in self.raw_tests]
+
+    @property
+    def crefs(self) -> List[List[Dict[tuple, int]]]:
+        return [[_precook(r, self.n) for r in refs] for refs in self.raw_refs]
+
+    @staticmethod
+    def _doc_freq(crefs) -> Dict[tuple, float]:
         df: Dict[tuple, float] = defaultdict(float)
-        for refs in self.crefs:
+        for refs in crefs:
             for ngram in set(ng for ref in refs for ng in ref):
                 df[ngram] += 1
         return df
 
     def compute_score(self) -> Tuple[float, np.ndarray]:
-        document_frequency = self._doc_freq()
+        cpp = _cpp_compute(self)
+        if cpp is not None:
+            return cpp
+        ctest, crefs = self.ctest, self.crefs  # precook once
+        document_frequency = self._doc_freq(crefs)
         if document_frequency:
-            assert len(self.ctest) >= max(document_frequency.values())
-        ref_len = np.log(float(len(self.crefs)))
+            assert len(ctest) >= max(document_frequency.values())
+        ref_len = np.log(float(len(crefs)))
 
         def counts2vec(cnts):
             vec = [defaultdict(float) for _ in range(self.n)]
@@ -85,7 +100,7 @@ class CiderScorer:
             return val
 
         scores = []
-        for test, refs in zip(self.ctest, self.crefs):
+        for test, refs in zip(ctest, crefs):
             vec, norm, length = counts2vec(test)
             score = np.zeros(self.n)
             for ref in refs:
@@ -93,6 +108,66 @@ class CiderScorer:
                 score += sim(vec, vec_r, norm, norm_r, length, length_r)
             scores.append(float(np.mean(score) / len(refs) * 10.0))
         return float(np.mean(scores)), np.array(scores)
+
+
+# --- C++ fast path (csrc/cider.cpp via ctypes) ------------------------------
+
+_CPP_LIB = None
+
+
+def _configure_cpp(lib) -> None:
+    import ctypes
+
+    lib.cider_score.restype = ctypes.c_int
+    lib.cider_score.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p),
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_char_p),
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.c_int,
+        ctypes.c_double,
+        ctypes.POINTER(ctypes.c_double),
+    ]
+
+
+def _cpp_available() -> bool:
+    global _CPP_LIB
+    if _CPP_LIB is None:
+        from show_and_tell_tpu.utils.native import load_csrc_lib
+
+        _CPP_LIB = load_csrc_lib("libcider.so", _configure_cpp)
+    return _CPP_LIB is not None
+
+
+def _cpp_compute(scorer: "CiderScorer"):
+    """Per-image accumulated score 4-vectors from C++ (bit-equal operation
+    order to the Python fallback — see csrc/cider.cpp header); the numpy
+    aggregation below is IDENTICAL to the fallback's. Returns None when the
+    library is absent so the pure-Python path runs."""
+    if not _cpp_available() or not scorer.raw_tests:
+        return None
+    import ctypes
+
+    N = len(scorer.raw_tests)
+    # pre-normalize whitespace so the ASCII splitter sees Python str.split()
+    # token streams (same contract as the METEOR wrapper)
+    enc = lambda s: " ".join(s.split()).encode("utf-8", "ignore")  # noqa: E731
+    cands = (ctypes.c_char_p * N)(*[enc(t) for t in scorer.raw_tests])
+    flat = [enc(r) for refs in scorer.raw_refs for r in refs]
+    refs_flat = (ctypes.c_char_p * len(flat))(*flat)
+    rpi = (ctypes.c_int * N)(*[len(refs) for refs in scorer.raw_refs])
+    out = np.zeros((N, scorer.n), np.float64)
+    rc = _CPP_LIB.cider_score(
+        cands, N, refs_flat, rpi, scorer.n, scorer.sigma,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    if rc != 0:
+        return None  # NaN guard tripped: fall back (Python will assert)
+    scores = [
+        float(np.mean(out[i]) / len(scorer.raw_refs[i]) * 10.0)
+        for i in range(N)
+    ]
+    return float(np.mean(scores)), np.array(scores)
 
 
 class Cider:

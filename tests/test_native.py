@@ -213,3 +213,40 @@ def test_spice_hash_seed_deterministic_and_maximal():
         {1: ["a bike and a motorcycle"]}, {1: ["a bicycle and a bike"]}
     )
     assert score == 1.0
+
+
+def test_cpp_cider_matches_python_bitwise():
+    """csrc/cider.cpp reproduces the Python scorer's float math in the same
+    operation order — scores must be BIT-equal (the same gate the Python
+    scorer passes against the vendored reference)."""
+    if not _ensure_built("libcider.so"):
+        pytest.skip("no C++ toolchain")
+    import random
+
+    import numpy as np
+
+    from show_and_tell_tpu.metrics import cider as cmod
+
+    assert cmod._cpp_available()
+    random.seed(3)
+    words = ["a", "the", "man", "dog", "rides", "runs", "on", "big", "red",
+             "horse", "park", "it's", "12", "z"]
+    orig = cmod._cpp_available
+    try:
+        for _ in range(10):
+            n = random.randint(2, 40)
+            gts = {
+                i: [" ".join(random.choices(words, k=random.randint(2, 12)))
+                    for _ in range(random.randint(1, 5))]
+                for i in range(n)
+            }
+            res = {i: [" ".join(random.choices(words, k=random.randint(1, 12)))]
+                   for i in range(n)}
+            cmod._cpp_available = orig
+            c_cpp, s_cpp = cmod.Cider().compute_score(gts, res)
+            cmod._cpp_available = lambda: False
+            c_py, s_py = cmod.Cider().compute_score(gts, res)
+            assert c_cpp == c_py
+            np.testing.assert_array_equal(s_cpp, s_py)
+    finally:
+        cmod._cpp_available = orig
