@@ -77,16 +77,28 @@ def _effective_reflen(reflens, option: str, testlen: int) -> float:
 class BleuScorer:
     def __init__(self, n: int = 4):
         self.n = n
-        self.comps: List[dict] = []
+        # raw sentences only; n-gram cooking happens lazily via the comps
+        # property (the C++ fast path never builds Python n-gram dicts)
+        self._raw: List[Tuple[str, List[str]]] = []
 
     def append(self, test: str, refs: Sequence[str]) -> None:
-        reflens, maxcounts = _cook_refs(refs, self.n)
-        self.comps.append(_cook_test(test, reflens, maxcounts, self.n))
+        self._raw.append((test, list(refs)))
+
+    @property
+    def comps(self) -> List[dict]:
+        out = []
+        for test, refs in self._raw:
+            reflens, maxcounts = _cook_refs(refs, self.n)
+            out.append(_cook_test(test, reflens, maxcounts, self.n))
+        return out
 
     def compute_score(self, option=None):
         n = self.n
         if option is None:
-            option = "average" if len(self.comps) == 1 else "closest"
+            option = "average" if len(self._raw) == 1 else "closest"
+        cpp = _cpp_compute(self._raw, n, option)
+        if cpp is not None:
+            return cpp
         bleu_list: List[List[float]] = [[] for _ in range(n)]
         total = {"testlen": 0, "reflen": 0.0, "guess": [0] * n, "correct": [0] * n}
         for comps in self.comps:
@@ -136,3 +148,67 @@ class Bleu:
 
     def method(self):
         return "Bleu"
+
+
+# --- C++ fast path (csrc/bleu.cpp via ctypes) -------------------------------
+
+_CPP_LIB = None
+_OPTIONS = {"closest": 0, "average": 1, "shortest": 2}
+
+
+def _configure_cpp(lib) -> None:
+    import ctypes
+
+    lib.bleu_score.restype = ctypes.c_int
+    lib.bleu_score.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p),
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_char_p),
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double),
+    ]
+
+
+def _cpp_available() -> bool:
+    global _CPP_LIB
+    if _CPP_LIB is None:
+        from show_and_tell_tpu.utils.native import load_csrc_lib
+
+        _CPP_LIB = load_csrc_lib("libbleu.so", _configure_cpp)
+    return _CPP_LIB is not None
+
+
+def _cpp_compute(raw, n: int, option: str):
+    """Corpus + per-image BLEU from C++ — bit-equal float chain (see
+    csrc/bleu.cpp header). Returns None when the library is absent."""
+    if not _cpp_available() or not raw or option not in _OPTIONS:
+        return None
+    import ctypes
+
+    import numpy as np
+
+    N = len(raw)
+    # pre-normalize whitespace so the ASCII splitter sees Python str.split()
+    # token streams (same contract as the METEOR/CIDEr wrappers)
+    enc = lambda s: " ".join(s.split()).encode("utf-8", "ignore")  # noqa: E731
+    cands = (ctypes.c_char_p * N)(*[enc(t) for t, _ in raw])
+    flat = [enc(r) for _, refs in raw for r in refs]
+    refs_flat = (ctypes.c_char_p * len(flat))(*flat)
+    rpi = (ctypes.c_int * N)(*[len(refs) for _, refs in raw])
+    corpus = np.zeros((n,), np.float64)
+    per_img = np.zeros((n, N), np.float64)
+    rc = _CPP_LIB.bleu_score(
+        cands, N, refs_flat, rpi, n, _OPTIONS[option],
+        corpus.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        per_img.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    if rc != 0:
+        return None
+    # plain Python floats, like the pure-Python path returns
+    return (
+        [float(x) for x in corpus],
+        [[float(x) for x in per_img[k]] for k in range(n)],
+    )

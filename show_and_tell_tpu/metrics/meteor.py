@@ -40,6 +40,7 @@ meteor.py:26,34 — no shared process here, so no lock).
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
@@ -128,7 +129,11 @@ def _cvc(word: str) -> bool:
     return word[-1] not in "wxy"
 
 
+@functools.lru_cache(maxsize=1 << 16)
 def porter_stem(word: str) -> str:
+    # Pure function of the word; caption corpora reuse a small vocabulary,
+    # so memoization turns stemming from the dominant metric cost (70% of
+    # SPICE's profile) into a dict hit.
     if len(word) <= 2:
         return word
     w = word

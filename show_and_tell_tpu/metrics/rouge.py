@@ -51,8 +51,68 @@ class Rouge:
 
     def compute_score(self, gts: Dict, res: Dict):
         assert sorted(gts.keys()) == sorted(res.keys())
-        scores = [self.calc_score(res[i], gts[i]) for i in sorted(gts.keys())]
+        keys = sorted(gts.keys())
+        cpp = _cpp_compute(
+            [res[i][0] for i in keys], [gts[i] for i in keys], self.beta
+        )
+        if cpp is not None:
+            return float(np.mean(cpp)), cpp
+        scores = [self.calc_score(res[i], gts[i]) for i in keys]
         return float(np.mean(scores)), np.array(scores)
 
     def method(self):
         return "Rouge"
+
+
+# --- C++ fast path (csrc/rouge.cpp via ctypes) ------------------------------
+
+_CPP_LIB = None
+
+
+def _configure_cpp(lib) -> None:
+    import ctypes
+
+    lib.rouge_score.restype = ctypes.c_int
+    lib.rouge_score.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p),
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_char_p),
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.c_double,
+        ctypes.POINTER(ctypes.c_double),
+    ]
+
+
+def _cpp_available() -> bool:
+    global _CPP_LIB
+    if _CPP_LIB is None:
+        from show_and_tell_tpu.utils.native import load_csrc_lib
+
+        _CPP_LIB = load_csrc_lib("librouge.so", _configure_cpp)
+    return _CPP_LIB is not None
+
+
+def _cpp_compute(cands: List[str], refs: List[List[str]], beta: float):
+    """Per-image ROUGE-L from C++ — bit-equal float ops (see csrc/rouge.cpp
+    header). The candidate/reference assertions mirror calc_score's."""
+    if not _cpp_available() or not cands:
+        return None
+    import ctypes
+
+    for r in refs:
+        assert len(r) > 0
+    N = len(cands)
+    # NOTE: no whitespace normalization here — the Python scorer splits on
+    # single spaces (str.split(" ")) including empties, and the C++ splitter
+    # reproduces exactly that, so the raw strings must pass through as-is
+    enc = lambda s: s.encode("utf-8", "ignore")  # noqa: E731
+    c_arr = (ctypes.c_char_p * N)(*[enc(c) for c in cands])
+    flat = [enc(r) for rs in refs for r in rs]
+    r_arr = (ctypes.c_char_p * len(flat))(*flat)
+    rpi = (ctypes.c_int * N)(*[len(rs) for rs in refs])
+    out = np.zeros((N,), np.float64)
+    rc = _CPP_LIB.rouge_score(
+        c_arr, N, r_arr, rpi, beta,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    return out if rc == 0 else None

@@ -250,3 +250,42 @@ def test_cpp_cider_matches_python_bitwise():
             np.testing.assert_array_equal(s_cpp, s_py)
     finally:
         cmod._cpp_available = orig
+
+
+@pytest.mark.parametrize("lib,mod_name", [
+    ("librouge.so", "rouge"), ("libbleu.so", "bleu"),
+])
+def test_cpp_scorers_match_python_bitwise(lib, mod_name):
+    """csrc/{rouge,bleu}.cpp reproduce their Python scorers' float chains in
+    the same operation order — bit-equal corpus AND per-image scores."""
+    if not _ensure_built(lib):
+        pytest.skip("no C++ toolchain")
+    import importlib
+    import random
+
+    import numpy as np
+
+    mod = importlib.import_module(f"show_and_tell_tpu.metrics.{mod_name}")
+    assert mod._cpp_available()
+    Scorer = mod.Rouge if mod_name == "rouge" else (lambda: mod.Bleu(4))
+    random.seed(5)
+    words = ["a", "the", "man", "dog", "rides", "on", "big", "horse", "12"]
+    orig = mod._cpp_available
+    try:
+        for _ in range(10):
+            n = random.randint(1, 40)
+            gts = {
+                i: [" ".join(random.choices(words, k=random.randint(1, 12)))
+                    for _ in range(random.randint(1, 5))]
+                for i in range(n)
+            }
+            res = {i: [" ".join(random.choices(words, k=random.randint(0, 12)))]
+                   for i in range(n)}
+            mod._cpp_available = orig
+            a = Scorer().compute_score(gts, res)
+            mod._cpp_available = lambda: False
+            b = Scorer().compute_score(gts, res)
+            assert a[0] == b[0] if isinstance(a[0], list) else a[0] == b[0]
+            np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+    finally:
+        mod._cpp_available = orig
