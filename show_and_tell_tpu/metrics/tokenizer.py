@@ -88,10 +88,17 @@ def tokenize_caption(caption: str) -> str:
 
 
 class PTBTokenizer:
-    """Drop-in for the reference wrapper (ptbtokenizer.py:24-68)."""
+    """Drop-in for the reference wrapper (ptbtokenizer.py:24-68).
 
-    def tokenize(self, captions_for_image: Dict) -> Dict:
-        use_cpp = _cpp_tokenizer_available()
+    The Python path is the default: it is MEASURED 2x faster than the C++
+    one (30k captions: 2.19s vs 4.36s — std::regex loses badly to CPython's
+    C-implemented ``re``). The C++ tokenizer stays as a tested, bit-equal
+    opt-in (``use_cpp=True``) — same policy as the Pallas kernels: don't
+    ship the hand path where the baseline wins.
+    """
+
+    def tokenize(self, captions_for_image: Dict, use_cpp: bool = False) -> Dict:
+        use_cpp = use_cpp and _cpp_tokenizer_available()
         out: Dict = {}
         for k, caps in captions_for_image.items():
             out[k] = [
@@ -101,7 +108,7 @@ class PTBTokenizer:
         return out
 
 
-# --- optional C++ fast path -------------------------------------------------
+# --- optional C++ path (bit-equal, measured SLOWER — see PTBTokenizer) ------
 
 _CPP_LIB = None
 

@@ -289,3 +289,16 @@ def test_cpp_scorers_match_python_bitwise(lib, mod_name):
             np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
     finally:
         mod._cpp_available = orig
+
+
+def test_cpp_tokenizer_opt_in_matches_default():
+    """The C++ tokenizer is a measured-slower opt-in (std::regex loses 2x
+    to CPython re — see PTBTokenizer docstring): both paths must produce
+    identical output through the wrapper API."""
+    if not _ensure_built("libptb_tokenizer.so"):
+        pytest.skip("no C++ toolchain")
+    from show_and_tell_tpu.metrics.tokenizer import PTBTokenizer
+
+    corpus = {1: [{"caption": c} for c in CORPUS]}
+    tk = PTBTokenizer()
+    assert tk.tokenize(corpus) == tk.tokenize(corpus, use_cpp=True)
