@@ -24,6 +24,11 @@
 
 namespace {
 
+// CPython's float ** computes via libm pow(); gcc -O2 folds std::pow(x, 2.0)
+// into x*x (1-ulp different for ~0.07% of doubles), so route through a
+// volatile function pointer the compiler cannot see through.
+double (*volatile real_pow)(double, double) = &std::pow;
+
 std::vector<std::string> split_ws(const char* s) {
   std::vector<std::string> out;
   const char* p = s;
@@ -96,7 +101,7 @@ struct Vec {
 
 Vec counts2vec(const Counts& c,
                const std::unordered_map<std::string, double>& df,
-               double ref_len, int n) {
+               double ref_len, int n, bool build_index) {
   Vec v;
   std::vector<double> norm(n, 0.0);
   v.weight.reserve(c.keys.size());
@@ -107,8 +112,9 @@ Vec counts2vec(const Counts& c,
     int k = c.order[i];
     double w = (double)c.tf[i] * (ref_len - logdf);
     v.weight.push_back(w);
-    v.index.emplace(c.keys[i], (int)i);
-    norm[k] += w * w;
+    if (build_index) v.index.emplace(c.keys[i], (int)i);
+    // Python: norm[k] += vec[k][ngram] ** 2  (libm pow, NOT w*w)
+    norm[k] += real_pow(w, 2.0);
     if (k == 1) v.length += c.tf[i];
   }
   v.norm.resize(n);
@@ -151,13 +157,17 @@ int cider_score(const char** cands, int n_images, const char** refs_flat,
   double ref_len = std::log((double)n_images);
 
   for (int i = 0; i < n_images; ++i) {
-    Vec vh = counts2vec(ctest[i], df, ref_len, n);
+    Vec vh = counts2vec(ctest[i], df, ref_len, n, false);
     double* score = out + (size_t)i * n;
     for (int k = 0; k < n; ++k) score[k] = 0.0;
     for (auto& refc : crefs[i]) {
-      Vec vr = counts2vec(refc, df, ref_len, n);
+      Vec vr = counts2vec(refc, df, ref_len, n, true);
       double delta = (double)(vh.length - vr.length);
-      double penalty = std::pow(M_E, -(delta * delta) / (2.0 * sigma * sigma));
+      // Python: np.e ** (-(delta ** 2) / (2 * sigma ** 2)). delta is
+      // integer-valued so delta**2 == delta*delta exactly; sigma**2 must be
+      // libm pow, and the denominator groups as 2 * (sigma ** 2).
+      double penalty = real_pow(
+          M_E, -(delta * delta) / (2.0 * real_pow(sigma, 2.0)));
       const auto& hkeys = ctest[i].keys;
       // iterate hyp n-grams k-major, within k in insertion order — exactly
       // Python's `for ngram in vh[k]` (the vec[k] dicts fill in global

@@ -9,6 +9,7 @@
 // API (ctypes): rouge_score(cands, n_images, refs_flat, refs_per_image,
 //                           beta, out[n_images]) -> int (0 ok)
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
 #include <string>
@@ -16,6 +17,10 @@
 #include <vector>
 
 namespace {
+
+// see csrc/cider.cpp: gcc folds std::pow(x, 2.0) into x*x; Python's
+// beta ** 2 is libm pow
+double (*volatile real_pow)(double, double) = &std::pow;
 
 // split on single ' ' keeping empty fields — exact str.split(" ") semantics
 std::vector<uint32_t> split_single_space(
@@ -50,14 +55,16 @@ int lcs_length(const std::vector<uint32_t>& a, const std::vector<uint32_t>& b) {
   if (pa->size() < pb->size()) std::swap(pa, pb);
   std::vector<int> prev(pb->size() + 1, 0), cur(pb->size() + 1, 0);
   for (uint32_t x : *pa) {
-    cur = prev;
+    // every cur[j>=1] is overwritten and cur[0] stays 0: one swap per row,
+    // no copies (the copy-twice form doubled the DP's memory traffic)
+    cur[0] = 0;
     for (size_t j = 1; j <= pb->size(); ++j) {
       if (x == (*pb)[j - 1])
         cur[j] = prev[j - 1] + 1;
       else
         cur[j] = prev[j] > cur[j - 1] ? prev[j] : cur[j - 1];
     }
-    prev = cur;
+    std::swap(prev, cur);
   }
   return prev[pb->size()];
 }
@@ -69,7 +76,7 @@ extern "C" {
 int rouge_score(const char** cands, int n_images, const char** refs_flat,
                 const int* refs_per_image, double beta, double* out) {
   std::unordered_map<std::string, uint32_t> intern;
-  double beta2 = std::pow(beta, 2.0);  // Python's self.beta ** 2 (same libm)
+  double beta2 = real_pow(beta, 2.0);  // Python's self.beta ** 2 (same libm)
   int rpos = 0;
   for (int i = 0; i < n_images; ++i) {
     auto token_c = split_single_space(cands[i], intern);

@@ -186,6 +186,11 @@ def _cpp_compute(raw, n: int, option: str):
     csrc/bleu.cpp header). Returns None when the library is absent."""
     if not _cpp_available() or not raw or option not in _OPTIONS:
         return None
+    # embedded NUL would truncate at the C-string boundary: Python path
+    if any(
+        "\x00" in t or any("\x00" in r for r in refs) for t, refs in raw
+    ):
+        return None
     import ctypes
 
     import numpy as np

@@ -146,6 +146,11 @@ def _cpp_compute(scorer: "CiderScorer"):
     library is absent so the pure-Python path runs."""
     if not _cpp_available() or not scorer.raw_tests:
         return None
+    # embedded NUL would truncate at the C-string boundary: Python path
+    if any("\x00" in t for t in scorer.raw_tests) or any(
+        "\x00" in r for refs in scorer.raw_refs for r in refs
+    ):
+        return None
     import ctypes
 
     N = len(scorer.raw_tests)

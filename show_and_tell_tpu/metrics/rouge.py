@@ -52,6 +52,9 @@ class Rouge:
     def compute_score(self, gts: Dict, res: Dict):
         assert sorted(gts.keys()) == sorted(res.keys())
         keys = sorted(gts.keys())
+        for i in keys:  # same contract the Python calc_score enforces
+            assert len(res[i]) == 1
+            assert len(gts[i]) > 0
         cpp = _cpp_compute(
             [res[i][0] for i in keys], [gts[i] for i in keys], self.beta
         )
@@ -97,10 +100,14 @@ def _cpp_compute(cands: List[str], refs: List[List[str]], beta: float):
     header). The candidate/reference assertions mirror calc_score's."""
     if not _cpp_available() or not cands:
         return None
+    # an embedded NUL would truncate at the C-string boundary and silently
+    # change the score — let the pure-Python path handle such input
+    if any("\x00" in c for c in cands) or any(
+        "\x00" in r for rs in refs for r in rs
+    ):
+        return None
     import ctypes
 
-    for r in refs:
-        assert len(r) > 0
     N = len(cands)
     # NOTE: no whitespace normalization here — the Python scorer splits on
     # single spaces (str.split(" ")) including empties, and the C++ splitter

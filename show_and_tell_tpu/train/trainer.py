@@ -197,16 +197,20 @@ class Trainer:
                 window_steps += 1
 
                 if it % cfg.log_step == 0:
+                    # flush the lagged line BEFORE folding in this window's
+                    # timing, so step N's log line reports the meters as of
+                    # window N (not N+1's). The float() inside also bounds
+                    # in-flight dispatch to ~2 log windows — configs with
+                    # very large log_step x batch hold that many input
+                    # buffers on device.
+                    if pending_log is not None:
+                        self._log_step_line(*pending_log)
                     dt = time.perf_counter() - window_t0
                     self.timer.record(dt / window_steps)
                     self.throughput.update(window_items, dt)
                     window_t0 = time.perf_counter()
                     window_items = window_steps = 0
-                    if pending_log is not None:
-                        self._log_step_line(*pending_log)
                     pending_log = (epoch, it, metrics)
-                    # (dispatch can't race ahead unboundedly: donated state
-                    # buffers serialize step N+1's dispatch on step N)
 
                 if total_iteration % cfg.save_checkpoint_every == 0:
                     best_val_score = self._checkpoint(

@@ -285,7 +285,7 @@ def test_cpp_scorers_match_python_bitwise(lib, mod_name):
             a = Scorer().compute_score(gts, res)
             mod._cpp_available = lambda: False
             b = Scorer().compute_score(gts, res)
-            assert a[0] == b[0] if isinstance(a[0], list) else a[0] == b[0]
+            assert a[0] == b[0]
             np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
     finally:
         mod._cpp_available = orig
