@@ -25,6 +25,8 @@ default on import of metrics.spice).
 
 from __future__ import annotations
 
+import functools
+
 from typing import Dict, FrozenSet, List, Sequence, Set, Tuple
 
 import numpy as np
@@ -115,8 +117,14 @@ def _is_verbish(w: str) -> bool:
     return w in VERBS
 
 
-def parse(caption: str) -> Set[Tuple3]:
-    """PTB-tokenized lowercase caption -> set of scene-graph tuples.
+@functools.lru_cache(maxsize=1 << 15)
+def parse(caption: str) -> FrozenSet[Tuple3]:
+    """PTB-tokenized lowercase caption -> frozenset of scene-graph tuples.
+
+    Cached: periodic checkpoint evaluation re-scores against the SAME
+    reference captions every time, so the parse of the whole val reference
+    set amortizes to one pass. The frozen return type keeps cache entries
+    immutable.
 
     Segmentation walks the token stream: determiners open a new NP,
     prepositions/copulas/conjunctions close the current one, gerunds are
@@ -263,7 +271,7 @@ def parse(caption: str) -> Set[Tuple3]:
         tuples.add((_norm(np_.head),))
         for a in np_.attrs:
             tuples.add((_norm(np_.head), _norm(a)))
-    return tuples
+    return frozenset(tuples)
 
 
 # --- matching + F-score ------------------------------------------------------
