@@ -108,13 +108,34 @@ _COMPOUND_PREPS = (
     (("close", "to"), "near"),
 )
 
+# irregular past participles (no -ing/-ed surface marker) -> base verb, so
+# "a horse ridden by a man" aligns with "a man riding a horse" after the
+# passive inversion below; Porter handles the regular -ed/-ing forms
+PARTICIPLE_BASE = {
+    "ridden": "ride", "driven": "drive", "eaten": "eat", "worn": "wear",
+    "taken": "take", "thrown": "throw", "drawn": "draw", "held": "hold",
+    "hung": "hang", "given": "give", "seen": "see", "shown": "show",
+    "flown": "fly", "grown": "grow", "built": "build", "made": "make",
+    "caught": "catch", "led": "lead", "fed": "feed", "lit": "light",
+    "worn": "wear", "swung": "swing", "hidden": "hide", "broken": "break",
+}
+
 
 def _is_verbish(w: str) -> bool:
     if len(w) > 4 and w.endswith("ing") and w not in ING_NOUNS:
         return True
     if len(w) > 4 and w.endswith("ed") and w not in ED_NOUNS:
         return True
-    return w in VERBS
+    return w in VERBS or w in PARTICIPLE_BASE
+
+
+def _is_participle(w: str) -> bool:
+    """Past participles only — the forms that make a 'by'-phrase passive.
+    A gerund before 'by' is locative ("a dog sitting BY the door"), never
+    inverted."""
+    if w in PARTICIPLE_BASE:
+        return True
+    return len(w) > 4 and w.endswith("ed") and w not in ED_NOUNS
 
 
 @functools.lru_cache(maxsize=1 << 15)
@@ -155,9 +176,12 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
     cur: List[str] = []
     last_np: _NP | None = None
 
-    def close_np() -> None:
+    def close_np(defer_verbs: bool = False) -> List[str]:
         """Resolve cur: strip trailing gerunds (attributes of the NP head),
-        build the NP, and complete any pending relation with it."""
+        build the NP, and complete any pending relation with it. With
+        ``defer_verbs`` the stripped trailing verbs are RETURNED instead of
+        emitted as attributes — the 'by'-passive caller turns them into the
+        inverted relation's verb."""
         nonlocal cur, last_np, pending_rel, rel_subj
         words = list(cur)
         cur = []
@@ -188,18 +212,31 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
         np_ = _flush_np(words)
         if np_ is None:
             # segment was all verbs/adjectives: attach to the previous NP
-            if last_np is not None:
+            if last_np is not None and not defer_verbs:
                 for v in trailing_verbs:
                     tuples.add((_norm(last_np.head), _norm(v)))
-            return
+                return []
+            return trailing_verbs
         nps.append(np_)
         if pending_rel is not None and rel_subj is not None:
-            tuples.add((_norm(rel_subj.head), _norm(pending_rel), _norm(np_.head)))
+            if isinstance(pending_rel, tuple):  # ("__passive__", verb)
+                # "X VERBED by Y" -> (Y, base-verb, X): same tuple the
+                # active phrasing produces, so passive/active captions align
+                verb = pending_rel[1]
+                verb = PARTICIPLE_BASE.get(verb, verb)
+                tuples.add((_norm(np_.head), _norm(verb), _norm(rel_subj.head)))
+            else:
+                tuples.add(
+                    (_norm(rel_subj.head), _norm(pending_rel), _norm(np_.head))
+                )
         pending_rel = None
         rel_subj = None
         last_np = np_
+        if defer_verbs:
+            return trailing_verbs
         for v in trailing_verbs:
             tuples.add((_norm(np_.head), _norm(v)))
+        return []
 
     def lone_content_segment() -> bool:
         """cur holds content but no real determiner — hangs off the previous
@@ -215,13 +252,36 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
             if lone_content_segment() and pending_rel is None:
                 # "dogs RUNNING on the beach": gerund/adjective segment ->
                 # attributes of the previous NP; the preposition then
-                # relates that same NP
+                # relates that same NP — EXCEPT a participle before "by",
+                # which is a passive ("horse ridden by...")
+                if w == "by" and len(cur) == 1 and _is_participle(cur[0]):
+                    verb = cur[0]
+                    cur = []
+                    pending_rel = ("__passive__", verb)
+                    rel_subj = last_np
+                    continue
                 for c in cur:
                     if c not in SKIP:
                         tuples.add((_norm(last_np.head), _norm(c)))
                 cur = []
             else:
-                close_np()
+                deferred = close_np(defer_verbs=(w == "by"))
+                if (
+                    w == "by"
+                    and deferred
+                    and last_np is not None
+                    and _is_participle(deferred[-1])
+                ):
+                    # passive: the deferred participle is the relation verb;
+                    # extra stripped verbs (rare) stay attributes
+                    for v in deferred[:-1]:
+                        tuples.add((_norm(last_np.head), _norm(v)))
+                    pending_rel = ("__passive__", deferred[-1])
+                    rel_subj = last_np
+                    continue
+                for v in deferred:  # defer without passive: plain attrs
+                    if last_np is not None:
+                        tuples.add((_norm(last_np.head), _norm(v)))
             if last_np is not None:
                 pending_rel = w
                 rel_subj = last_np

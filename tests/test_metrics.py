@@ -498,3 +498,21 @@ def test_spice_cached_backend(tmp_path):
     res[3] = ["e f"]
     fn(gts, res)
     assert calls == [[1, 2], [3]]
+
+
+def test_spice_passive_aligns_with_active():
+    """'X VERBED by Y' inverts to the same relation tuple as the active
+    phrasing (irregular participles map to their base verb); a gerund
+    before 'by' stays locative."""
+    from show_and_tell_tpu.metrics.scene_graph import parse, spice_backend
+
+    rel = lambda c: {t for t in parse(c) if len(t) == 3}  # noqa: E731
+    assert rel("a horse ridden by a man") == rel("a man riding a horse")
+    assert rel("a cake made by a baker") == rel("a baker making a cake")
+    assert rel("a photo taken by a tourist") == {("tourist", "take", "photo")}
+    # locative 'by' is NOT a passive
+    assert rel("a dog sitting by the door") == {("dog", "by", "door")}
+    score, _ = spice_backend(
+        {1: ["a man riding a horse"]}, {1: ["a horse ridden by a man"]}
+    )
+    assert score == 1.0
