@@ -106,6 +106,10 @@ _COMPOUND_PREPS = (
     (("in", "front", "of"), "front"),
     (("next", "to"), "near"),
     (("close", "to"), "near"),
+    # photographic framing prefix, not scene content: drop it so
+    # "a close up of a plate" parses as the plate NP
+    (("close", "up", "of"), None),
+    (("close", "of"), None),  # after PTB 'up' stripping variants
 )
 
 # irregular past participles (no -ing/-ed surface marker) -> base verb, so
@@ -161,7 +165,8 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
     while i < len(toks):
         for pat, rep in _COMPOUND_PREPS:
             if tuple(toks[i : i + len(pat)]) == pat:
-                out.append(rep)
+                if rep is not None:
+                    out.append(rep)
                 i += len(pat)
                 break
         else:
@@ -175,6 +180,8 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
     rel_subj: _NP | None = None
     cur: List[str] = []
     last_np: _NP | None = None
+    after_conj = False  # the segment after an NP-coordination close forms
+    # its own NP even without a determiner ("dogs and CATS SITTING ...")
 
     def close_np(defer_verbs: bool = False) -> List[str]:
         """Resolve cur: strip trailing gerunds (attributes of the NP head),
@@ -182,7 +189,8 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
         ``defer_verbs`` the stripped trailing verbs are RETURNED instead of
         emitted as attributes — the 'by'-passive caller turns them into the
         inverted relation's verb."""
-        nonlocal cur, last_np, pending_rel, rel_subj
+        nonlocal cur, last_np, pending_rel, rel_subj, after_conj
+        after_conj = False
         words = list(cur)
         cur = []
 
@@ -243,11 +251,13 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
         NP rather than starting a new one."""
         return (
             bool(cur)
+            and not after_conj
             and last_np is not None
             and not any(c in DETERMINERS and c not in NUMBERS for c in cur)
         )
 
-    for w in toks:
+    for ti, w in enumerate(toks):
+        nxt = toks[ti + 1] if ti + 1 < len(toks) else None
         if w in PREPOSITIONS:
             if lone_content_segment() and pending_rel is None:
                 # "dogs RUNNING on the beach": gerund/adjective segment ->
@@ -288,9 +298,26 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
         elif w in COPULAS:
             close_np()
         elif w in CONJUNCTIONS:
+            # attribute coordination stays inside the NP: "black AND white
+            # cat" — the next token continues the same bare segment. NP
+            # coordination ("a man AND a dog", "sitting and eating") closes.
+            if (
+                cur
+                and nxt is not None
+                and nxt not in DETERMINERS
+                and nxt not in PREPOSITIONS
+                and nxt not in COPULAS
+                and not _is_verbish(nxt)
+                and not _is_verbish(cur[-1])
+                # a plural before 'and' is NP coordination ("dogs and
+                # cats"), not an adjective chain ("black and white")
+                and not cur[-1].endswith("s")
+            ):
+                continue
             close_np()
             pending_rel = None
             rel_subj = None
+            after_conj = True
         elif w in DETERMINERS and w not in NUMBERS:
             if cur:
                 content = [t for t in cur if t not in SKIP]

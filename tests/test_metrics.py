@@ -516,3 +516,20 @@ def test_spice_passive_aligns_with_active():
         {1: ["a man riding a horse"]}, {1: ["a horse ridden by a man"]}
     )
     assert score == 1.0
+
+
+def test_spice_parser_coordination_and_framing():
+    """Coordinated adjectives stay attributes of one NP; coordinated bare
+    plurals form separate objects; the 'a close up of' framing prefix is
+    dropped as non-scene content."""
+    from show_and_tell_tpu.metrics.scene_graph import parse
+
+    t = parse("a black and white cat")
+    assert ("cat", "black") in t and ("cat", "white") in t
+    assert ("black",) not in t  # 'black' must not become an object
+    t = parse("dogs and cats sitting on a couch")
+    assert ("dog",) in t and ("cat",) in t  # both coordinated objects
+    t = parse("a close up of a plate of food")
+    assert ("close",) not in t and ("plate", "of", "food") in t
+    t = parse("a man and a dog")
+    assert ("man",) in t and ("dog",) in t
