@@ -121,7 +121,7 @@ PARTICIPLE_BASE = {
     "hung": "hang", "given": "give", "seen": "see", "shown": "show",
     "flown": "fly", "grown": "grow", "built": "build", "made": "make",
     "caught": "catch", "led": "lead", "fed": "feed", "lit": "light",
-    "worn": "wear", "swung": "swing", "hidden": "hide", "broken": "break",
+    "torn": "tear", "swung": "swing", "hidden": "hide", "broken": "break",
 }
 
 

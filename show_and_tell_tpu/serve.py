@@ -146,11 +146,16 @@ class Captioner:
 
     # ------------------------------------------------------------------
 
-    def caption_images(self, images_u8: np.ndarray, mode: str = "beam") -> List[str]:
+    def caption_images(
+        self, images_u8: np.ndarray, mode: str = "beam", rng_offset: int = 0
+    ) -> List[str]:
         """images_u8 [N, 256, 256, 3] uint8 -> N caption strings.
 
         ``mode``: "beam" (default), "greedy", or "sample" (temperature /
-        top-k via the ``temperature`` / ``top_k`` attributes)."""
+        top-k via the ``temperature`` / ``top_k`` attributes).
+        ``rng_offset``: global image index of ``images_u8[0]`` — sample-mode
+        rng keys are folded from it, so per-chunk callers (caption_paths)
+        get unique keys across chunks instead of reusing offset-0 keys."""
         n = images_u8.shape[0]
         out: List[str] = []
         # One-batch-lag pipeline: dispatch chunk i, then fetch + id->string
@@ -165,7 +170,7 @@ class Captioner:
             if chunk.shape[0] < b:  # pad to the bucket's static shape
                 pad = np.repeat(chunk[-1:], b - chunk.shape[0], axis=0)
                 chunk = np.concatenate([chunk, pad], axis=0)
-            rng = jax.random.fold_in(self._sample_key, i)
+            rng = jax.random.fold_in(self._sample_key, rng_offset + i)
             if self.mesh is not None:
                 from show_and_tell_tpu.parallel import mesh as mesh_lib
 
@@ -190,5 +195,5 @@ class Captioner:
         out: List[str] = []
         for i in range(0, len(paths), chunk):
             images = np.stack([_load_image(p) for p in paths[i : i + chunk]])
-            out.extend(self.caption_images(images, mode))
+            out.extend(self.caption_images(images, mode, rng_offset=i))
         return out

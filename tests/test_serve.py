@@ -214,6 +214,30 @@ def test_captioner_sample_mode():
     assert greedy == k1
 
 
+def test_caption_paths_sample_keys_unique_across_chunks(tmp_path):
+    """caption_paths chunks by max bucket; in sample mode each chunk must
+    fold a GLOBAL image index into the rng (review fix) — so the chunked
+    path reproduces exactly what one caption_images call over all images
+    would sample, instead of re-using the chunk-0 keys per chunk."""
+    from PIL import Image
+
+    cfg = Config(
+        embed_size=16, hidden_size=32, crop_size=32, max_decode_len=6, beam_size=2
+    )
+    cap = Captioner.from_checkpoint(cfg, None, _vocab(), bucket_sizes=(2,))
+    cap.temperature = 2.0
+    rng = np.random.default_rng(1)
+    images = (rng.random((4, 256, 256, 3)) * 255).astype(np.uint8)
+    paths = []
+    for i, arr in enumerate(images):
+        p = str(tmp_path / f"img{i}.png")
+        Image.fromarray(arr).save(p)
+        paths.append(p)
+    whole = cap.caption_images(images, mode="sample")  # offsets 0 and 2
+    chunked = cap.caption_paths(paths, mode="sample")  # 2 chunks of 2
+    assert chunked == whole
+
+
 def test_attention_sheet_rendering(tmp_path):
     """visualize.save_attention_sheets: one panel per word + input, written
     as a real PNG with the expected geometry."""
