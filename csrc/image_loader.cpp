@@ -68,8 +68,14 @@ bool decode_jpeg(FILE* f, Image* out) {
     jpeg_read_scanlines(&cinfo, &row, 1);
   }
   jpeg_finish_decompress(&cinfo);
+  // libjpeg downgrades corrupt-data conditions (premature EOF, extraneous
+  // bytes) to warnings and silently returns a part-gray image; PIL's strict
+  // default raises on those files. Treat any corrupt-data warning as a
+  // failed decode so both paths agree (the Python loader then applies the
+  // caller's corrupt policy).
+  bool clean = jerr.mgr.num_warnings == 0;
   jpeg_destroy_decompress(&cinfo);
-  return true;
+  return clean;
 }
 
 // --- PNG (simplified libpng16 API) ----------------------------------------

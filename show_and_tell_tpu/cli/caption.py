@@ -95,10 +95,22 @@ def main(argv=None):
     cap = Captioner.from_checkpoint(cfg, cfg.load_model_path, vocab)
     mode = "greedy" if cfg.beam_size <= 1 else "beam"
     results = []
-    for path, caption in zip(paths, cap.caption_paths(paths, mode=mode)):
+    captions = cap.caption_paths(paths, mode=mode)
+    failed = {i for i, _ in cap.last_errors}
+    for i, (path, caption) in enumerate(zip(paths, captions)):
         rec = {"image": path, "caption": caption}
+        if i in failed:
+            rec["error"] = "image failed to decode"
         print(json.dumps(rec))
         results.append(rec)
+    if failed:
+        # per-item markers already emitted above; the summary + non-zero
+        # exit makes the failure visible to scripts that only check $?
+        raise SystemExit(
+            f"{len(failed)} of {len(paths)} image(s) failed to decode: "
+            + ", ".join(p for _, p in cap.last_errors[:5])
+            + ("…" if len(failed) > 5 else "")
+        )
     return results
 
 

@@ -104,6 +104,10 @@ class Config:
     # None = auto (C++ GIL-free decoder when built — measured 1.6x PIL);
     # False forces PIL, True requires the native library.
     native_decode: Optional[bool] = None
+    # per-item decode-failure policy: "substitute" skips the corrupt record
+    # (healthy in-batch duplicate keeps shapes static) with a warning;
+    # "raise" fails fast (data/pipeline.py Loader)
+    on_corrupt: str = "substitute"
     # .npz from cli/extract_features (keys = str(cocoid)): loaders feed
     # precomputed encoder features instead of images — decoder-only training
     # and image-free eval (BASELINE config 2's workflow)

@@ -21,6 +21,7 @@ fresh deterministic shuffle (epoch counter folds into the seed).
 
 from __future__ import annotations
 
+import logging
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
@@ -30,6 +31,8 @@ import numpy as np
 
 from show_and_tell_tpu.data.dataset import CocoCaptionDataset
 
+log = logging.getLogger(__name__)
+
 
 def _load_image(path: str, size: int = 256) -> np.ndarray:
     from PIL import Image
@@ -38,6 +41,19 @@ def _load_image(path: str, size: int = 256) -> np.ndarray:
     if img.size != (size, size):
         img = img.resize((size, size))
     return np.asarray(img, dtype=np.uint8)
+
+
+def _load_image_checked(path: str, size: int = 256):
+    """(image, ok) — a corrupt/truncated/zero-byte/unreadable file returns
+    (zeros, False) instead of raising from a worker thread. The online
+    extension of the reference's offline swallow-and-report contract
+    (preprocess.py:89-92): one bad file must not kill an epoch or a
+    serving batch."""
+    try:
+        return _load_image(path, size), True
+    except Exception as e:  # PIL raises a zoo: OSError, SyntaxError, ValueError…
+        log.warning("failed to decode image %s: %s", path, e)
+        return np.zeros((size, size, 3), dtype=np.uint8), False
 
 
 # --- native batch decoder (csrc/image_loader.cpp via ctypes) ----------------
@@ -103,6 +119,7 @@ class Loader:
         image_size: int = 256,
         drop_remainder: bool = False,
         native_decode: Optional[bool] = None,
+        on_corrupt: str = "substitute",
     ):
         """``native_decode`` selects the C++ batch decoder
         (csrc/image_loader.cpp, GIL-free thread pool over libjpeg-turbo).
@@ -112,7 +129,16 @@ class Loader:
         preprocessed dataset (images pre-resized to 256^2 by
         cli/preprocess, reference preprocess.py:86-101) decode is
         same-size, so both paths are bit-identical
-        (tests/test_native.py); ``False`` forces PIL."""
+        (tests/test_native.py); ``False`` forces PIL.
+
+        ``on_corrupt`` is the per-item decode-failure policy:
+        ``"substitute"`` (default) replaces a corrupt record's whole row
+        (image + caption + meta) with a duplicate of a healthy in-batch
+        record — the bad record is effectively skipped while every batch
+        keeps its static shape — warns per file and counts in
+        ``corrupt_skipped``; ``"raise"`` restores fail-fast."""
+        if on_corrupt not in ("substitute", "raise"):
+            raise ValueError(f"on_corrupt must be 'substitute' or 'raise', got {on_corrupt!r}")
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -131,6 +157,8 @@ class Loader:
         self.image_size = image_size
         self.drop_remainder = drop_remainder
         self.native_decode = native_decode
+        self.on_corrupt = on_corrupt
+        self.corrupt_skipped = 0  # decode failures substituted so far
         self._epoch = 0
         self._explicit_epoch: Optional[int] = None
         self._resume_skip = 0
@@ -191,13 +219,47 @@ class Loader:
                         meta["paths"], self.image_size, self.num_workers
                     )
                 for i in np.nonzero(~ok)[0]:  # PIL fallback per failure
-                    images[i] = _load_image(meta["paths"][i], self.image_size)
-                batch["images"] = images
+                    images[i], ok[i] = _load_image_checked(
+                        meta["paths"][i], self.image_size
+                    )
             else:
-                batch["images"] = np.stack(
-                    [_load_image(p, self.image_size) for p in meta["paths"]]
-                )
+                loaded = [
+                    _load_image_checked(p, self.image_size) for p in meta["paths"]
+                ]
+                images = np.stack([im for im, _ in loaded])
+                ok = np.array([o for _, o in loaded], dtype=bool)
+            batch["images"] = images
+            if not ok.all():
+                self._apply_corrupt_policy(batch, ok, meta["paths"])
         return batch
+
+    def _apply_corrupt_policy(self, batch: Dict, ok: np.ndarray, paths) -> None:
+        bad = np.nonzero(~ok)[0]
+        if self.on_corrupt == "raise":
+            raise RuntimeError(
+                f"failed to decode {len(bad)} image(s): "
+                f"{[paths[i] for i in bad[:5]]}" + ("…" if len(bad) > 5 else "")
+            )
+        good = np.nonzero(ok)[0]
+        if good.size == 0:
+            # nothing healthy to substitute — an all-corrupt batch is a
+            # data catastrophe, not a per-item hiccup
+            raise RuntimeError(
+                f"every image in a batch of {len(ok)} failed to decode "
+                f"(first: {paths[0]}); refusing to train on all-zero images"
+            )
+        for j, i in enumerate(bad):
+            src = good[j % good.size]
+            for key in ("images", "captions", "lengths", "imgids", "cocoids"):
+                arr = batch[key]
+                if isinstance(arr, np.ndarray):
+                    arr[i] = arr[src]
+                else:  # meta lists
+                    arr[i] = arr[src]
+            log.warning(
+                "corrupt image skipped (record substituted in-batch): %s", paths[i]
+            )
+        self.corrupt_skipped += len(bad)
 
     def __iter__(self) -> Iterator[Dict]:
         epoch = (
@@ -277,6 +339,7 @@ def make_loader(
         features=features,
         drop_remainder=(mode == "train"),
         native_decode=getattr(cfg, "native_decode", None),
+        on_corrupt=getattr(cfg, "on_corrupt", "substitute"),
     )
 
 

@@ -22,7 +22,7 @@ import numpy as np
 
 from show_and_tell_tpu import ckpt
 from show_and_tell_tpu.config import Config
-from show_and_tell_tpu.data.pipeline import _load_image
+from show_and_tell_tpu.data.pipeline import _load_image_checked
 from show_and_tell_tpu.data.transforms import eval_transform
 from show_and_tell_tpu.decode import decode_ids
 from show_and_tell_tpu.models.registry import build_model
@@ -30,6 +30,11 @@ from show_and_tell_tpu.utils.rng import KeyChain
 from show_and_tell_tpu.utils.vocab import Vocabulary
 
 log = logging.getLogger(__name__)
+
+#: caption emitted for a path whose image could not be decoded (see
+#: Captioner.caption_paths) — machine-checkable marker, never a real caption
+#: (real captions are lowercase vocab words).
+ERROR_CAPTION = "<error: image failed to decode>"
 
 
 class Captioner:
@@ -81,6 +86,9 @@ class Captioner:
         self.temperature = 1.0
         self.top_k = 0
         self._sample_key = jax.random.PRNGKey(cfg.random_seed)
+        #: (index, path) pairs for images the last caption_paths call could
+        #: not decode (their captions are ERROR_CAPTION)
+        self.last_errors: List = []
 
     @classmethod
     def from_checkpoint(
@@ -187,13 +195,24 @@ class Captioner:
         return out
 
     def caption_paths(self, paths: Sequence[str], mode: str = "beam") -> List[str]:
+        """Caption image files. A corrupt/unreadable file never kills the
+        batch: its slot decodes as zeros, its caption comes back as
+        :data:`ERROR_CAPTION`, and ``(index, path)`` is recorded in
+        ``last_errors`` (reset per call) for caller-side reporting."""
         # Load + caption in bucket-sized chunks: materializing every image
         # up front costs ~200KB each (a 100k-image directory would need
         # ~20GB host RAM before the first batch even dispatches), while the
         # Captioner only ever consumes one bucket at a time.
         chunk = max(self.bucket_sizes)
         out: List[str] = []
+        self.last_errors = []
         for i in range(0, len(paths), chunk):
-            images = np.stack([_load_image(p) for p in paths[i : i + chunk]])
-            out.extend(self.caption_images(images, mode, rng_offset=i))
+            loaded = [_load_image_checked(p) for p in paths[i : i + chunk]]
+            images = np.stack([im for im, _ in loaded])
+            caps = self.caption_images(images, mode, rng_offset=i)
+            for j, (_, ok) in enumerate(loaded):
+                if not ok:
+                    caps[j] = ERROR_CAPTION
+                    self.last_errors.append((i + j, paths[i + j]))
+            out.extend(caps)
         return out
