@@ -227,15 +227,26 @@ def porter_stem(word: str) -> str:
 # Alignment + score
 # ---------------------------------------------------------------------------
 
-# built after porter_stem exists (build_index stems each table word)
+# built after porter_stem exists (build_index stems each table word);
+# rebuilt when synonyms.set_synonym_groups swaps the table
 _SYN_INDEX = _synonyms.build_index()
+_SYN_GEN = _synonyms.generation()
+
+
+def _syn_index():
+    global _SYN_INDEX, _SYN_GEN
+    if _SYN_GEN != _synonyms.generation():
+        _SYN_INDEX = _synonyms.build_index()
+        _SYN_GEN = _synonyms.generation()
+    return _SYN_INDEX
 
 
 def _syn_groups(word: str, stem: str) -> frozenset:
     """Group ids for a word: surface form unioned with its Porter stem —
     the morphological fallback documented in synonyms.build_index."""
-    a = _SYN_INDEX.get(word, _EMPTY)
-    b = _SYN_INDEX.get(stem, _EMPTY)
+    idx = _syn_index()
+    a = idx.get(word, _EMPTY)
+    b = idx.get(stem, _EMPTY)
     return a | b if b else a
 
 
@@ -484,8 +495,9 @@ def _configure_cpp(lib) -> None:
     # share the synonym + paraphrase tables with the Python scorer
     lib.meteor_set_synonyms(_synonyms.serialize())
     lib.meteor_set_paraphrases(_paraphrases.serialize())
-    global _CPP_PARA_GEN
+    global _CPP_PARA_GEN, _CPP_SYN_GEN
     _CPP_PARA_GEN = _paraphrases.generation()
+    _CPP_SYN_GEN = _synonyms.generation()
 
 
 def _cpp_available() -> bool:
@@ -498,15 +510,21 @@ def _cpp_available() -> bool:
 
 
 _CPP_PARA_GEN = -1
+_CPP_SYN_GEN = -1
 
 
 def _cpp_sync_tables() -> None:
-    """Re-push the paraphrase table to the C++ scorer after a
-    set_paraphrase_groups swap (generation-tracked, cheap no-op otherwise)."""
-    global _CPP_PARA_GEN
-    if _CPP_LIB is not None and _CPP_PARA_GEN != _paraphrases.generation():
+    """Re-push the synonym/paraphrase tables to the C++ scorer after a
+    set_*_groups swap (generation-tracked, cheap no-op otherwise)."""
+    global _CPP_PARA_GEN, _CPP_SYN_GEN
+    if _CPP_LIB is None:
+        return
+    if _CPP_PARA_GEN != _paraphrases.generation():
         _CPP_LIB.meteor_set_paraphrases(_paraphrases.serialize())
         _CPP_PARA_GEN = _paraphrases.generation()
+    if _CPP_SYN_GEN != _synonyms.generation():
+        _CPP_LIB.meteor_set_synonyms(_synonyms.serialize())
+        _CPP_SYN_GEN = _synonyms.generation()
 
 
 def _cpp_meteor_sentence(hypothesis: str, references: Sequence[str]) -> float:

@@ -15,6 +15,15 @@ Groups are sets of mutually substitutable single tokens (METEOR's synonym
 module is also token-level). A word may appear in several groups
 (e.g. "bike" ~ bicycle and motorcycle), exactly like polysemous WordNet
 lemmas.
+
+Users holding real WordNet data can install it at runtime with
+``set_synonym_groups`` (both the Python and C++ scorers rebuild their
+indices) — `metrics/ingest.py` provides a loader for the standard WordNet
+Prolog ``wn_s.pl`` synset file, so true METEOR-1.5 synonym data is two
+calls away::
+
+    from show_and_tell_tpu.metrics import ingest, synonyms
+    synonyms.set_synonym_groups(ingest.load_wordnet_synsets("wn_s.pl"))
 """
 
 from __future__ import annotations
@@ -168,8 +177,40 @@ SYNONYM_GROUPS: Tuple[Tuple[str, ...], ...] = (
 )
 
 
+_ACTIVE_GROUPS: Tuple[Tuple[str, ...], ...] = SYNONYM_GROUPS
+_GENERATION = 0  # bumped on table swap so scorers can rebuild caches
+
+
+def set_synonym_groups(groups) -> None:
+    """Replace the active synonym table (e.g. with real WordNet synsets via
+    ``ingest.load_wordnet_synsets``). ``groups``: iterable of iterables of
+    single-token words. Multi-token entries are rejected (METEOR's synonym
+    module is token-level); single-member groups are dropped (they can never
+    produce a match). Mirrors ``paraphrases.set_paraphrase_groups``."""
+    global _ACTIVE_GROUPS, _GENERATION
+    canon = []
+    for g in groups:
+        row = tuple(dict.fromkeys(w.strip() for w in g))  # dedup, keep order
+        for w in row:
+            if not w or len(w.split()) != 1:
+                raise ValueError(f"synonym entry {w!r} is not a single token")
+        if len(row) >= 2:
+            canon.append(row)
+    _ACTIVE_GROUPS = tuple(canon)
+    _GENERATION += 1
+
+
+def active_groups() -> Tuple[Tuple[str, ...], ...]:
+    return _ACTIVE_GROUPS
+
+
+def generation() -> int:
+    return _GENERATION
+
+
 def build_index() -> Dict[str, FrozenSet[int]]:
-    """word -> frozen set of group ids (a word may be in several groups).
+    """word -> frozen set of group ids over the ACTIVE table (a word may be
+    in several groups).
 
     Each table word is indexed under its surface form AND its Porter stem,
     and lookups union both keys (metrics/meteor.py) — a cheap stand-in for
@@ -178,7 +219,7 @@ def build_index() -> Dict[str, FrozenSet[int]]:
     from show_and_tell_tpu.metrics.meteor import porter_stem
 
     tmp: Dict[str, set] = {}
-    for gid, group in enumerate(SYNONYM_GROUPS):
+    for gid, group in enumerate(_ACTIVE_GROUPS):
         for w in group:
             tmp.setdefault(w, set()).add(gid)
             tmp.setdefault(porter_stem(w), set()).add(gid)
@@ -188,5 +229,5 @@ def build_index() -> Dict[str, FrozenSet[int]]:
 def serialize() -> bytes:
     """One group per line, words space-separated — the wire format consumed
     by the C++ scorer's ``meteor_set_synonyms`` so both implementations
-    share one table."""
-    return "\n".join(" ".join(g) for g in SYNONYM_GROUPS).encode()
+    share one table (always the ACTIVE table)."""
+    return "\n".join(" ".join(g) for g in _ACTIVE_GROUPS).encode()
