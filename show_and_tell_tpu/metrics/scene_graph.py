@@ -46,13 +46,16 @@ PREPOSITIONS = frozenset(
     """in on at by of over under above below between among through during
     before after near against into onto upon inside outside behind beside
     along across around atop underneath beneath past beyond within without
-    with to from off down toward towards""".split()
+    with to from off down toward towards front""".split()
 )
+# "front" enters the token stream only as the collapse of "in front of"
+# (_COMPOUND_PREPS) — it must be in PREPOSITIONS or the collapsed token
+# derails the whole clause (golden-set finding, benchmarks/spice_parser_eval)
 COPULAS = frozenset("is are was were be been being 's am".split())
 CONJUNCTIONS = frozenset("and or".split())
 SKIP = frozenset(
     """there it he she they i you we who which that as while when where
-    very really quite just also not n't up out""".split()
+    very really quite just also not n't up out about""".split()
 )
 
 Tuple3 = Tuple[str, ...]
@@ -97,13 +100,19 @@ VERBS = frozenset(
     catch catches swing swings hit hits kick kicks lean leans graze grazes
     stare stares gaze gazes rest rests float floats swim swims climb climbs
     pull pulls push pushes serve serves laugh laughs surf surfs ski skis
-    skate skates chase chases""".split()
+    skate skates chase chases sets does""".split()
+# NOT "drinks": as a plural noun ("food and drinks") it outweighs the
+# 3rd-person verb reading in caption text
 )
 
 # compound prepositions collapsed to one token before chunking
 _COMPOUND_PREPS = (
     (("on", "top", "of"), "on"),
     (("in", "front", "of"), "front"),
+    (("in", "the", "middle", "of"), "amid"),
+    (("in", "the", "center", "of"), "amid"),
+    (("in", "the", "centre", "of"), "amid"),
+    (("in", "the", "midst", "of"), "amid"),
     (("next", "to"), "near"),
     (("close", "to"), "near"),
     # photographic framing prefix, not scene content: drop it so
@@ -122,6 +131,10 @@ PARTICIPLE_BASE = {
     "flown": "fly", "grown": "grow", "built": "build", "made": "make",
     "caught": "catch", "led": "lead", "fed": "feed", "lit": "light",
     "torn": "tear", "swung": "swing", "hidden": "hide", "broken": "break",
+    "cut": "cut",  # zero-marker participle ("a sandwich cut in half")
+    # finite have-forms normalize to "have" so "a kitchen has cabinets"
+    # and "a kitchen with cabinets"-style have-relations share a lemma
+    "has": "have", "had": "have",
 }
 
 
@@ -183,6 +196,15 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
     after_conj = False  # the segment after an NP-coordination close forms
     # its own NP even without a determiner ("dogs and CATS SITTING ...")
 
+    def content_count(ws: List[str]) -> int:
+        return len(
+            [
+                t
+                for t in ws
+                if (t not in DETERMINERS or t in NUMBERS) and t not in SKIP
+            ]
+        )
+
     def close_np(defer_verbs: bool = False) -> List[str]:
         """Resolve cur: strip trailing gerunds (attributes of the NP head),
         build the NP, and complete any pending relation with it. With
@@ -193,15 +215,6 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
         after_conj = False
         words = list(cur)
         cur = []
-
-        def content_count(ws: List[str]) -> int:
-            return len(
-                [
-                    t
-                    for t in ws
-                    if (t not in DETERMINERS or t in NUMBERS) and t not in SKIP
-                ]
-            )
 
         trailing_verbs: List[str] = []
         # strip trailing verbs, but never strip the NP's only content word
@@ -217,6 +230,66 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
             all_verbs or content_count(words[:-1]) >= 1
         ):
             trailing_verbs.insert(0, words.pop())
+
+        # Bare-object verb split: "a woman drinks coffee" / "a giraffe
+        # eating leaves" — an internal verb with content on BOTH sides
+        # splits the segment into subject NP + relation + object NP. (The
+        # determiner branch already splits "...rides A horse"; this covers
+        # the determiner-less object, a top-frequency caption construction
+        # per the golden-set error catalogue.) The object side must be
+        # verb-free so gerund chains ("sitting eating") pick the LAST verb
+        # as the relation and keep earlier ones as subject attributes.
+        split_k = -1
+        for k in range(len(words) - 1, -1, -1):
+            if (
+                _is_verbish(words[k])
+                and content_count(words[:k]) >= 1
+                and content_count(words[k + 1 :]) >= 1
+                and all(not _is_verbish(t) for t in words[k + 1 :])
+            ):
+                split_k = k
+                break
+        if split_k >= 0:
+            subj_words, verb = words[:split_k], words[split_k]
+            obj_words = words[split_k + 1 :]
+            subj_verbs: List[str] = []
+            while (
+                subj_words
+                and _is_verbish(subj_words[-1])
+                and content_count(subj_words[:-1]) >= 1
+            ):
+                subj_verbs.insert(0, subj_words.pop())
+            subj_np, obj_np = _flush_np(subj_words), _flush_np(obj_words)
+            if subj_np is not None and obj_np is not None:
+                nps.append(subj_np)
+                nps.append(obj_np)
+                for v in subj_verbs:
+                    tuples.add((_norm(subj_np.head), _norm(v)))
+                base = PARTICIPLE_BASE.get(verb, verb)
+                tuples.add(
+                    (_norm(subj_np.head), _norm(base), _norm(obj_np.head))
+                )
+                # a pending relation ("a man WITH a dog chasing birds")
+                # completes with the SUBJECT of the split
+                if pending_rel is not None and rel_subj is not None:
+                    if isinstance(pending_rel, tuple):  # passive
+                        pv = PARTICIPLE_BASE.get(pending_rel[1], pending_rel[1])
+                        tuples.add(
+                            (_norm(subj_np.head), _norm(pv), _norm(rel_subj.head))
+                        )
+                    else:
+                        tuples.add(
+                            (_norm(rel_subj.head), _norm(pending_rel), _norm(subj_np.head))
+                        )
+                pending_rel = None
+                rel_subj = None
+                last_np = obj_np
+                if defer_verbs:
+                    return trailing_verbs
+                for v in trailing_verbs:
+                    tuples.add((_norm(obj_np.head), _norm(v)))
+                return []
+
         np_ = _flush_np(words)
         if np_ is None:
             # segment was all verbs/adjectives: attach to the previous NP
@@ -256,8 +329,45 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
             and not any(c in DETERMINERS and c not in NUMBERS for c in cur)
         )
 
+    def attach_lone_segment() -> None:
+        """cur (det-less) hangs off last_np. A leading verb run followed by
+        non-verb content is a bare-object relation ("is drinking water"
+        after 'the zebra': (zebra, drink, water), extra leading verbs stay
+        attributes); otherwise every content token is an attribute."""
+        nonlocal cur
+        words = [c for c in cur if c not in SKIP]
+        cur = []
+        k = 0
+        while k < len(words) and _is_verbish(words[k]):
+            k += 1
+        if 1 <= k < len(words) and not any(_is_verbish(t) for t in words[k:]):
+            obj = _flush_np(words[k:])
+            if obj is not None:
+                nps.append(obj)
+                for v in words[: k - 1]:
+                    tuples.add((_norm(last_np.head), _norm(PARTICIPLE_BASE.get(v, v))))
+                base = PARTICIPLE_BASE.get(words[k - 1], words[k - 1])
+                tuples.add((_norm(last_np.head), _norm(base), _norm(obj.head)))
+                return
+        for c in words:
+            tuples.add((_norm(last_np.head), _norm(c)))
+
     for ti, w in enumerate(toks):
         nxt = toks[ti + 1] if ti + 1 < len(toks) else None
+        if w == "to" and nxt is not None and _is_verbish(nxt):
+            continue  # infinitive marker ("trying TO catch"), not a prep
+        if w == "that" and nxt is not None and (
+            _is_verbish(nxt) or nxt in COPULAS
+        ):
+            continue  # relativizer ("a girl THAT holds..."), not a det
+        if w == "'s":
+            # possessive clitic: "a man 's hat" -> (man, have, hat); the
+            # copular reading ("the dog 's brown") is rare in caption text
+            close_np()
+            if last_np is not None:
+                pending_rel = "have"
+                rel_subj = last_np
+            continue
         if w in PREPOSITIONS:
             if lone_content_segment() and pending_rel is None:
                 # "dogs RUNNING on the beach": gerund/adjective segment ->
@@ -270,10 +380,7 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                     pending_rel = ("__passive__", verb)
                     rel_subj = last_np
                     continue
-                for c in cur:
-                    if c not in SKIP:
-                        tuples.add((_norm(last_np.head), _norm(c)))
-                cur = []
+                attach_lone_segment()
             else:
                 deferred = close_np(defer_verbs=(w == "by"))
                 if (
@@ -329,12 +436,26 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                     cur = []
                 elif len(content) >= 2:
                     # "a man rides A horse" -> cur == [a, man, rides]:
-                    # final word is the verb, the rest the subject NP
+                    # final word is the verb, the rest the subject NP;
+                    # extra trailing verbs on the subject ("a man trying
+                    # [to] catch A ball") stay subject attributes
                     verb = cur[-1]
-                    np_ = _flush_np(cur[:-1])
+                    subj_words = cur[:-1]
                     cur = []
+                    subj_verbs: List[str] = []
+                    while (
+                        subj_words
+                        and _is_verbish(subj_words[-1])
+                        and content_count(subj_words[:-1]) >= 1
+                    ):
+                        subj_verbs.insert(0, subj_words.pop())
+                    np_ = _flush_np(subj_words)
                     if np_ is not None:
                         nps.append(np_)
+                        for v in subj_verbs:
+                            tuples.add(
+                                (_norm(np_.head), _norm(PARTICIPLE_BASE.get(v, v)))
+                            )
                         last_np = np_
                         pending_rel = verb
                         rel_subj = np_
@@ -346,12 +467,10 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
         else:
             cur.append(w)
 
-    # end of stream: a trailing lone segment is attributes of the last NP
+    # end of stream: a trailing lone segment hangs off the last NP
+    # (attributes, or a bare-object relation — attach_lone_segment)
     if lone_content_segment() and pending_rel is None:
-        for c in cur:
-            if c not in SKIP:
-                tuples.add((_norm(last_np.head), _norm(c)))
-        cur = []
+        attach_lone_segment()
     close_np()
 
     for np_ in nps:
