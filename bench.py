@@ -6,23 +6,36 @@ protocols: greedy (the only decode the reference implements, models.py:56-67
 — the directly comparable protocol per BASELINE.md) and beam=3 (the
 headline; the reference stubs beam search at model2.py:113-114).
 
-Weights are randomly initialised (zero-egress image: no pretrained
-checkpoints, no COCO images); shapes, dtypes and compute are identical to
-the real workload, so throughput is representative.
+TWO weight regimes (VERDICT r2 item 1 — a number from a model that
+actually captions):
+
+- **trained** (the headline ``value``): the decoder is trained in-bench
+  (~200 full-batch steps, frozen random VGG trunk — no pretrained weights
+  exist in this zero-egress image) on a 6-class synthetic color dataset
+  whose captions are 11 tokens — COCO-like emitted length — so beam/greedy
+  decode hits ``<end>`` and the early-exit while_loop does real work, and
+  the decoded output scores >0 on the full metric suite (reported in
+  ``trained.eval``).
+- **random weights** (``random_weights_*``): never emits ``<end>`` — the
+  fixed-20-step worst case, and the protocol that matches the measured
+  reference baseline (its greedy loop has no early exit either,
+  models.py:60-67).
 
 Prints ONE JSON line:
-    {"metric", "value" (beam=3 img/s/chip), "unit", "vs_baseline", ...}
+    {"metric", "value" (trained beam=3 img/s/chip), "unit", "vs_baseline", ...}
 
 Baseline provenance (VERDICT round-1 #6 — no guessed ratios):
-- ``vs_baseline`` = OUR greedy img/s / the reference's MEASURED greedy img/s
-  on this host (benchmarks/reference_baseline.json, produced by
-  ``python benchmarks/reference_baseline.py`` which runs the actual
-  /root/reference modules). Same software protocol; hardware differs
-  (1 TPU v5e chip vs this host's CPU — the only device the PyTorch
-  reference can use here), stated in ``baseline`` rather than hidden.
+- ``vs_baseline`` = OUR random-weights greedy img/s / the reference's
+  MEASURED greedy img/s on this host (benchmarks/reference_baseline.json,
+  produced by ``python benchmarks/reference_baseline.py`` which runs the
+  actual /root/reference modules — also random-init, fixed 20 steps: the
+  protocol-matched ratio). Hardware differs (1 TPU v5e chip vs this host's
+  CPU — the only device the PyTorch reference can use here), stated in
+  ``baseline`` rather than hidden.
 - The old single-GPU *estimate* is reported separately as
   ``vs_estimated_gpu`` and never presented as a measurement.
-- ``mfu`` = analytic model FLOPs/image x measured img/s / v5e bf16 peak.
+- ``mfu`` = analytic model FLOPs/image x measured img/s / v5e bf16 peak
+  (random-weights regime: full 20-step decode compute).
 """
 
 from __future__ import annotations
@@ -42,6 +55,23 @@ N_WARMUP = 2
 N_ITERS = 6
 
 EMBED, HIDDEN, VOCAB, STEPS, PATCHES = 512, 1024, 10000, 20, 196
+CROP = 224  # module-level so tests can shrink the whole bench
+
+TRAIN_STEPS = 200
+TRAIN_LR = 3e-3
+
+# 6-class synthetic color dataset (the integration-test recipe at benchmark
+# scale); captions are 11 tokens so trained decode emits <end> at a
+# COCO-like length instead of the synthetic best case
+COLOR_RGB = {
+    "red": (200, 30, 30), "green": (30, 200, 30), "blue": (30, 30, 200),
+    "yellow": (220, 220, 30), "purple": (160, 30, 200), "white": (230, 230, 230),
+}
+CAPTION_WORDS = "ball sitting on a wooden table near a window".split()
+
+
+def _caption_tokens(color: str):
+    return ["a", color] + CAPTION_WORDS  # 11 tokens -> 12 emitted w/ <end>
 
 
 def _vgg_trunk_flops(crop: int = 224) -> float:
@@ -96,17 +126,41 @@ def main() -> None:
     from show_and_tell_tpu.decode import beam_search, greedy_decode
     from show_and_tell_tpu.models.registry import build_model
 
+    from show_and_tell_tpu.utils.vocab import Vocabulary
+
     cfg = Config(
-        embed_size=EMBED, hidden_size=HIDDEN, crop_size=224, beam_size=3,
+        embed_size=EMBED, hidden_size=HIDDEN, crop_size=CROP, beam_size=3,
         max_decode_len=STEPS, dtype="bfloat16",
     )
     model = build_model(cfg, VOCAB)
     params, frozen = model.init(jax.random.PRNGKey(0))
 
-    rng = np.random.default_rng(0)
-    images = jnp.asarray(
-        rng.integers(0, 256, (BATCH, 256, 256, 3), dtype=np.uint8)
+    # real caption words in the low ids, filler words padding the vocab to
+    # the full 10k output head (throughput-representative projection)
+    colors = list(COLOR_RGB)
+    real_words = list(dict.fromkeys(
+        w for c in colors for w in _caption_tokens(c)
+    ))
+    vocab = Vocabulary.from_words(
+        real_words + [f"w{i}" for i in range(VOCAB - 4 - len(real_words))]
     )
+    assert len(vocab) == VOCAB
+
+    # synthetic color images (class = color, + noise) and their captions
+    rng = np.random.default_rng(0)
+    arr = np.empty((BATCH, 256, 256, 3), dtype=np.uint8)
+    token_lists = []
+    for i in range(BATCH):
+        color = colors[i % len(colors)]
+        base = np.array(COLOR_RGB[color], np.float32)
+        arr[i] = np.clip(
+            base[None, None, :] + rng.normal(0, 12, (256, 256, 3)), 0, 255
+        ).astype(np.uint8)
+        token_lists.append(_caption_tokens(color))
+    images = jnp.asarray(arr)
+    captions_np, lengths_np = vocab.encode_batch(token_lists, max_len=STEPS)
+    captions = jnp.asarray(captions_np)
+    lengths = jnp.asarray(lengths_np)
 
     def make_fn(mode: str):
         @jax.jit
@@ -125,26 +179,112 @@ def main() -> None:
             return greedy_decode(step_fn, carry, BATCH, cfg.max_decode_len, first_logits=first)
         return caption
 
-    def measure(fn) -> float:
+    def measure(fn, p) -> float:
         # NB: completion is forced by a device->host transfer of the ids each
         # iteration (what a real serving loop does anyway) — on the remote-
         # relay backend ``block_until_ready`` alone does not await device
         # completion. Double-buffered: batch i+1 dispatches before batch i's
         # ids are fetched.
         for _ in range(N_WARMUP):
-            np.asarray(fn(params, frozen, images))
+            np.asarray(fn(p, frozen, images))
         t0 = time.perf_counter()
         prev = None
         for _ in range(N_ITERS):
-            cur = fn(params, frozen, images)
+            cur = fn(p, frozen, images)
             if prev is not None:
                 np.asarray(prev)
             prev = cur
         np.asarray(prev)
         return BATCH * N_ITERS / (time.perf_counter() - t0)
 
-    beam_img_s = measure(make_fn("beam"))
-    greedy_img_s = measure(make_fn("greedy"))
+    beam_fn, greedy_fn = make_fn("beam"), make_fn("greedy")
+    beam_img_s = measure(beam_fn, params)
+    greedy_img_s = measure(greedy_fn, params)
+
+    # --- train the decoder in-bench, then measure the trained regime -------
+    import optax
+
+    from show_and_tell_tpu.train.losses import masked_cross_entropy
+
+    @jax.jit
+    def feats_fn(frozen, images_u8):
+        return model.backbone_features(
+            frozen, eval_transform(images_u8, cfg.crop_size)
+        )
+
+    feats = feats_fn(frozen, images)
+    opt = optax.adam(TRAIN_LR)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def update(p, s, feats, captions, lengths):
+        def loss_fn(p):
+            logits, mask, _ = model.decode_train(p, feats, captions, lengths)
+            loss, _ = masked_cross_entropy(logits, captions[:, 1:], mask)
+            return loss
+
+        loss, g = jax.value_and_grad(loss_fn)(p)
+        updates, s = opt.update(g, s)
+        return optax.apply_updates(p, updates), s, loss
+
+    trained = params
+    for _ in range(TRAIN_STEPS):
+        trained, opt_state, train_loss = update(
+            trained, opt_state, feats, captions, lengths
+        )
+    train_loss = float(train_loss)
+
+    trained_beam_img_s = measure(beam_fn, trained)
+    trained_greedy_img_s = measure(greedy_fn, trained)
+
+    # decode-only latency from precomputed features: isolates the
+    # early-exit while_loop win (the 69->38 ms measurement from
+    # docs/KERNELS.md, now reproduced on a model that actually emits <end>)
+    @jax.jit
+    def beam_decode_only(p, feats):
+        step_fn, carry, first = model.make_decode_state(
+            p, feats, beam_size=cfg.beam_size
+        )
+        ids, _ = beam_search(
+            step_fn, carry, BATCH, beam_size=cfg.beam_size,
+            max_len=cfg.max_decode_len, first_logits=first, tile=False,
+        )
+        return ids
+
+    def measure_decode_ms(p) -> float:
+        for _ in range(N_WARMUP):
+            np.asarray(beam_decode_only(p, feats))
+        t0 = time.perf_counter()
+        for _ in range(N_ITERS):
+            np.asarray(beam_decode_only(p, feats))
+        return (time.perf_counter() - t0) / N_ITERS * 1e3
+
+    decode_ms_random = measure_decode_ms(params)
+    decode_ms_trained = measure_decode_ms(trained)
+
+    # decoded output quality: early-exit actually fires + full metric suite
+    ids = np.asarray(beam_fn(trained, frozen, images))
+    decoded = vocab.decode_batch(ids)
+    mean_len = float(np.mean([len(c.split()) for c in decoded]))
+    refs = [" ".join(t) for t in token_lists]
+    exact = sum(d == r for d, r in zip(decoded, refs))
+    gts = {i: [refs[i]] for i in range(BATCH)}
+    res = {i: [decoded[i]] for i in range(BATCH)}
+    from show_and_tell_tpu.metrics.bleu import Bleu
+    from show_and_tell_tpu.metrics.cider import Cider
+    from show_and_tell_tpu.metrics.meteor import Meteor
+    from show_and_tell_tpu.metrics.rouge import Rouge
+    from show_and_tell_tpu.metrics.spice import Spice
+
+    lang = {}
+    bleu, _ = Bleu(4).compute_score(gts, res)
+    lang["Bleu_4"] = round(float(bleu[3]), 4)
+    for name, scorer in (
+        ("METEOR", Meteor()), ("ROUGE_L", Rouge()), ("CIDEr", Cider()),
+        ("SPICE", Spice()),
+    ):
+        score, _ = scorer.compute_score(gts, res)
+        lang[name] = round(float(score), 4)
 
     baseline = _load_measured_baseline()
     ref_greedy = baseline.get("greedy_img_s")
@@ -155,13 +295,41 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "captioning throughput beam=3 (VGG16+SAT, 224px, b512)",
-                "value": round(beam_img_s, 2),
+                "metric": "trained-model captioning throughput beam=3 "
+                "(VGG16+SAT, 224px, b512, early-exit active)",
+                "value": round(trained_beam_img_s, 2),
                 "unit": "images/sec/chip",
-                # measured-vs-measured, same greedy protocol; hardware noted
+                # measured-vs-measured, same greedy protocol (both random
+                # init, fixed 20 steps); hardware noted
                 "vs_baseline": (
                     round(greedy_img_s / ref_greedy, 3) if ref_greedy else None
                 ),
+                "trained": {
+                    "beam_img_s": round(trained_beam_img_s, 2),
+                    "greedy_img_s": round(trained_greedy_img_s, 2),
+                    "early_exit_speedup_beam": round(
+                        trained_beam_img_s / beam_img_s, 3
+                    ),
+                    "mean_caption_len": round(mean_len, 2),
+                    "exact_caption_rate": round(exact / BATCH, 4),
+                    "decode_only_beam_ms_per_batch": {
+                        "random_20step_worst_case": round(decode_ms_random, 1),
+                        "trained_early_exit": round(decode_ms_trained, 1),
+                        "speedup": round(decode_ms_random / decode_ms_trained, 2),
+                    },
+                    "final_train_loss": round(train_loss, 4),
+                    "eval": lang,
+                    "provenance": (
+                        f"decoder trained in-bench {TRAIN_STEPS} full-batch "
+                        f"steps (adam {TRAIN_LR}) on 6-class synthetic color "
+                        "images, frozen random VGG trunk (no pretrained "
+                        "weights in this zero-egress image); 11-token "
+                        "captions -> COCO-like emitted length; metric suite "
+                        "scored on the beam-3 decode of the bench batch"
+                    ),
+                },
+                "random_weights_beam_img_s": round(beam_img_s, 2),
+                "random_weights_greedy_img_s": round(greedy_img_s, 2),
                 "greedy_img_s": round(greedy_img_s, 2),
                 "mfu": round(mfu_beam, 4),
                 "mfu_greedy": round(mfu_greedy, 4),
