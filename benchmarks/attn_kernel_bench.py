@@ -98,18 +98,28 @@ def main():
 
     from show_and_tell_tpu.ops import fused_decode_attention as fda
 
-    if args.variant == "all" or args.variant == "pallas":
+    hybrid_names = tuple(f"hybrid-{v}" for v in fda.SCORE_VARIANTS)
+    if args.variant == "all":
+        names = fda.VARIANTS + hybrid_names
+    elif args.variant == "pallas":
         names = fda.VARIANTS
+    elif args.variant == "hybrid":
+        names = hybrid_names
     elif args.variant == "xla":
         names = ()
-    elif args.variant in fda.VARIANTS:
+    elif args.variant in fda.VARIANTS + hybrid_names:
         names = (args.variant,)
     else:
         ap.error(f"unknown --variant {args.variant!r}; "
-                 f"choose xla, pallas, all, or one of {fda.VARIANTS}")
+                 f"choose xla, pallas, hybrid, all, or one of "
+                 f"{fda.VARIANTS + hybrid_names}")
     for name in names:
-        step = lambda ce, f, hp, watt, _n=name: fda.attention_beam(
-            ce, f, hp, watt, variant=_n, block_b=args.bt)
+        if name.startswith("hybrid-"):
+            step = lambda ce, f, hp, watt, _n=name[7:]: fda.attention_beam_hybrid(
+                ce, f, hp, watt, variant=_n, block_b=args.bt)
+        else:
+            step = lambda ce, f, hp, watt, _n=name: fda.attention_beam(
+                ce, f, hp, watt, variant=_n, block_b=args.bt)
         try:
             dt = measure(make_loop(step), (ce, f, hp, watt), args.iters)
             # numerics check vs xla
@@ -249,7 +259,10 @@ def full_chain():
         return ctx, alpha
 
     for name, attn in [("xla", xla_attn),
-                       ("pallas-smxu_cmxu", lambda *a: fda.attention_beam(*a, variant="smxu_cmxu"))]:
+                       ("pallas-smxu_cmxu", lambda *a: fda.attention_beam(*a, variant="smxu_cmxu")),
+                       ("hybrid-s16", lambda *a: fda.attention_beam_hybrid(*a, variant="s16")),
+                       ("hybrid-s32", lambda *a: fda.attention_beam_hybrid(*a, variant="s32")),
+                       ("hybrid-smxu", lambda *a: fda.attention_beam_hybrid(*a, variant="smxu"))]:
         loop = chain(attn)
         np.asarray(loop(h, c, emb))
         t0 = time.perf_counter()

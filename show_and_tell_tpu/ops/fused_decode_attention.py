@@ -37,6 +37,13 @@ STATUS — measured on TPU v5e, B=512 K=3 L=196 D=512 bf16, 20-step scan
     pure tanh floor (pallas micro)    1.84 ms/step  (XLA micro: 2.21)
     full chain (+LSTM cell + head)    XLA 2.06 / pallas-attn 2.51 ms/step
 
+Round 3 (final attempt, CLOSED — docs/KERNELS.md): the hybrid
+``attention_beam_hybrid`` (Pallas tanh+score only, no features operand =
+half the HBM read; XLA softmax/context) measured 2.28-2.49 ms/step vs the
+same-session XLA chain at 1.768 — which is BELOW round 2's Pallas
+tanh-only micro (1.84), so there is no recoverable gap. Kernel work on
+this chain is closed; XLA is the production path permanently.
+
 Conclusion: the decode step is tanh-VPU-bound (~1.8 ms floor for 462M
 bf16 transcendentals at this shape) and XLA's fusion already sits within
 ~10% of that floor; every Pallas formulation pays ~0.4-0.5 ms of
@@ -317,3 +324,99 @@ def attention_beam(
     ``block_b``: images per VMEM block (8 is the largest that compiles at
     production shapes; 16 exceeds double-buffered VMEM)."""
     return _impl(ce, f, hp, watt, variant, block_b)
+
+
+# --- round-3 hybrid: Pallas tanh+score only, XLA softmax/context ------------
+# VERDICT r2 weak-#4: the Pallas tanh micro beat XLA's (1.84 vs 2.21 ms), so
+# try the minimal kernel owning ONLY the VPU-bound stage (tanh + score
+# contraction) and let XLA keep softmax + the context matmul + the cell.
+# Structural advantage over the full kernels above: no ``features`` operand,
+# so the kernel's HBM read halves (ce only), and the larger block_b fits.
+
+SCORE_VARIANTS = ("s32", "s16", "smxu")
+
+
+def _score_kernel(K: int, variant: str, ce_ref, hp_ref, watt_ref, e_ref):
+    ce = ce_ref[:]  # [BT, Lp, D] — read once, reused across K beams
+    BT, Lp, D = ce.shape
+    for k in range(K):  # static unroll over beams
+        t = jnp.tanh(ce + hp_ref[:, k, :][:, None, :])  # [BT, Lp, D]
+        if variant == "smxu":
+            e128 = jax.lax.dot_general(
+                t.reshape(BT * Lp, D), watt_ref[:],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            e = e128[:, :1].reshape(BT, Lp)
+        elif variant == "s16":
+            e = jnp.sum(t * watt_ref[:][0][None, None, :], axis=-1).astype(
+                jnp.float32
+            )
+        else:
+            e = jnp.sum(
+                (t * watt_ref[:][0][None, None, :]).astype(jnp.float32), axis=-1
+            )
+        e_ref[:, k, :] = e
+
+
+def attention_scores(
+    ce: jax.Array,  # [B, L, D]
+    hp: jax.Array,  # [B, K, D]
+    watt: jax.Array,  # [D]
+    variant: str = "s16",
+    block_b: int = 8,
+) -> jax.Array:
+    """Raw attention scores ``e [B, K, L]`` fp32 = tanh(ce + hp_k) . watt —
+    the VPU-bound stage only; softmax/context stay with XLA."""
+    B, L, D = ce.shape
+    K = hp.shape[1]
+    sub = 16 if ce.dtype == jnp.bfloat16 else 8
+    Lp = _round_up(L, sub)
+    if Lp != L:
+        ce = jnp.pad(ce, ((0, 0), (0, Lp - L), (0, 0)))
+    BT = block_b
+    while B % BT:
+        BT //= 2
+    if variant == "smxu":
+        watt_in = jnp.broadcast_to(watt.reshape(D, 1), (D, 128)).astype(ce.dtype)
+        watt_spec = pl.BlockSpec((D, 128), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    else:
+        watt_in = watt.reshape(1, D).astype(ce.dtype)
+        watt_spec = pl.BlockSpec((1, D), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    e = pl.pallas_call(
+        functools.partial(_score_kernel, K, variant),
+        grid=(B // BT,),
+        in_specs=[
+            pl.BlockSpec((BT, Lp, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BT, K, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            watt_spec,
+        ],
+        out_specs=pl.BlockSpec(
+            (BT, K, Lp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, K, Lp), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * K * Lp * D,
+            bytes_accessed=B * Lp * D * ce.dtype.itemsize,
+            transcendentals=B * K * Lp * D,
+        ),
+        interpret=lstm_mod._INTERPRET,
+    )(ce, hp, watt_in)
+    return e[:, :, :L]
+
+
+def attention_beam_hybrid(
+    ce: jax.Array,
+    f: jax.Array,
+    hp: jax.Array,
+    watt: jax.Array,
+    variant: str = "s16",
+    block_b: int = 8,
+) -> Tuple[jax.Array, jax.Array]:
+    """Hybrid decode attention: Pallas tanh+score, XLA softmax + context
+    matmul. Numerics-identical to the XLA beam-broadcast chain."""
+    L = ce.shape[1]
+    e = attention_scores(ce, hp, watt, variant, block_b)
+    alpha = jax.nn.softmax(e, axis=-1)
+    ctx = jnp.einsum("bkl,bld->bkd", alpha.astype(f.dtype), f) / L
+    return ctx, alpha
