@@ -45,7 +45,24 @@ def main(argv=None):
 
         frozen = load_torch_encoder(model.encoder_name, cfg.encoder_weights)
     batch_stats = model.init_batch_stats() if hasattr(model, "init_batch_stats") else None
-    if cfg.load_model_path and not cfg.encoder_weights and not cfg.features_path:
+    if cfg.torch_checkpoint:
+        # --torch_checkpoint model-best.pth: evaluate a reference-trained
+        # checkpoint directly (ckpt/torch_import.py; the state_dict carries
+        # the frozen trunk, so no --encoder_weights needed)
+        from show_and_tell_tpu.ckpt.torch_import import load_reference_checkpoint
+
+        if cfg.model == "show_tell":
+            t, bs, fr = load_reference_checkpoint(
+                cfg.torch_checkpoint, "show_tell", cfg.num_layers
+            )
+            params = {**params, **t}
+            batch_stats = bs if bs is not None else batch_stats
+        else:
+            t, fr = load_reference_checkpoint(cfg.torch_checkpoint)
+            params = t
+        if fr is not None:
+            frozen = fr
+    elif cfg.load_model_path and not cfg.encoder_weights and not cfg.features_path:
         # Checkpoints persist only trainable params + batch stats; the frozen
         # backbone is rebuilt from init. Without --encoder_weights that means
         # a RANDOM encoder under a trained decoder — scores would be garbage
@@ -57,7 +74,7 @@ def main(argv=None):
             "Pass the same --encoder_weights used in training, or expect "
             "near-zero scores."
         )
-    if cfg.load_model_path:
+    if cfg.load_model_path and not cfg.torch_checkpoint:
         restored = ckpt.load_best_params(cfg.load_model_path, params, batch_stats)
         if restored is None:
             raise SystemExit(f"no checkpoint found in {cfg.load_model_path}")

@@ -61,6 +61,11 @@ class Config:
     load_model_path: Optional[str] = None
     load_optim_path: Optional[str] = None
     load_pretrained: bool = False
+    # migration path: a reference-trained model-best.pth (state_dict of
+    # model2.ShowAttendTellModel or the models.py pair) imported directly
+    # (ckpt/torch_import.py) — serve/evaluate a reference checkpoint on TPU
+    # with one flag, no retraining
+    torch_checkpoint: Optional[str] = None
 
     # --- Optimization (reference config.py:38-48) ---
     learning_rate: float = 1e-3

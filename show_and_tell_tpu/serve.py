@@ -103,6 +103,24 @@ class Captioner:
         batch_stats = (
             model.init_batch_stats() if hasattr(model, "init_batch_stats") else None
         )
+        if cfg.torch_checkpoint:
+            # migration path: a reference-trained model-best.pth state_dict
+            # (ckpt/torch_import.py) — takes the place of an expr_dir restore
+            from show_and_tell_tpu.ckpt.torch_import import load_reference_checkpoint
+
+            if cfg.model == "show_tell":
+                t, bs, fr = load_reference_checkpoint(
+                    cfg.torch_checkpoint, "show_tell", cfg.num_layers
+                )
+                params = {**params, **t}
+                if bs is not None:
+                    batch_stats = bs
+            else:
+                t, fr = load_reference_checkpoint(cfg.torch_checkpoint)
+                params = t
+            if fr is not None:
+                frozen = fr  # the .pth carries the whole frozen trunk too
+            return cls(cfg, model, params, frozen, vocab, batch_stats, **kw)
         if expr_dir:
             if not cfg.encoder_weights:
                 # Checkpoints persist only trainable params + batch stats;
