@@ -1,0 +1,97 @@
+"""HTTP serving endpoint: request/response contract over a live server."""
+
+import base64
+import io
+import json
+import threading
+import urllib.request
+import urllib.error
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from show_and_tell_tpu.config import Config
+from show_and_tell_tpu.cli.serve_http import make_server
+from show_and_tell_tpu.serve import ERROR_CAPTION
+from show_and_tell_tpu.utils.vocab import Vocabulary
+
+
+@pytest.fixture(scope="module")
+def server():
+    cfg = Config(
+        embed_size=16, hidden_size=24, crop_size=32, max_decode_len=4,
+        beam_size=2,
+    )
+    vocab = Vocabulary.from_words(["a", "dog", "runs", "sits"])
+    srv = make_server(cfg, vocab, host="127.0.0.1", port=0)  # ephemeral port
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+    srv.server_close()
+
+
+def _png_bytes(seed=0):
+    rng = np.random.default_rng(seed)
+    img = Image.fromarray((rng.random((64, 64, 3)) * 255).astype(np.uint8))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def _post(url, data, headers=None):
+    req = urllib.request.Request(url, data=data, headers=headers or {})
+    with urllib.request.urlopen(req, timeout=60) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_healthz(server):
+    with urllib.request.urlopen(f"{server}/healthz", timeout=30) as r:
+        body = json.loads(r.read())
+    assert r.status == 200 and body["ok"]
+    assert body["model"] == "show_attend_tell" and body["beam_size"] == 2
+
+
+def test_caption_single(server):
+    status, body = _post(f"{server}/caption", _png_bytes())
+    assert status == 200
+    assert isinstance(body["caption"], str) and body["mode"] == "beam"
+    status, body = _post(f"{server}/caption?mode=greedy", _png_bytes(1))
+    assert status == 200 and body["mode"] == "greedy"
+
+
+def test_caption_batch_with_corrupt_item(server):
+    items = [
+        base64.b64encode(_png_bytes(0)).decode(),
+        base64.b64encode(b"this is not an image").decode(),
+        base64.b64encode(_png_bytes(1)).decode(),
+    ]
+    status, body = _post(
+        f"{server}/caption_batch", json.dumps(items).encode(),
+        {"Content-Type": "application/json"},
+    )
+    assert status == 200
+    assert len(body["captions"]) == 3
+    assert body["errors"] == [1]
+    assert body["captions"][1] == ERROR_CAPTION
+    assert body["captions"][0] != ERROR_CAPTION
+
+
+def test_error_contracts(server):
+    # corrupt single image -> 400
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(f"{server}/caption", b"junk bytes")
+    assert ei.value.code == 400
+    # unknown mode -> 400
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(f"{server}/caption?mode=quantum", _png_bytes())
+    assert ei.value.code == 400
+    # empty body -> 400
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(f"{server}/caption", b"")
+    assert ei.value.code == 400
+    # unknown path -> 404
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(f"{server}/nope", _png_bytes())
+    assert ei.value.code == 404
