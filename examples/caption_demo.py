@@ -31,19 +31,25 @@ def main(workdir: str = "/tmp/sat_demo") -> None:
 
     os.makedirs(f"{workdir}/imgs", exist_ok=True)
     rng = np.random.default_rng(0)
-    words = ["man", "dog", "horse", "rides", "runs", "park", "ball", "red"]
 
-    # --- 1. synthetic Karpathy-format dataset -----------------------------
+    # --- 1. synthetic Karpathy-format dataset ------------------------------
+    # LEARNABLE: each image is a solid color + noise and its caption names
+    # the color, so the demo model genuinely learns to caption (val output
+    # below should read "a red ball" etc., not babble).
+    colors = {
+        "red": (200, 30, 30), "green": (30, 200, 30), "blue": (30, 30, 200),
+        "yellow": (220, 220, 30), "purple": (160, 30, 200),
+        "white": (230, 230, 230),
+    }
+    names = list(colors)
     images = []
     for i in range(48):
         fname = f"img{i}.png"
-        Image.fromarray(
-            (rng.random((256, 256, 3)) * 255).astype(np.uint8)
-        ).save(f"{workdir}/imgs/{fname}")
-        sents = [
-            {"tokens": ["a"] + list(rng.choice(words, rng.integers(3, 7)))}
-            for _ in range(2)
-        ]
+        color = names[i % len(names)]
+        base = np.array(colors[color], np.float32)
+        arr = np.clip(base[None, None, :] + rng.normal(0, 12, (256, 256, 3)), 0, 255)
+        Image.fromarray(arr.astype(np.uint8)).save(f"{workdir}/imgs/{fname}")
+        sents = [{"tokens": ["a", color, "ball"]} for _ in range(2)]
         images.append(
             {"split": "train" if i < 40 else "val", "imgid": i,
              "cocoid": 1000 + i, "filepath": "", "filename": fname,
@@ -82,12 +88,16 @@ def main(workdir: str = "/tmp/sat_demo") -> None:
         ann_file=f"{workdir}/ann_val.json",
         expr_dir=f"{workdir}/exp",
         batch_size=8,
-        max_epochs=1,
-        save_checkpoint_every=5,
+        max_epochs=12,
+        save_checkpoint_every=20,
+        learning_rate=5e-3,
         embed_size=32,
         hidden_size=64,
-        num_buckets=2,
+        crop_size=64,  # small crop: fast CPU demo, color still dominant
+        max_decode_len=5,
+        num_buckets=1,
         beam_size=3,
+        language_eval=1,
     )
     train_main(cfg)
 
