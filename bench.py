@@ -54,6 +54,14 @@ BATCH = 512
 N_WARMUP = 2
 N_ITERS = 6
 
+# Wall-clock budget: relay remote-compiles are not cached across processes
+# and each big program costs 30-120 s, so optional sections (currently the
+# int8-backbone extra) self-skip once the budget is spent rather than risk
+# the whole run being killed by an external timeout. Override with
+# SAT_BENCH_BUDGET_S; the core (trained + random regimes, decode-only,
+# metric suite) always runs.
+BUDGET_S = float(os.environ.get("SAT_BENCH_BUDGET_S", "420"))
+
 EMBED, HIDDEN, VOCAB, STEPS, PATCHES = 512, 1024, 10000, 20, 196
 CROP = 224  # module-level so tests can shrink the whole bench
 
@@ -115,6 +123,7 @@ def _load_measured_baseline() -> dict:
 
 
 def main() -> None:
+    t_start = time.perf_counter()
     import jax
     import jax.numpy as jnp
 
@@ -179,18 +188,19 @@ def main() -> None:
             return greedy_decode(step_fn, carry, BATCH, cfg.max_decode_len, first_logits=first)
         return caption
 
-    def measure(fn, p) -> float:
+    def measure(fn, p, fr=None) -> float:
+        fr = frozen if fr is None else fr
         # NB: completion is forced by a device->host transfer of the ids each
         # iteration (what a real serving loop does anyway) — on the remote-
         # relay backend ``block_until_ready`` alone does not await device
         # completion. Double-buffered: batch i+1 dispatches before batch i's
         # ids are fetched.
         for _ in range(N_WARMUP):
-            np.asarray(fn(p, frozen, images))
+            np.asarray(fn(p, fr, images))
         t0 = time.perf_counter()
         prev = None
         for _ in range(N_ITERS):
-            cur = fn(p, frozen, images)
+            cur = fn(p, fr, images)
             if prev is not None:
                 np.asarray(prev)
             prev = cur
@@ -262,6 +272,34 @@ def main() -> None:
     decode_ms_random = measure_decode_ms(params)
     decode_ms_trained = measure_decode_ms(trained)
 
+    # int8 PTQ backbone (models/quantize.py, Config.quantize_backbone):
+    # measure the quantized serving path on the SAME trained decoder and
+    # check the captions survive quantization. Optional under the time
+    # budget (adds ~3 uncached relay compiles); when skipped the standalone
+    # measurement in docs/KERNELS.md (1.17x, cosine 0.9993) stands.
+    int8_field = {"skipped_time_budget": True}
+    if time.perf_counter() - t_start < BUDGET_S:
+        from show_and_tell_tpu.models import quantize as quantize_mod
+
+        frozen_q = quantize_mod.quantize_vgg16(
+            frozen, eval_transform(images[:32], cfg.crop_size)
+        )
+        q_beam_img_s = measure(beam_fn, trained, frozen_q)
+        ids_q = np.asarray(beam_fn(trained, frozen_q, images))
+        exact_q = sum(
+            d == r for d, r in zip(vocab.decode_batch(ids_q),
+                                   (" ".join(t) for t in token_lists))
+        )
+        int8_field = {
+            # Config.quantize_backbone serving path: per-channel int8
+            # weights + calibrated activation scales
+            "beam_img_s": round(q_beam_img_s, 2),
+            "speedup_vs_trained_bf16": round(
+                q_beam_img_s / trained_beam_img_s, 3
+            ),
+            "exact_caption_rate": round(exact_q / BATCH, 4),
+        }
+
     # decoded output quality: early-exit actually fires + full metric suite
     ids = np.asarray(beam_fn(trained, frozen, images))
     decoded = vocab.decode_batch(ids)
@@ -317,6 +355,7 @@ def main() -> None:
                         "trained_early_exit": round(decode_ms_trained, 1),
                         "speedup": round(decode_ms_random / decode_ms_trained, 2),
                     },
+                    "int8_backbone": int8_field,
                     "final_train_loss": round(train_loss, 4),
                     "eval": lang,
                     "provenance": (

@@ -123,6 +123,10 @@ class Config:
 
     # --- TPU compute knobs ---
     dtype: str = "float32"  # compute dtype; "bfloat16" = MXU-native mixed precision
+    # int8 post-training quantization of the FROZEN serving backbone
+    # (models/quantize.py): per-channel weights + calibrated activation
+    # scales; the Captioner calibrates on its first batch. Serving opt-in.
+    quantize_backbone: bool = False
     use_pallas: Optional[bool] = None  # None = default (XLA cell; see ops/lstm.py)
     donate: bool = True  # donate train-state buffers across steps
     skip_nonfinite: bool = True  # failure detection: drop updates w/ NaN/inf grads

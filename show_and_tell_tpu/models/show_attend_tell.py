@@ -99,7 +99,13 @@ class ShowAttendTellModel:
 
         The trunk runs in the compute dtype end to end (conv weights are cast
         per-op by layers.conv2d); bf16 doubles MXU throughput and halves the
-        HBM weight traffic of the frozen VGG."""
+        HBM weight traffic of the frozen VGG. A quantized tree (int8 PTQ,
+        models/quantize.py — Config.quantize_backbone serving path)
+        dispatches to the int8 trunk."""
+        if "qconvs" in frozen:
+            from show_and_tell_tpu.models.quantize import backbone_features_q
+
+            return backbone_features_q(frozen, images)
         images = images.astype(self.cdtype)
         return jax.lax.stop_gradient(encoders.vgg16_features(frozen, images))
 

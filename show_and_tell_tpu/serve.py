@@ -18,6 +18,7 @@ import logging
 from typing import Dict, List, Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from show_and_tell_tpu import ckpt
@@ -183,6 +184,27 @@ class Captioner:
         rng keys are folded from it, so per-chunk callers (caption_paths)
         get unique keys across chunks instead of reusing offset-0 keys."""
         n = images_u8.shape[0]
+        if (
+            getattr(self.cfg, "quantize_backbone", False)
+            and self.model.encoder_name == "vgg16"
+            and "qconvs" not in self.frozen
+        ):
+            # int8 PTQ (models/quantize.py): calibrate activation scales on
+            # the first batch this Captioner sees, quantize once, and let
+            # backbone_features dispatch to the int8 trunk from then on.
+            from show_and_tell_tpu.data.transforms import eval_transform
+            from show_and_tell_tpu.models.quantize import quantize_vgg16
+
+            calib = eval_transform(
+                jnp.asarray(images_u8[: min(32, n)]), self.cfg.crop_size
+            )
+            frozen_q = quantize_vgg16(self.frozen, calib)
+            if self.mesh is not None:
+                from show_and_tell_tpu.parallel import mesh as mesh_lib
+
+                frozen_q = mesh_lib.replicate(self.mesh, frozen_q)
+            self.frozen = frozen_q
+            self._fns.clear()  # cached programs closed over the f32 tree type
         out: List[str] = []
         # One-batch-lag pipeline: dispatch chunk i, then fetch + id->string
         # decode chunk i-1 while the device works on i (the double-buffered

@@ -1,0 +1,113 @@
+"""Int8 backbone PTQ: numerics bound + functional caption stability."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from show_and_tell_tpu.config import Config
+from show_and_tell_tpu.models import quantize
+from show_and_tell_tpu.models.encoders import init_vgg16, vgg16_features
+
+
+def _images(n=4, size=64, seed=0):
+    rng = np.random.default_rng(seed)
+    # image-like statistics post-normalize: zero-ish mean, unit-ish scale
+    return jnp.asarray(rng.standard_normal((n, size, size, 3)), jnp.float32)
+
+
+def test_quantized_features_close_to_f32():
+    frozen = {"convs": init_vgg16(jax.random.PRNGKey(0))["convs"]}
+    imgs = _images()
+    q = quantize.quantize_vgg16(frozen, imgs)
+    assert quantize.is_quantized(q) and not quantize.is_quantized(frozen)
+    f = np.asarray(vgg16_features(frozen, imgs))
+    g = np.asarray(quantize.vgg16_features_q(q, imgs))
+    assert f.shape == g.shape
+    cos = quantize.feature_agreement(frozen, q, imgs)
+    assert cos > 0.98, cos
+    # held-out images (not the calibration batch) stay finite and close
+    imgs2 = _images(seed=7)
+    cos2 = quantize.feature_agreement(frozen, q, imgs2)
+    assert np.isfinite(np.asarray(quantize.vgg16_features_q(q, imgs2))).all()
+    assert cos2 > 0.97, cos2
+
+
+def test_quantized_weight_layout():
+    frozen = {"convs": init_vgg16(jax.random.PRNGKey(1))["convs"]}
+    q = quantize.quantize_vgg16(frozen, _images(n=2))
+    assert len(q["qconvs"]) == len(frozen["convs"]) - 1  # conv0 stays float
+    for qc, conv in zip(q["qconvs"], frozen["convs"][1:]):
+        assert qc["wq"].dtype == jnp.int8
+        assert qc["wq"].shape == conv["w"].shape
+        assert qc["sw"].shape == (conv["w"].shape[-1],)  # per-output-channel
+        # dequantized weights reproduce the originals within one scale step
+        deq = np.asarray(qc["wq"], np.float32) * np.asarray(qc["sw"])
+        np.testing.assert_allclose(
+            deq, np.asarray(conv["w"]), atol=float(np.asarray(qc["sw"]).max())
+        )
+
+
+def test_captioner_quantized_matches_f32_captions():
+    """Train the tiny color model, then caption with and without int8
+    backbone: same captions (the functional accuracy bound)."""
+    from show_and_tell_tpu.serve import Captioner
+    from show_and_tell_tpu.utils.vocab import Vocabulary
+    from show_and_tell_tpu.train.step import make_train_state, make_train_step
+
+    colors = {"red": (200, 30, 30), "green": (30, 200, 30),
+              "blue": (30, 30, 200), "white": (230, 230, 230)}
+    names = list(colors)
+    vocab = Vocabulary.from_words(["a", "ball"] + names)
+    cfg = Config(
+        embed_size=24, hidden_size=48, crop_size=64, max_decode_len=4,
+        beam_size=2,
+    )
+    rng = np.random.default_rng(0)
+    imgs = np.stack([
+        np.clip(
+            np.array(colors[names[i % 4]], np.float32)[None, None, :]
+            + rng.normal(0, 10, (256, 256, 3)),
+            0, 255,
+        ).astype(np.uint8)
+        for i in range(16)
+    ])
+    caps, lens = vocab.encode_batch(
+        [["a", names[i % 4], "ball"] for i in range(16)], 6
+    )
+
+    cap = Captioner.from_checkpoint(cfg, None, vocab, bucket_sizes=(16,))
+    # train the decoder against the f32 backbone features
+    from show_and_tell_tpu.data.transforms import eval_transform
+
+    feats = cap.model.backbone_features(
+        cap.frozen, eval_transform(jnp.asarray(imgs), cfg.crop_size)
+    )
+    state = make_train_state(cfg, cap.params)
+    step = make_train_step(cap.model, cfg, donate=False)
+    batch = {
+        "features": feats,
+        "captions": jnp.asarray(np.pad(caps, ((0, 0), (0, 0)))),
+        "lengths": jnp.asarray(lens),
+    }
+    key = jax.random.PRNGKey(0)
+    for _ in range(150):
+        key, k = jax.random.split(key)
+        state, metrics = step(state, cap.frozen, batch, 5e-3, 0.0, k)
+    assert float(metrics["loss"]) < 0.2
+    cap.params = state.params
+
+    f32_caps = cap.caption_images(imgs, mode="beam")
+    expected = [f"a {names[i % 4]} ball" for i in range(16)]
+    assert sum(c == e for c, e in zip(f32_caps, expected)) >= 14
+
+    qcfg = cfg.replace(quantize_backbone=True)
+    qcap = Captioner.from_checkpoint(qcfg, None, vocab, bucket_sizes=(16,))
+    qcap.params = state.params
+    qcap.frozen = cap.frozen  # same backbone weights, pre-quantization
+    q_caps = qcap.caption_images(imgs, mode="beam")
+    assert quantize.is_quantized(qcap.frozen)  # first batch calibrated it
+    assert q_caps == f32_caps  # int8 backbone preserves the captions
+    # second call reuses the quantized tree (no recalibration)
+    assert qcap.caption_images(imgs[:2], mode="greedy")
