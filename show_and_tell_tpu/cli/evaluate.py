@@ -80,6 +80,27 @@ def main(argv=None):
             raise SystemExit(f"no checkpoint found in {cfg.load_model_path}")
         params, batch_stats = restored
 
+    if (
+        cfg.quantize_backbone
+        and model.encoder_name == "vgg16"
+        and not cfg.features_path
+    ):
+        # int8 PTQ eval path (models/quantize.py): calibrate on the first
+        # val batch's images, then backbone_features dispatches to int8
+        import jax.numpy as jnp
+
+        from show_and_tell_tpu.data.transforms import eval_transform
+        from show_and_tell_tpu.models.quantize import quantize_vgg16
+
+        first = next(iter(loader))
+        if "images" in first:
+            calib = eval_transform(
+                jnp.asarray(first["images"][:32]), cfg.crop_size
+            )
+            frozen = quantize_vgg16(frozen, calib)
+            log.info("backbone quantized to int8 (calibrated on %d images)",
+                     min(32, first["images"].shape[0]))
+
     mode = "beam" if cfg.beam_size > 1 else "greedy"
     val_loss, preds, stats = evaluation(
         model, cfg, params, batch_stats, frozen, loader, vocab,

@@ -111,3 +111,36 @@ def test_captioner_quantized_matches_f32_captions():
     assert q_caps == f32_caps  # int8 backbone preserves the captions
     # second call reuses the quantized tree (no recalibration)
     assert qcap.caption_images(imgs[:2], mode="greedy")
+
+
+def test_evaluation_with_quantized_backbone():
+    """The eval driver runs end to end on an int8 trunk (the
+    cli.evaluate --quantize_backbone path's core)."""
+    from show_and_tell_tpu.data.transforms import eval_transform
+    from show_and_tell_tpu.evalsuite.driver import evaluation
+    from show_and_tell_tpu.models.registry import build_model
+    from show_and_tell_tpu.utils.vocab import Vocabulary
+
+    vocab = Vocabulary.from_words(["a", "dog", "runs", "ball"])
+    cfg = Config(embed_size=16, hidden_size=24, crop_size=64, max_decode_len=4,
+                 beam_size=2)
+    model = build_model(cfg, len(vocab))
+    params, frozen = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    B = 4
+    imgs = (rng.random((B, 256, 256, 3)) * 255).astype(np.uint8)
+    caps, lens = vocab.encode_batch([["a", "dog", "runs"]] * B, 6)
+    batches = [{
+        "captions": caps, "lengths": lens,
+        "imgids": list(range(B)), "cocoids": list(range(100, 100 + B)),
+        "images": imgs,
+    }]
+    frozen_q = quantize.quantize_vgg16(
+        frozen, eval_transform(jnp.asarray(imgs), cfg.crop_size)
+    )
+    val_loss, preds, stats = evaluation(
+        model, cfg, params, None, frozen_q, batches, vocab, mode="greedy",
+        ann_file=None,
+    )
+    assert np.isfinite(val_loss)
+    assert len(preds) == B and all("caption" in p for p in preds)
