@@ -84,6 +84,36 @@ def main() -> None:
     dt = time.perf_counter() - t0
 
     img_s = BATCH * N_ITERS / dt
+
+    # int8 frozen trunk during training (Config.quantize_backbone — the
+    # trunk is stop-gradient either way; models/quantize.py): measure the
+    # same steady-state loop through the quantized backbone
+    import jax.numpy as jnp
+
+    from show_and_tell_tpu.data.transforms import eval_transform
+    from show_and_tell_tpu.models.quantize import quantize_vgg16
+
+    f32_frozen = jax.tree.map(lambda a: a.astype(jnp.float32), frozen)
+    frozen_q = mesh_lib.replicate(
+        mesh,
+        quantize_vgg16(
+            f32_frozen, eval_transform(batch["images"][:32], cfg.crop_size)
+        ),
+    )
+    state_q = make_train_state(cfg, mesh_lib.place_params(mesh, model.init(jax.random.PRNGKey(0))[0]))
+    for i in range(N_WARMUP):
+        state_q, m = step(state_q, frozen_q, batch, 1e-3, 0.05, jax.random.PRNGKey(i))
+        float(m["loss"])
+    t0 = time.perf_counter()
+    prev = None
+    for i in range(N_ITERS):
+        state_q, m = step(state_q, frozen_q, batch, 1e-3, 0.05, jax.random.PRNGKey(i))
+        if prev is not None:
+            float(prev["loss"])
+        prev = m
+    float(prev["loss"])
+    img_s_q = BATCH * N_ITERS / (time.perf_counter() - t0)
+
     baseline = _measured_baseline()
     ref_train = baseline.get("train_img_s")
     print(
@@ -92,6 +122,8 @@ def main() -> None:
                 "metric": "training throughput (VGG16+SAT full step, b256, bf16)",
                 "value": round(img_s, 2),
                 "unit": "images/sec/chip",
+                "int8_backbone_img_s": round(img_s_q, 2),
+                "int8_backbone_speedup": round(img_s_q / img_s, 3),
                 "vs_baseline": round(img_s / ref_train, 3) if ref_train else None,
                 "baseline": {
                     "measured_reference_train_img_s": ref_train,

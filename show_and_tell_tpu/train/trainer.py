@@ -94,6 +94,32 @@ class Trainer:
 
     # ------------------------------------------------------------------
 
+    def _maybe_quantize_backbone(self, batch) -> None:
+        """int8 PTQ of the FROZEN trunk for training too (it is behind
+        stop_gradient either way — models/quantize.py): calibrate on the
+        first batch, then every train step, periodic eval, and checkpointed
+        serving all run the same int8 features. No-op unless
+        ``cfg.quantize_backbone`` and the encoder is the VGG trunk."""
+        cfg = self.cfg
+        if (
+            not getattr(cfg, "quantize_backbone", False)
+            or self.model.encoder_name != "vgg16"
+            or "images" not in batch
+            or "qconvs" in self.frozen
+        ):
+            return
+        import jax.numpy as jnp
+
+        from show_and_tell_tpu.data.transforms import eval_transform
+        from show_and_tell_tpu.models.quantize import quantize_vgg16
+
+        calib = eval_transform(
+            jnp.asarray(np.asarray(batch["images"])[:32]), cfg.crop_size
+        )
+        self.frozen = mesh_lib.replicate(self.mesh, quantize_vgg16(self.frozen, calib))
+        log.info("frozen backbone quantized to int8 (calibrated on %d images)",
+                 min(32, len(batch["images"])))
+
     _DEVICE_KEYS = ("captions", "lengths", "features", "images")
 
     def _shard(self, batch):
@@ -184,6 +210,7 @@ class Trainer:
             for off, (batch, dev_batch) in enumerate(_sharded_batches(raw_skip)):
                 it = off + 1 + skip_n
                 total_iteration += 1
+                self._maybe_quantize_backbone(batch)
 
                 rng = self.keys.key("train", epoch, it)
                 with profile_trace(

@@ -144,3 +144,74 @@ def test_evaluation_with_quantized_backbone():
     )
     assert np.isfinite(val_loss)
     assert len(preds) == B and all("caption" in p for p in preds)
+
+
+def test_train_step_with_quantized_backbone():
+    """make_train_step consumes an int8 trunk (frozen is stop-gradient
+    either way): finite loss, params update."""
+    from show_and_tell_tpu.data.transforms import eval_transform
+    from show_and_tell_tpu.models.registry import build_model
+    from show_and_tell_tpu.train.step import make_train_state, make_train_step
+    from show_and_tell_tpu.utils.vocab import Vocabulary
+
+    vocab = Vocabulary.from_words(["a", "dog", "runs"])
+    cfg = Config(embed_size=16, hidden_size=24, crop_size=64, max_decode_len=5)
+    model = build_model(cfg, len(vocab))
+    params, frozen = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    imgs = (rng.random((4, 256, 256, 3)) * 255).astype(np.uint8)
+    frozen_q = quantize.quantize_vgg16(
+        frozen, eval_transform(jnp.asarray(imgs), cfg.crop_size)
+    )
+    caps, lens = vocab.encode_batch([["a", "dog", "runs"]] * 4, 6)
+    state = make_train_state(cfg, params)
+    step = make_train_step(model, cfg, donate=False)
+    batch = {"images": jnp.asarray(imgs), "captions": jnp.asarray(caps),
+             "lengths": jnp.asarray(lens)}
+    new_state, metrics = step(state, frozen_q, batch, 1e-3, 0.0, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(new_state.step) == 1
+
+
+def test_trainer_quantizes_on_first_batch(tmp_path):
+    """cli.main with quantize_backbone: the Trainer calibrates on batch 1
+    and trains through the int8 trunk end to end."""
+    import json
+
+    from PIL import Image
+
+    from show_and_tell_tpu.cli.main import main as train_main
+    from show_and_tell_tpu.data.preprocess import preprocess
+    from show_and_tell_tpu import ckpt
+
+    w = str(tmp_path)
+    import os
+    os.makedirs(f"{w}/imgs", exist_ok=True)
+    rng = np.random.default_rng(0)
+    images = []
+    for i in range(8):
+        Image.fromarray((rng.random((256, 256, 3)) * 255).astype(np.uint8)).save(
+            f"{w}/imgs/img{i}.png"
+        )
+        images.append({"split": "train" if i < 6 else "val", "imgid": i,
+                       "cocoid": 100 + i, "filepath": "",
+                       "filename": f"img{i}.png",
+                       "sentences": [{"tokens": ["a", "dog", "runs"]}],
+                       "sentids": [i]})
+    json.dump({"images": images}, open(f"{w}/captions.json", "w"))
+    cfg = Config(caption_json=f"{w}/captions.json", images_root=f"{w}/imgs",
+                 vocab_path=f"{w}/vocab.json", output_json=f"{w}/data.json",
+                 word_count_threshold=1, print_stats=False)
+    preprocess(cfg, resize_images=True, data_root=f"{w}/resized")
+    cfg = cfg.replace(
+        data_json=f"{w}/data.json", expr_dir=f"{w}/exp", batch_size=3,
+        num_devices=1,
+        max_epochs=2, save_checkpoint_every=4, embed_size=16, hidden_size=24,
+        crop_size=64, max_decode_len=5, num_buckets=1, beam_size=2,
+        language_eval=0, log_step=50, quantize_backbone=True,
+    )
+    train_main(cfg)
+    infos = ckpt.load_infos(f"{w}/exp/default/showattendtell")
+    assert infos and infos["loss_history"], "training produced no history"
+    losses = [v for v in infos["loss_history"].values()]
+    assert all(np.isfinite(v) for v in losses)
