@@ -69,6 +69,9 @@ class Config:
 
     # --- Optimization (reference config.py:38-48) ---
     learning_rate: float = 1e-3
+    # >1 = average gradients over k microbatches, one Adam update per k
+    # steps (optax.MultiSteps): k x effective batch at the same peak memory
+    grad_accum_steps: int = 1
     max_epochs: int = 20
     learning_rate_decay_start: int = 1  # epoch; -1 = no decay
     learning_rate_decay_every: int = 3

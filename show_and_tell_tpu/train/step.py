@@ -39,11 +39,20 @@ class TrainState:
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     # clip -> adam; lr applied at update time via the scale-by-lr trick so the
     # host schedule can change it without re-jitting.
-    return optax.chain(
+    tx = optax.chain(
         optax.clip(cfg.grad_clip),
         optax.scale_by_adam(),
         optax.scale(-1.0),
     )
+    if getattr(cfg, "grad_accum_steps", 1) > 1:
+        # Gradient accumulation: average grads over k microbatches on
+        # device, apply one Adam update every k-th step — k x the effective
+        # batch at the same peak memory. Clip/Adam see the AVERAGED
+        # gradient, so k microbatches of B/k match one batch of B up to fp
+        # reduction order (pinned in tests/test_train.py). The reference
+        # has no analogue.
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.grad_accum_steps)
+    return tx
 
 
 def make_train_state(cfg: Config, params: Any, batch_stats: Any = None) -> TrainState:

@@ -187,3 +187,51 @@ def test_checkpoint_roundtrip(tmp_path):
     restored, _ = ckpt.load_best_params(str(tmp_path), tmpl, None)
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_grad_accumulation_matches_big_batch():
+    """k microbatches of B/k under grad_accum_steps=k produce the same
+    update one batch of B produces (clip/Adam see the averaged gradient;
+    tolerance covers fp reduction-order noise through Adam's rsqrt —
+    measured max 2.7e-5 against 1e-2-scale updates)."""
+    from show_and_tell_tpu.train.step import make_train_state, make_train_step
+    from show_and_tell_tpu.utils.vocab import Vocabulary
+
+    vocab = Vocabulary.from_words(["a", "dog", "runs", "ball"])
+    base = Config(embed_size=16, hidden_size=24, max_decode_len=6)
+    model = build_model(base, len(vocab))
+    params, frozen = model.init(jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(0)
+    B, L, T = 8, 5, 6
+    feats = rng.standard_normal((B, L, 512)).astype(np.float32)
+    caps, lens = vocab.encode_batch([["a", "dog", "runs", "ball"]] * B, T)
+
+    def batch(sl):
+        return {
+            "features": jnp.asarray(feats[sl]),
+            "captions": jnp.asarray(caps[sl]),
+            "lengths": jnp.asarray(lens[sl]),
+        }
+
+    lr, key = 1e-2, jax.random.PRNGKey(1)
+
+    s1 = make_train_state(base, params)
+    step1 = make_train_step(model, base, donate=False)
+    s1, m1 = step1(s1, frozen, batch(slice(None)), lr, 0.0, key)
+
+    cfg_k = base.replace(grad_accum_steps=2)
+    sk = make_train_state(cfg_k, params)
+    stepk = make_train_step(model, cfg_k, donate=False)
+    sk, ma = stepk(sk, frozen, batch(slice(0, 4)), lr, 0.0, key)
+    # accumulation step: params must NOT move yet
+    for a, b in zip(jax.tree.leaves(sk.params), jax.tree.leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    sk, mb = stepk(sk, frozen, batch(slice(4, 8)), lr, 0.0, key)
+
+    for a, b in zip(jax.tree.leaves(sk.params), jax.tree.leaves(s1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+    # losses: microbatch losses average to the big-batch loss (equal lengths)
+    np.testing.assert_allclose(
+        (float(ma["loss"]) + float(mb["loss"])) / 2, float(m1["loss"]), rtol=1e-5
+    )
