@@ -80,9 +80,11 @@ def main(argv=None):
             raise SystemExit(f"no checkpoint found in {cfg.load_model_path}")
         params, batch_stats = restored
 
+    from show_and_tell_tpu.models import quantize as quantize_mod
+
     if (
         cfg.quantize_backbone
-        and model.encoder_name == "vgg16"
+        and model.encoder_name in quantize_mod.QUANTIZABLE_ENCODERS
         and not cfg.features_path
     ):
         # int8 PTQ eval path (models/quantize.py): calibrate on the first
@@ -90,14 +92,15 @@ def main(argv=None):
         import jax.numpy as jnp
 
         from show_and_tell_tpu.data.transforms import eval_transform
-        from show_and_tell_tpu.models.quantize import quantize_vgg16
 
         first = next(iter(loader))
         if "images" in first:
             calib = eval_transform(
                 jnp.asarray(first["images"][:32]), cfg.crop_size
             )
-            frozen = quantize_vgg16(frozen, calib)
+            frozen = quantize_mod.quantize_backbone(
+                model.encoder_name, frozen, calib
+            )
             log.info("backbone quantized to int8 (calibrated on %d images)",
                      min(32, first["images"].shape[0]))
 

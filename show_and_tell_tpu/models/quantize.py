@@ -127,11 +127,24 @@ def vgg16_features_q(qparams: Params, images: jax.Array) -> jax.Array:
 
 
 def is_quantized(frozen: Params) -> bool:
-    return isinstance(frozen, dict) and "qconvs" in frozen
+    return isinstance(frozen, dict) and ("qconvs" in frozen or "qlayers" in frozen)
+
+
+QUANTIZABLE_ENCODERS = ("vgg16", "resnet152")
+
+
+def quantize_backbone(encoder_name: str, frozen: Params, calib_images: jax.Array):
+    """Name-dispatched PTQ entry used by serve/Trainer/evaluate."""
+    if encoder_name == "vgg16":
+        return quantize_vgg16(frozen, calib_images)
+    if encoder_name == "resnet152":
+        return quantize_resnet152(frozen, calib_images)
+    raise ValueError(f"no int8 recipe for encoder {encoder_name!r}")
 
 
 def backbone_features_q(qparams: Params, images: jax.Array) -> jax.Array:
-    return jax.lax.stop_gradient(vgg16_features_q(qparams, images))
+    fn = resnet152_features_q if "qlayers" in qparams else vgg16_features_q
+    return jax.lax.stop_gradient(fn(qparams, images))
 
 
 def feature_agreement(frozen: Params, qparams: Params, images: jax.Array) -> float:
@@ -139,8 +152,136 @@ def feature_agreement(frozen: Params, qparams: Params, images: jax.Array) -> flo
     quantization-error bound the tests pin."""
     f = np.asarray(vgg16_features(frozen, images.astype(jnp.float32)), np.float32)
     g = np.asarray(vgg16_features_q(qparams, images), np.float32)
+    return _cosine(f, g)
+
+
+def _cosine(f: np.ndarray, g: np.ndarray) -> float:
     f2 = f.reshape(-1, f.shape[-1])
     g2 = g.reshape(-1, g.shape[-1])
     num = (f2 * g2).sum(-1)
     den = np.linalg.norm(f2, axis=-1) * np.linalg.norm(g2, axis=-1) + 1e-9
     return float(np.mean(num / den))
+
+
+# --------------------------------------------------------------------------
+# ResNet-152 (ShowTell's trunk): BN folding + the same PTQ recipe
+# --------------------------------------------------------------------------
+# Frozen-inference BN folds into the preceding (bias-free) conv exactly:
+#   BN(conv(x)) = conv(x) * s + t,  s = scale*rsqrt(var+eps), t = bias-mean*s
+#   -> w' = w * s[co],  b' = t
+# The folded conv then quantizes per-output-channel like VGG's. Residual
+# adds/ReLUs stay float; the 7x7 stem stays float (same rule as VGG conv0:
+# C_in=3, quantization-sensitive, small FLOP share).
+
+_BN_EPS = 1e-5
+
+
+def _fold_conv_bn(conv: Params, bn: Params) -> Params:
+    w = np.asarray(conv["w"], np.float32)  # [kh, kw, ci, co]
+    s = np.asarray(bn["scale"], np.float32) / np.sqrt(
+        np.asarray(bn["var"], np.float32) + _BN_EPS
+    )
+    b = np.asarray(bn["bias"], np.float32) - np.asarray(bn["mean"], np.float32) * s
+    return {"w": w * s, "b": b}
+
+
+def _quant_folded(folded: Params, sx: float) -> Params:
+    w = folded["w"]
+    sw = np.maximum(np.abs(w).max(axis=(0, 1, 2)) / _QMAX, 1e-12)
+    wq = np.clip(np.round(w / sw), -_QMAX, _QMAX).astype(np.int8)
+    return {
+        "wq": jnp.asarray(wq),
+        "sw": jnp.asarray(sw.astype(np.float32)),
+        "sx": jnp.asarray(np.float32(max(sx, 1e-12))),
+        "b": jnp.asarray(folded["b"]),
+    }
+
+
+def _qconv_s(q: Params, x: jax.Array, stride: int = 1, padding=[(0, 0), (0, 0)]):
+    xq = jnp.clip(jnp.round(x / q["sx"]), -_QMAX, _QMAX).astype(jnp.int8)
+    y = jax.lax.conv_general_dilated(
+        xq, q["wq"], (stride, stride), padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    return y.astype(jnp.float32) * (q["sx"] * q["sw"]) + q["b"]
+
+
+def quantize_resnet152(frozen: Params, calib_images: jax.Array, headroom: float = 1.1):
+    """Frozen ResNet-152 trunk -> BN-folded int8 tree ``{"stem_conv",
+    "stem_bn", "qlayers": [[block...]]}`` (stem stays float)."""
+    from show_and_tell_tpu.models.encoders import resnet152_features  # noqa: F401
+    from show_and_tell_tpu.models import encoders as enc
+    from show_and_tell_tpu.models.layers import batch_norm_inference
+
+    # calibration replay: record per-conv input absmax while running the
+    # f32 trunk structure
+    absmax: Dict[int, float] = {}
+    idx = [0]
+
+    def track(x):
+        absmax[idx[0]] = float(jnp.max(jnp.abs(x)))
+        idx[0] += 1
+        return x
+
+    x = calib_images.astype(jnp.float32)
+    x = conv2d(frozen["stem_conv"], x, stride=2, padding=3)
+    x = jax.nn.relu(batch_norm_inference(frozen["stem_bn"], x))
+    x = max_pool(x, 3, 2, padding=1)
+    for li, blocks in enumerate(frozen["layers"]):
+        for bi, blk in enumerate(blocks):
+            stride = 2 if (li > 0 and bi == 0) else 1
+            y = jax.nn.relu(batch_norm_inference(blk["bn1"], conv2d(blk["conv1"], track(x))))
+            y = jax.nn.relu(batch_norm_inference(blk["bn2"], conv2d(blk["conv2"], track(y), stride=stride, padding=1)))
+            y = batch_norm_inference(blk["bn3"], conv2d(blk["conv3"], track(y)))
+            if "down_conv" in blk:
+                x = batch_norm_inference(blk["down_bn"], conv2d(blk["down_conv"], track(x), stride=stride))
+            x = jax.nn.relu(x + y)
+    del enc
+
+    idx[0] = 0
+
+    def nxt_scale() -> float:
+        v = absmax[idx[0]] * headroom / _QMAX
+        idx[0] += 1
+        return v
+
+    qlayers = []
+    for blocks in frozen["layers"]:
+        qblocks = []
+        for blk in blocks:
+            qb = {
+                "q1": _quant_folded(_fold_conv_bn(blk["conv1"], blk["bn1"]), nxt_scale()),
+                "q2": _quant_folded(_fold_conv_bn(blk["conv2"], blk["bn2"]), nxt_scale()),
+                "q3": _quant_folded(_fold_conv_bn(blk["conv3"], blk["bn3"]), nxt_scale()),
+            }
+            if "down_conv" in blk:
+                qb["qdown"] = _quant_folded(
+                    _fold_conv_bn(blk["down_conv"], blk["down_bn"]), nxt_scale()
+                )
+            qblocks.append(qb)
+        qlayers.append(qblocks)
+    return {
+        "stem_conv": frozen["stem_conv"],
+        "stem_bn": frozen["stem_bn"],
+        "qlayers": qlayers,
+    }
+
+
+def resnet152_features_q(qparams: Params, images: jax.Array) -> jax.Array:
+    """Quantized mirror of ``encoders.resnet152_features``."""
+    from show_and_tell_tpu.models.layers import batch_norm_inference, global_avg_pool
+
+    x = conv2d(qparams["stem_conv"], images.astype(jnp.float32), stride=2, padding=3)
+    x = jax.nn.relu(batch_norm_inference(qparams["stem_bn"], x))
+    x = max_pool(x, 3, 2, padding=1)
+    for li, blocks in enumerate(qparams["qlayers"]):
+        for bi, qb in enumerate(blocks):
+            stride = 2 if (li > 0 and bi == 0) else 1
+            y = jax.nn.relu(_qconv_s(qb["q1"], x))
+            y = jax.nn.relu(_qconv_s(qb["q2"], y, stride=stride, padding=[(1, 1), (1, 1)]))
+            y = _qconv_s(qb["q3"], y)
+            if "qdown" in qb:
+                x = _qconv_s(qb["qdown"], x, stride=stride)
+            x = jax.nn.relu(x + y)
+    return global_avg_pool(x)

@@ -96,7 +96,13 @@ class ShowTellModel:
     # --- encoder ----------------------------------------------------------
 
     def backbone_features(self, frozen: Params, images: jax.Array) -> jax.Array:
-        """[B, 224, 224, 3] -> [B, feature_dim], gradient-stopped."""
+        """[B, 224, 224, 3] -> [B, feature_dim], gradient-stopped. A
+        quantized tree (int8 PTQ + BN folding, models/quantize.py)
+        dispatches to the int8 trunk."""
+        if "qlayers" in frozen or "qconvs" in frozen:
+            from show_and_tell_tpu.models.quantize import backbone_features_q
+
+            return backbone_features_q(frozen, images)
         apply = encoders.encoder_apply(self.encoder_name)
         return jax.lax.stop_gradient(apply(frozen, images.astype(self.cdtype)))
 

@@ -184,21 +184,24 @@ class Captioner:
         rng keys are folded from it, so per-chunk callers (caption_paths)
         get unique keys across chunks instead of reusing offset-0 keys."""
         n = images_u8.shape[0]
+        from show_and_tell_tpu.models import quantize as quantize_mod
+
         if (
             getattr(self.cfg, "quantize_backbone", False)
-            and self.model.encoder_name == "vgg16"
-            and "qconvs" not in self.frozen
+            and self.model.encoder_name in quantize_mod.QUANTIZABLE_ENCODERS
+            and not quantize_mod.is_quantized(self.frozen)
         ):
             # int8 PTQ (models/quantize.py): calibrate activation scales on
             # the first batch this Captioner sees, quantize once, and let
             # backbone_features dispatch to the int8 trunk from then on.
             from show_and_tell_tpu.data.transforms import eval_transform
-            from show_and_tell_tpu.models.quantize import quantize_vgg16
 
             calib = eval_transform(
                 jnp.asarray(images_u8[: min(32, n)]), self.cfg.crop_size
             )
-            frozen_q = quantize_vgg16(self.frozen, calib)
+            frozen_q = quantize_mod.quantize_backbone(
+                self.model.encoder_name, self.frozen, calib
+            )
             if self.mesh is not None:
                 from show_and_tell_tpu.parallel import mesh as mesh_lib
 

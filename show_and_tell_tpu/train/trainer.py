@@ -101,22 +101,26 @@ class Trainer:
         serving all run the same int8 features. No-op unless
         ``cfg.quantize_backbone`` and the encoder is the VGG trunk."""
         cfg = self.cfg
+        from show_and_tell_tpu.models import quantize as quantize_mod
+
         if (
             not getattr(cfg, "quantize_backbone", False)
-            or self.model.encoder_name != "vgg16"
+            or self.model.encoder_name not in quantize_mod.QUANTIZABLE_ENCODERS
             or "images" not in batch
-            or "qconvs" in self.frozen
+            or quantize_mod.is_quantized(self.frozen)
         ):
             return
         import jax.numpy as jnp
 
         from show_and_tell_tpu.data.transforms import eval_transform
-        from show_and_tell_tpu.models.quantize import quantize_vgg16
 
         calib = eval_transform(
             jnp.asarray(np.asarray(batch["images"])[:32]), cfg.crop_size
         )
-        self.frozen = mesh_lib.replicate(self.mesh, quantize_vgg16(self.frozen, calib))
+        self.frozen = mesh_lib.replicate(
+            self.mesh,
+            quantize_mod.quantize_backbone(self.model.encoder_name, self.frozen, calib),
+        )
         log.info("frozen backbone quantized to int8 (calibrated on %d images)",
                  min(32, len(batch["images"])))
 

@@ -215,3 +215,76 @@ def test_trainer_quantizes_on_first_batch(tmp_path):
     assert infos and infos["loss_history"], "training produced no history"
     losses = [v for v in infos["loss_history"].values()]
     assert all(np.isfinite(v) for v in losses)
+
+
+# --------------------------------------------------------------------------
+# ResNet-152 (ShowTell trunk): BN folding + int8
+# --------------------------------------------------------------------------
+
+
+def _randomize_bn(bn, rng):
+    return {
+        "scale": jnp.asarray(rng.uniform(0.5, 1.5, bn["scale"].shape).astype(np.float32)),
+        "bias": jnp.asarray(rng.normal(0, 0.2, bn["bias"].shape).astype(np.float32)),
+        "mean": jnp.asarray(rng.normal(0, 0.3, bn["mean"].shape).astype(np.float32)),
+        "var": jnp.asarray(rng.uniform(0.5, 2.0, bn["var"].shape).astype(np.float32)),
+    }
+
+
+def test_bn_folding_exact():
+    from show_and_tell_tpu.models.layers import batch_norm_inference, conv2d, init_conv
+
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(0)
+    conv = init_conv(key, 3, 3, 16, 32, bias=False)
+    bn = _randomize_bn(
+        {"scale": np.zeros(32), "bias": np.zeros(32),
+         "mean": np.zeros(32), "var": np.ones(32)}, rng,
+    )
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 16)), jnp.float32)
+    want = batch_norm_inference(bn, conv2d(conv, x, padding=1))
+    folded = quantize._fold_conv_bn(conv, bn)
+    got = conv2d({"w": jnp.asarray(folded["w"]), "b": jnp.asarray(folded["b"])},
+                 x, padding=1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_resnet152_quantized_features_close():
+    from show_and_tell_tpu.models.encoders import init_resnet152, resnet152_features
+    from show_and_tell_tpu.models.quantize import _cosine
+
+    rng = np.random.default_rng(0)
+    frozen = init_resnet152(jax.random.PRNGKey(0))
+    # randomize BN stats so the folding actually does something
+    frozen["stem_bn"] = _randomize_bn(frozen["stem_bn"], rng)
+    for blocks in frozen["layers"]:
+        for blk in blocks:
+            for k in list(blk):
+                if k.startswith("bn") or k == "down_bn":
+                    blk[k] = _randomize_bn(blk[k], rng)
+    imgs = jnp.asarray(rng.standard_normal((2, 64, 64, 3)), jnp.float32)
+    q = quantize.quantize_resnet152(frozen, imgs)
+    assert quantize.is_quantized(q)
+    f = np.asarray(resnet152_features(frozen, imgs))
+    g = np.asarray(quantize.resnet152_features_q(q, imgs))
+    assert f.shape == g.shape == (2, 2048)
+    assert np.isfinite(g).all()
+    cos = _cosine(f, g)
+    assert cos > 0.95, cos
+
+
+def test_show_tell_captioner_quantized_smoke():
+    from show_and_tell_tpu.serve import Captioner
+    from show_and_tell_tpu.utils.vocab import Vocabulary
+
+    cfg = Config(
+        model="show_tell", embed_size=16, hidden_size=24, crop_size=64,
+        max_decode_len=4, beam_size=2, quantize_backbone=True,
+    )
+    vocab = Vocabulary.from_words(["a", "dog", "runs"])
+    cap = Captioner.from_checkpoint(cfg, None, vocab, bucket_sizes=(2,))
+    imgs = (np.random.default_rng(0).random((2, 256, 256, 3)) * 255).astype(np.uint8)
+    caps = cap.caption_images(imgs, mode="greedy")
+    assert len(caps) == 2
+    assert quantize.is_quantized(cap.frozen)
+    assert "qlayers" in cap.frozen  # the ResNet recipe, not the VGG one
