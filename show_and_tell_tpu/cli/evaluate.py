@@ -62,6 +62,18 @@ def main(argv=None):
             params = t
         if fr is not None:
             frozen = fr
+        elif not cfg.encoder_weights:
+            log.warning(
+                "--torch_checkpoint %s carries no encoder weights and "
+                "--encoder_weights is unset: the frozen encoder is randomly "
+                "initialized — expect near-zero scores.",
+                cfg.torch_checkpoint,
+            )
+        if cfg.load_model_path:
+            log.warning(
+                "--torch_checkpoint overrides --load_model_path: the "
+                "checkpoint in %s is NOT being evaluated", cfg.load_model_path
+            )
     elif cfg.load_model_path and not cfg.encoder_weights and not cfg.features_path:
         # Checkpoints persist only trainable params + batch stats; the frozen
         # backbone is rebuilt from init. Without --encoder_weights that means

@@ -42,15 +42,20 @@ DETERMINERS = frozenset(
 NUMBERS = frozenset(
     "one two three four five six seven eight nine ten".split()
 )
+# sentinel for the "in front of" collapse: non-alpha so it can NEVER
+# collide with the ordinary noun/adjective uses of "front" ("front seat",
+# "front wheel" — common in captions); emitted in tuples as "front"
+_FRONT = "\x00front"
+
 PREPOSITIONS = frozenset(
     """in on at by of over under above below between among through during
     before after near against into onto upon inside outside behind beside
     along across around atop underneath beneath past beyond within without
-    with to from off down toward towards front""".split()
-)
-# "front" enters the token stream only as the collapse of "in front of"
-# (_COMPOUND_PREPS) — it must be in PREPOSITIONS or the collapsed token
-# derails the whole clause (golden-set finding, benchmarks/spice_parser_eval)
+    with to from off down toward towards amid amidst""".split()
+) | {_FRONT}
+# compound-prep collapse targets must be members of PREPOSITIONS or the
+# collapsed token derails the whole clause (golden-set finding,
+# benchmarks/spice_parser_eval — the original "front" bug)
 COPULAS = frozenset("is are was were be been being 's am".split())
 CONJUNCTIONS = frozenset("and or".split())
 SKIP = frozenset(
@@ -62,6 +67,8 @@ Tuple3 = Tuple[str, ...]
 
 
 def _norm(word: str) -> str:
+    if word == _FRONT:  # sentinel -> surface relation word in tuples
+        return "front"
     return porter_stem(word)
 
 
@@ -108,7 +115,7 @@ VERBS = frozenset(
 # compound prepositions collapsed to one token before chunking
 _COMPOUND_PREPS = (
     (("on", "top", "of"), "on"),
-    (("in", "front", "of"), "front"),
+    (("in", "front", "of"), _FRONT),
     (("in", "the", "middle", "of"), "amid"),
     (("in", "the", "center", "of"), "amid"),
     (("in", "the", "centre", "of"), "amid"),

@@ -210,36 +210,40 @@ def _qconv_s(q: Params, x: jax.Array, stride: int = 1, padding=[(0, 0), (0, 0)])
 def quantize_resnet152(frozen: Params, calib_images: jax.Array, headroom: float = 1.1):
     """Frozen ResNet-152 trunk -> BN-folded int8 tree ``{"stem_conv",
     "stem_bn", "qlayers": [[block...]]}`` (stem stays float)."""
-    from show_and_tell_tpu.models.encoders import resnet152_features  # noqa: F401
-    from show_and_tell_tpu.models import encoders as enc
     from show_and_tell_tpu.models.layers import batch_norm_inference
 
-    # calibration replay: record per-conv input absmax while running the
-    # f32 trunk structure
-    absmax: Dict[int, float] = {}
+    # calibration replay: one JITTED program records every conv input's
+    # absmax and returns them stacked — a single dispatch + fetch instead
+    # of ~156 eager host round-trips (review finding; the relay backend's
+    # per-dispatch latency would otherwise stretch first-batch calibration
+    # into minutes)
+    def _collect(frozen, images):
+        tracked = []
+
+        def track(x):
+            tracked.append(jnp.max(jnp.abs(x)))
+            return x
+
+        x = images.astype(jnp.float32)
+        x = conv2d(frozen["stem_conv"], x, stride=2, padding=3)
+        x = jax.nn.relu(batch_norm_inference(frozen["stem_bn"], x))
+        x = max_pool(x, 3, 2, padding=1)
+        for li, blocks in enumerate(frozen["layers"]):
+            for bi, blk in enumerate(blocks):
+                stride = 2 if (li > 0 and bi == 0) else 1
+                y = jax.nn.relu(batch_norm_inference(blk["bn1"], conv2d(blk["conv1"], track(x))))
+                y = jax.nn.relu(batch_norm_inference(blk["bn2"], conv2d(blk["conv2"], track(y), stride=stride, padding=1)))
+                y = batch_norm_inference(blk["bn3"], conv2d(blk["conv3"], track(y)))
+                if "down_conv" in blk:
+                    x = batch_norm_inference(blk["down_bn"], conv2d(blk["down_conv"], track(x), stride=stride))
+                x = jax.nn.relu(x + y)
+        return jnp.stack(tracked)
+
+    absmax = {
+        i: float(v)
+        for i, v in enumerate(np.asarray(jax.jit(_collect)(frozen, calib_images)))
+    }
     idx = [0]
-
-    def track(x):
-        absmax[idx[0]] = float(jnp.max(jnp.abs(x)))
-        idx[0] += 1
-        return x
-
-    x = calib_images.astype(jnp.float32)
-    x = conv2d(frozen["stem_conv"], x, stride=2, padding=3)
-    x = jax.nn.relu(batch_norm_inference(frozen["stem_bn"], x))
-    x = max_pool(x, 3, 2, padding=1)
-    for li, blocks in enumerate(frozen["layers"]):
-        for bi, blk in enumerate(blocks):
-            stride = 2 if (li > 0 and bi == 0) else 1
-            y = jax.nn.relu(batch_norm_inference(blk["bn1"], conv2d(blk["conv1"], track(x))))
-            y = jax.nn.relu(batch_norm_inference(blk["bn2"], conv2d(blk["conv2"], track(y), stride=stride, padding=1)))
-            y = batch_norm_inference(blk["bn3"], conv2d(blk["conv3"], track(y)))
-            if "down_conv" in blk:
-                x = batch_norm_inference(blk["down_bn"], conv2d(blk["down_conv"], track(x), stride=stride))
-            x = jax.nn.relu(x + y)
-    del enc
-
-    idx[0] = 0
 
     def nxt_scale() -> float:
         v = absmax[idx[0]] * headroom / _QMAX

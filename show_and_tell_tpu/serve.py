@@ -121,6 +121,16 @@ class Captioner:
                 params = t
             if fr is not None:
                 frozen = fr  # the .pth carries the whole frozen trunk too
+            elif not cfg.encoder_weights:
+                # decoder-only .pth (a separate-module save): same random-
+                # frozen-encoder footgun as the expr_dir path below
+                log.warning(
+                    "%s contains no encoder weights and encoder_weights is "
+                    "unset: the frozen encoder is randomly initialized — "
+                    "captions will be garbage. Pass the encoder weights the "
+                    "checkpoint was trained with.",
+                    cfg.torch_checkpoint,
+                )
             return cls(cfg, model, params, frozen, vocab, batch_stats, **kw)
         if expr_dir:
             if not cfg.encoder_weights:
