@@ -147,6 +147,35 @@ def backbone_features_q(qparams: Params, images: jax.Array) -> jax.Array:
     return jax.lax.stop_gradient(fn(qparams, images))
 
 
+def save_quantized(path: str, qparams: Params) -> None:
+    """Persist a calibrated int8 tree (msgpack, like the checkpoints) so
+    serving replicas reuse one calibration instead of each deriving scales
+    from whatever their first batch happens to be."""
+    from flax import serialization
+
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(qparams))
+
+
+def _restore_lists(node):
+    """flax msgpack stores lists as {'0': ..., '1': ...}; convert back."""
+    if isinstance(node, dict):
+        if node and all(isinstance(k, str) and k.isdigit() for k in node):
+            return [_restore_lists(node[str(i)]) for i in range(len(node))]
+        return {k: _restore_lists(v) for k, v in node.items()}
+    return node
+
+
+def load_quantized(path: str) -> Params:
+    from flax import serialization
+
+    with open(path, "rb") as f:
+        q = _restore_lists(serialization.msgpack_restore(f.read()))
+    if not is_quantized(q):
+        raise ValueError(f"{path} is not a quantized backbone tree")
+    return q
+
+
 def feature_agreement(frozen: Params, qparams: Params, images: jax.Array) -> float:
     """Mean cosine similarity between f32 and int8 trunk features — the
     quantization-error bound the tests pin."""

@@ -288,3 +288,22 @@ def test_show_tell_captioner_quantized_smoke():
     assert len(caps) == 2
     assert quantize.is_quantized(cap.frozen)
     assert "qlayers" in cap.frozen  # the ResNet recipe, not the VGG one
+
+
+def test_quantized_tree_save_load_roundtrip(tmp_path):
+    """Calibrated trees persist (serving replicas share one calibration)."""
+    frozen = {"convs": init_vgg16(jax.random.PRNGKey(2))["convs"]}
+    imgs = _images(n=2)
+    q = quantize.quantize_vgg16(frozen, imgs)
+    p = str(tmp_path / "backbone.int8.msgpack")
+    quantize.save_quantized(p, q)
+    q2 = quantize.load_quantized(p)
+    assert quantize.is_quantized(q2)
+    a = np.asarray(quantize.vgg16_features_q(q, imgs))
+    b = np.asarray(quantize.vgg16_features_q(q2, imgs))
+    np.testing.assert_array_equal(a, b)
+    assert np.asarray(q2["qconvs"][0]["wq"]).dtype == np.int8
+    with pytest.raises(ValueError, match="not a quantized"):
+        bad = str(tmp_path / "bad.msgpack")
+        quantize.save_quantized(bad, {"convs": []})
+        quantize.load_quantized(bad)
