@@ -62,7 +62,8 @@ def main(argv=None):
             params = t
         if fr is not None:
             frozen = fr
-        elif not cfg.encoder_weights:
+        elif not cfg.encoder_weights and not cfg.features_path:
+            # (with --features_path the backbone never runs — no warning)
             log.warning(
                 "--torch_checkpoint %s carries no encoder weights and "
                 "--encoder_weights is unset: the frozen encoder is randomly "
@@ -110,8 +111,9 @@ def main(argv=None):
             calib = eval_transform(
                 jnp.asarray(first["images"][:32]), cfg.crop_size
             )
-            frozen = quantize_mod.quantize_backbone(
-                model.encoder_name, frozen, calib
+            frozen = quantize_mod.obtain_quantized(
+                model.encoder_name, frozen, calib,
+                path=cfg.quantized_backbone_path,
             )
             log.info("backbone quantized to int8 (calibrated on %d images)",
                      min(32, first["images"].shape[0]))

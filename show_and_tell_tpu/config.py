@@ -130,6 +130,10 @@ class Config:
     # (models/quantize.py): per-channel weights + calibrated activation
     # scales; the Captioner calibrates on its first batch. Serving opt-in.
     quantize_backbone: bool = False
+    # optional persisted calibration: loaded when the file exists, written
+    # after first-batch calibration otherwise — serving replicas share one
+    # calibration instead of each deriving scales from its first batch
+    quantized_backbone_path: Optional[str] = None
     use_pallas: Optional[bool] = None  # None = default (XLA cell; see ops/lstm.py)
     donate: bool = True  # donate train-state buffers across steps
     skip_nonfinite: bool = True  # failure detection: drop updates w/ NaN/inf grads

@@ -142,6 +142,23 @@ def quantize_backbone(encoder_name: str, frozen: Params, calib_images: jax.Array
     raise ValueError(f"no int8 recipe for encoder {encoder_name!r}")
 
 
+def obtain_quantized(
+    encoder_name: str, frozen: Params, calib_images: jax.Array, path=None
+):
+    """Load a persisted calibrated tree if ``path`` exists, else calibrate
+    from ``calib_images`` and (when ``path`` is given) save it — the hook
+    serve/Trainer/evaluate use so every replica shares ONE calibration
+    (``Config.quantized_backbone_path``)."""
+    import os
+
+    if path and os.path.exists(path):
+        return load_quantized(path)
+    q = quantize_backbone(encoder_name, frozen, calib_images)
+    if path:
+        save_quantized(path, q)
+    return q
+
+
 def backbone_features_q(qparams: Params, images: jax.Array) -> jax.Array:
     fn = resnet152_features_q if "qlayers" in qparams else vgg16_features_q
     return jax.lax.stop_gradient(fn(qparams, images))
@@ -210,7 +227,13 @@ def _fold_conv_bn(conv: Params, bn: Params) -> Params:
     s = np.asarray(bn["scale"], np.float32) / np.sqrt(
         np.asarray(bn["var"], np.float32) + _BN_EPS
     )
-    b = np.asarray(bn["bias"], np.float32) - np.asarray(bn["mean"], np.float32) * s
+    # BN(conv(x)+b_conv) = (conv(x)+b_conv-mean)*s + bias; standard ResNet
+    # convs are bias-free but a nonzero b_conv (seen in some exports) must
+    # fold too or every block output silently offsets
+    b_conv = np.asarray(conv.get("b", 0.0), np.float32)
+    b = (b_conv - np.asarray(bn["mean"], np.float32)) * s + np.asarray(
+        bn["bias"], np.float32
+    )
     return {"w": w * s, "b": b}
 
 
@@ -226,7 +249,7 @@ def _quant_folded(folded: Params, sx: float) -> Params:
     }
 
 
-def _qconv_s(q: Params, x: jax.Array, stride: int = 1, padding=[(0, 0), (0, 0)]):
+def _qconv_s(q: Params, x: jax.Array, stride: int = 1, padding=((0, 0), (0, 0))):
     xq = jnp.clip(jnp.round(x / q["sx"]), -_QMAX, _QMAX).astype(jnp.int8)
     y = jax.lax.conv_general_dilated(
         xq, q["wq"], (stride, stride), padding,

@@ -102,9 +102,9 @@ class ShowAttendTellModel:
         HBM weight traffic of the frozen VGG. A quantized tree (int8 PTQ,
         models/quantize.py — Config.quantize_backbone serving path)
         dispatches to the int8 trunk."""
-        if "qconvs" in frozen:
-            from show_and_tell_tpu.models.quantize import backbone_features_q
+        from show_and_tell_tpu.models.quantize import backbone_features_q, is_quantized
 
+        if is_quantized(frozen):
             return backbone_features_q(frozen, images)
         images = images.astype(self.cdtype)
         return jax.lax.stop_gradient(encoders.vgg16_features(frozen, images))

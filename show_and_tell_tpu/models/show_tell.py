@@ -99,9 +99,9 @@ class ShowTellModel:
         """[B, 224, 224, 3] -> [B, feature_dim], gradient-stopped. A
         quantized tree (int8 PTQ + BN folding, models/quantize.py)
         dispatches to the int8 trunk."""
-        if "qlayers" in frozen or "qconvs" in frozen:
-            from show_and_tell_tpu.models.quantize import backbone_features_q
+        from show_and_tell_tpu.models.quantize import backbone_features_q, is_quantized
 
+        if is_quantized(frozen):
             return backbone_features_q(frozen, images)
         apply = encoders.encoder_apply(self.encoder_name)
         return jax.lax.stop_gradient(apply(frozen, images.astype(self.cdtype)))

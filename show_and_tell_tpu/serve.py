@@ -209,8 +209,9 @@ class Captioner:
             calib = eval_transform(
                 jnp.asarray(images_u8[: min(32, n)]), self.cfg.crop_size
             )
-            frozen_q = quantize_mod.quantize_backbone(
-                self.model.encoder_name, self.frozen, calib
+            frozen_q = quantize_mod.obtain_quantized(
+                self.model.encoder_name, self.frozen, calib,
+                path=getattr(self.cfg, "quantized_backbone_path", None),
             )
             if self.mesh is not None:
                 from show_and_tell_tpu.parallel import mesh as mesh_lib

@@ -99,7 +99,8 @@ class Trainer:
         stop_gradient either way — models/quantize.py): calibrate on the
         first batch, then every train step, periodic eval, and checkpointed
         serving all run the same int8 features. No-op unless
-        ``cfg.quantize_backbone`` and the encoder is the VGG trunk."""
+        ``cfg.quantize_backbone`` and the encoder has an int8 recipe
+        (``quantize.QUANTIZABLE_ENCODERS``: VGG16, ResNet-152)."""
         cfg = self.cfg
         from show_and_tell_tpu.models import quantize as quantize_mod
 
@@ -119,7 +120,10 @@ class Trainer:
         )
         self.frozen = mesh_lib.replicate(
             self.mesh,
-            quantize_mod.quantize_backbone(self.model.encoder_name, self.frozen, calib),
+            quantize_mod.obtain_quantized(
+                self.model.encoder_name, self.frozen, calib,
+                path=getattr(cfg, "quantized_backbone_path", None),
+            ),
         )
         log.info("frozen backbone quantized to int8 (calibrated on %d images)",
                  min(32, len(batch["images"])))

@@ -303,7 +303,24 @@ def test_quantized_tree_save_load_roundtrip(tmp_path):
     b = np.asarray(quantize.vgg16_features_q(q2, imgs))
     np.testing.assert_array_equal(a, b)
     assert np.asarray(q2["qconvs"][0]["wq"]).dtype == np.int8
+    bad = str(tmp_path / "bad.msgpack")
+    quantize.save_quantized(bad, {"convs": []})  # writes fine (any tree)
     with pytest.raises(ValueError, match="not a quantized"):
-        bad = str(tmp_path / "bad.msgpack")
-        quantize.save_quantized(bad, {"convs": []})
         quantize.load_quantized(bad)
+
+
+def test_obtain_quantized_shares_calibration(tmp_path):
+    """obtain_quantized(path=...) calibrates once, persists, and every
+    later call loads the SAME tree regardless of its own calib batch."""
+    frozen = {"convs": init_vgg16(jax.random.PRNGKey(3))["convs"]}
+    p = str(tmp_path / "cal.msgpack")
+    q1 = quantize.obtain_quantized("vgg16", frozen, _images(seed=1), path=p)
+    # different calibration images -> would give different scales, but the
+    # persisted tree wins
+    q2 = quantize.obtain_quantized("vgg16", frozen, _images(seed=9), path=p)
+    np.testing.assert_array_equal(
+        np.asarray(q1["qconvs"][0]["sx"]), np.asarray(q2["qconvs"][0]["sx"])
+    )
+    # without a path, fresh calibration differs
+    q3 = quantize.quantize_vgg16(frozen, _images(seed=9))
+    assert float(q3["qconvs"][0]["sx"]) != float(q1["qconvs"][0]["sx"])
