@@ -200,6 +200,11 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
     rel_subj: _NP | None = None
     cur: List[str] = []
     last_np: _NP | None = None
+    # (subject NP, object NP) of the last completed LOCATIVE prep relation
+    # ("of" excluded: partitives/possessives keep their own head) — a
+    # following copula predicates the SUBJECT ("the man on the left IS
+    # smiling" -> (man, smile), not (left, smile))
+    last_loc_rel = None
     after_conj = False  # the segment after an NP-coordination close forms
     # its own NP even without a determiner ("dogs and CATS SITTING ...")
 
@@ -218,7 +223,7 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
         ``defer_verbs`` the stripped trailing verbs are RETURNED instead of
         emitted as attributes — the 'by'-passive caller turns them into the
         inverted relation's verb."""
-        nonlocal cur, last_np, pending_rel, rel_subj, after_conj
+        nonlocal cur, last_np, pending_rel, rel_subj, after_conj, last_loc_rel
         after_conj = False
         words = list(cur)
         cur = []
@@ -288,6 +293,8 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                         tuples.add(
                             (_norm(rel_subj.head), _norm(pending_rel), _norm(subj_np.head))
                         )
+                        if pending_rel in PREPOSITIONS and pending_rel != "of":
+                            last_loc_rel = (rel_subj, subj_np)
                 pending_rel = None
                 rel_subj = None
                 last_np = obj_np
@@ -317,6 +324,8 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                 tuples.add(
                     (_norm(rel_subj.head), _norm(pending_rel), _norm(np_.head))
                 )
+                if pending_rel in PREPOSITIONS and pending_rel != "of":
+                    last_loc_rel = (rel_subj, np_)
         pending_rel = None
         rel_subj = None
         last_np = np_
@@ -411,6 +420,10 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                 rel_subj = last_np
         elif w in COPULAS:
             close_np()
+            if last_loc_rel is not None and last_np is last_loc_rel[1]:
+                # copula after a locative object re-anchors to the clause
+                # subject: "the man on the left IS smiling" -> (man, smile)
+                last_np = last_loc_rel[0]
         elif w in CONJUNCTIONS:
             # attribute coordination stays inside the NP: "black AND white
             # cat" — the next token continues the same bare segment. NP

@@ -13,14 +13,14 @@ from benchmarks.spice_parser_eval import evaluate as spice_parser_eval
 
 def test_spice_parser_golden_bounds():
     r = spice_parser_eval()
-    # fixed corpus: 104 hand-labeled captions, 380 gold tuples (the corpus
-    # grows with regressions found in review — 'amid'/'front seat' cases
-    # added after the round-3 code review)
-    assert r["overall"]["n"] == 104
-    assert r["overall"]["gold"] == 380
-    assert r["easy"]["n"] == 40 and r["medium"]["n"] == 39 and r["hard"]["n"] == 25
-    # measured 2026-08-17 (round 3): easy 1.0 / medium 0.9441 / hard 0.9091,
-    # overall P 0.9551 R 0.9526. Floors sit just under the measurement so
+    # fixed corpus: 105 hand-labeled captions, 384 gold tuples (the corpus
+    # grows with regressions found in review — 'amid'/'front seat'/copula
+    # re-anchoring cases added after the round-3 code reviews)
+    assert r["overall"]["n"] == 105
+    assert r["overall"]["gold"] == 384
+    assert r["easy"]["n"] == 40 and r["medium"]["n"] == 40 and r["hard"]["n"] == 25
+    # measured 2026-08-17 (round 3): easy 1.0 / medium 0.9515 / hard 0.9091,
+    # overall P 0.9582 R 0.9557. Floors sit just under the measurement so
     # legitimate parser work has headroom but regressions trip.
     assert r["easy"]["f1"] == 1.0
     assert r["medium"]["f1"] >= 0.93
