@@ -82,6 +82,79 @@ class Vocabulary:
             v.add_word(w)
         return v
 
+    @classmethod
+    def from_reference_pickle(cls, path: str) -> "Vocabulary":
+        """Load a reference ``vocab.pkl`` (preprocess.py:136) without its code.
+
+        The reference pickles its ``Vocabulary`` instance (``word2idx`` /
+        ``idx2word`` / ``idx`` attributes, preprocess.py:11-29) under a module
+        path that does not exist here, often from Python 2. This loader:
+
+        - resolves ANY pickled class to a plain attribute bag (no reference
+          import needed),
+        - reads py2 pickles via ``encoding='latin1'`` (the protocol the
+          reference used, ``pickle.HIGHEST_PROTOCOL`` under py2, is 2),
+        - accepts bytes keys/values from py2-str payloads,
+        - also accepts a bare ``{word: idx}`` dict (common fork variant).
+
+        The index assignment is taken verbatim from the pickle (rebuilt in
+        index order), then validated: decode/encode constants require the
+        reference special-token order ``<pad>=0,<start>=1,<end>=2,<unk>=3``
+        (preprocess.py:75-78). A pickle violating that order is a different
+        protocol entirely — we raise rather than silently mis-decode.
+        """
+        import pickle
+
+        class _Bag:
+            pass
+
+        class _AnyClassUnpickler(pickle.Unpickler):
+            def find_class(self, module, name):  # noqa: D102
+                try:
+                    return super().find_class(module, name)
+                except (ImportError, AttributeError):
+                    return _Bag
+
+        def _s(x) -> str:
+            return x.decode("utf-8", "replace") if isinstance(x, bytes) else str(x)
+
+        with open(path, "rb") as f:
+            obj = _AnyClassUnpickler(f, encoding="latin1").load()
+
+        if isinstance(obj, dict) and "word2idx" not in obj:
+            word2idx = {_s(k): int(v) for k, v in obj.items()}
+        else:
+            d = obj if isinstance(obj, dict) else getattr(obj, "__dict__", {})
+            raw = d.get("word2idx") or d.get(b"word2idx")
+            if raw is None:
+                raise ValueError(
+                    f"{path!r} does not look like a reference vocab.pkl: "
+                    "no word2idx attribute and not a word->index dict"
+                )
+            word2idx = {_s(k): int(v) for k, v in raw.items()}
+
+        by_index = sorted(word2idx.items(), key=lambda kv: kv[1])
+        indices = [i for _, i in by_index]
+        if indices != list(range(len(indices))):
+            raise ValueError(
+                f"{path!r}: word indices are not contiguous 0..N-1 "
+                f"(got min={indices[0] if indices else None}, "
+                f"max={indices[-1] if indices else None}, n={len(indices)})"
+            )
+        v = cls()
+        for w, _ in by_index:
+            v.add_word(w)
+        for tok, want in zip(SPECIAL_TOKENS, (PAD_ID, START_ID, END_ID, UNK_ID)):
+            got = v.word2idx.get(tok)
+            if got != want:
+                raise ValueError(
+                    f"{path!r}: special token {tok!r} is at index {got}, "
+                    f"expected {want} (reference order, preprocess.py:75-78); "
+                    "this vocabulary was not produced by the reference "
+                    "preprocess pipeline"
+                )
+        return v
+
     # --- array encode/decode ---------------------------------------------
 
     def encode(self, tokens: Sequence[str], max_len: int) -> np.ndarray:

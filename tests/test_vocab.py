@@ -65,6 +65,84 @@ def test_save_load_roundtrip(tmp_path):
     assert v2("horse") == v("horse")
 
 
+class RefVocabulary:  # same attribute shape as the reference class
+    pass
+
+
+def _reference_style_pickle(tmp_path, words=None, bytes_keys=False):
+    """Pickle a reference-shaped Vocabulary (preprocess.py:11-29) at protocol 2
+    (py2's HIGHEST_PROTOCOL — what preprocess.py:136 wrote), with the module
+    path rewritten to the reference's nonexistent ``preprocess`` module so the
+    loader's find_class fallback is actually exercised."""
+    import pickle
+
+    obj = RefVocabulary()
+    words = words or ["<pad>", "<start>", "<end>", "<unk>", "a", "man", "horse"]
+    if bytes_keys:
+        words = [w.encode() for w in words]
+    obj.word2idx = {w: i for i, w in enumerate(words)}
+    obj.idx2word = {i: w for i, w in enumerate(words)}
+    obj.idx = len(words)
+    data = pickle.dumps(obj, 2).replace(b"tests.test_vocab", b"preprocess")
+    p = str(tmp_path / "vocab.pkl")
+    with open(p, "wb") as f:
+        f.write(data)
+    return p
+
+
+def test_from_reference_pickle(tmp_path):
+    p = _reference_style_pickle(tmp_path)
+    v = Vocabulary.from_reference_pickle(p)
+    assert len(v) == 7
+    assert v("<pad>") == PAD_ID and v("<unk>") == UNK_ID
+    assert v("man") == 5 and v("zebra") == UNK_ID
+
+
+def test_from_reference_pickle_bytes_keys(tmp_path):
+    # py2-str payloads surface as bytes under some unpickle paths.
+    p = _reference_style_pickle(
+        tmp_path,
+        words=["<pad>", "<start>", "<end>", "<unk>", "dog"],
+        bytes_keys=True,
+    )
+    v = Vocabulary.from_reference_pickle(p)
+    assert v("dog") == 4
+
+
+def test_from_reference_pickle_bare_dict(tmp_path):
+    import pickle
+
+    p = str(tmp_path / "vocab_dict.pkl")
+    words = ["<pad>", "<start>", "<end>", "<unk>", "cat"]
+    with open(p, "wb") as f:
+        pickle.dump({w: i for i, w in enumerate(words)}, f, 2)
+    v = Vocabulary.from_reference_pickle(p)
+    assert v("cat") == 4 and len(v) == 5
+
+
+def test_from_reference_pickle_rejects_wrong_special_order(tmp_path):
+    import pickle
+
+    import pytest
+
+    p = str(tmp_path / "vocab_bad.pkl")
+    words = ["<start>", "<pad>", "<end>", "<unk>"]  # swapped
+    with open(p, "wb") as f:
+        pickle.dump({w: i for i, w in enumerate(words)}, f, 2)
+    with pytest.raises(ValueError, match="special token"):
+        Vocabulary.from_reference_pickle(p)
+
+
+def test_import_vocab_cli(tmp_path):
+    from show_and_tell_tpu.cli.import_vocab import main
+
+    pkl = _reference_style_pickle(tmp_path)
+    out = str(tmp_path / "vocab.json")
+    assert main([pkl, out]) == 0
+    v = Vocabulary.load(out)
+    assert v("horse") == 6
+
+
 def test_keychain_determinism():
     from show_and_tell_tpu.utils.rng import KeyChain
 
