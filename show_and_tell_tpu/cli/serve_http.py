@@ -16,13 +16,19 @@ Endpoints:
   Query params: ``mode=beam|greedy|sample`` (default from --beam_size).
 - ``POST /caption_batch`` — multiple images as a JSON list of base64
   strings -> list of captions (one request = one bucketed device batch).
-- ``GET  /healthz``       — liveness + model/config echo.
+- ``GET  /healthz``       — liveness + model/config echo + batcher stats.
 
-Request handling is intentionally synchronous and single-threaded: the
-TPU program is the bottleneck and the Captioner's bucket batching already
-amortizes it; a thread pool in front would only reorder the queue.
-Corrupt images return 400 (single) or ERROR_CAPTION markers (batch) —
-the per-item policy of Captioner.caption_paths, mapped onto HTTP.
+Concurrency model: a threaded server accepts any number of simultaneous
+connections; every decoded image goes through one ``DynamicBatcher``
+(serve.py), whose single worker thread coalesces concurrent requests into
+bucketed device batches (same-mode FIFO runs, up to ``--batch_max_size``,
+waiting at most ``--batch_max_delay_ms`` after the first request). That
+is what keeps the chip busy under many batch=1 clients — and it also
+serializes all device work onto one thread, which is what makes the
+(non-thread-safe) Captioner safe here. ``--no_dynamic_batch`` falls back
+to the old synchronous single-threaded handling. Corrupt images return
+400 (single) or ERROR_CAPTION markers (batch) — the per-item policy of
+Captioner.caption_paths, mapped onto HTTP.
 """
 
 from __future__ import annotations
@@ -31,13 +37,13 @@ import base64
 import io
 import json
 import logging
-from http.server import BaseHTTPRequestHandler, HTTPServer
+from http.server import BaseHTTPRequestHandler, HTTPServer, ThreadingHTTPServer
 from typing import Optional
 
 import numpy as np
 
 from show_and_tell_tpu.config import Config, parse_config
-from show_and_tell_tpu.serve import Captioner, ERROR_CAPTION
+from show_and_tell_tpu.serve import Captioner, DynamicBatcher, ERROR_CAPTION
 from show_and_tell_tpu.utils.logging import setup_logging
 from show_and_tell_tpu.utils.vocab import Vocabulary
 
@@ -58,9 +64,11 @@ def _decode_image(data: bytes, size: int = 256) -> Optional[np.ndarray]:
 
 
 class CaptionHandler(BaseHTTPRequestHandler):
-    # injected by make_server: captioner, default_mode
+    # injected by make_server: captioner, default_mode, batcher (None =
+    # synchronous single-threaded fallback)
     captioner: Captioner = None
     default_mode: str = "beam"
+    batcher: Optional[DynamicBatcher] = None
 
     def log_message(self, fmt, *args):  # route to our logger, not stderr
         log.info("%s - %s", self.address_string(), fmt % args)
@@ -85,12 +93,15 @@ class CaptionHandler(BaseHTTPRequestHandler):
     def do_GET(self):
         if self.path.startswith("/healthz"):
             cfg = self.captioner.cfg
-            self._send(200, {
+            payload = {
                 "ok": True,
                 "model": cfg.model,
                 "beam_size": cfg.beam_size,
                 "buckets": list(self.captioner.bucket_sizes),
-            })
+            }
+            if self.batcher is not None:
+                payload["batcher"] = self.batcher.stats()
+            self._send(200, payload)
         else:
             self._send(404, {"error": "unknown path"})
 
@@ -113,7 +124,10 @@ class CaptionHandler(BaseHTTPRequestHandler):
         img = _decode_image(data)
         if img is None:
             return self._send(400, {"error": "image failed to decode"})
-        caption = self.captioner.caption_images(img[None], mode=mode)[0]
+        if self.batcher is not None:
+            caption = self.batcher.caption(img, mode=mode)
+        else:
+            caption = self.captioner.caption_images(img[None], mode=mode)[0]
         self._send(200, {"caption": caption, "mode": mode})
 
     def _caption_batch(self, data: bytes, mode: str) -> None:
@@ -127,12 +141,26 @@ class CaptionHandler(BaseHTTPRequestHandler):
             )
         decoded = [_decode_image(b) for b in blobs]
         ok = [d is not None for d in decoded]
-        stack = np.stack([
-            d if d is not None else np.zeros((256, 256, 3), np.uint8)
-            for d in decoded
-        ])
-        captions = self.captioner.caption_images(stack, mode=mode)
-        captions = [c if good else ERROR_CAPTION for c, good in zip(captions, ok)]
+        if self.batcher is not None:
+            # per-item tickets: this request's images coalesce with every
+            # other in-flight client on the one batcher worker
+            tickets = [
+                self.batcher.submit(d, mode=mode) if good else None
+                for d, good in zip(decoded, ok)
+            ]
+            captions = [
+                t.result(timeout=120.0) if t is not None else ERROR_CAPTION
+                for t in tickets
+            ]
+        else:
+            stack = np.stack([
+                d if d is not None else np.zeros((256, 256, 3), np.uint8)
+                for d in decoded
+            ])
+            captions = self.captioner.caption_images(stack, mode=mode)
+            captions = [
+                c if good else ERROR_CAPTION for c, good in zip(captions, ok)
+            ]
         self._send(200, {
             "captions": captions,
             "mode": mode,
@@ -143,18 +171,46 @@ class CaptionHandler(BaseHTTPRequestHandler):
 def make_server(
     cfg: Config, vocab: Vocabulary, host: str = "127.0.0.1", port: int = 8000,
     captioner: Optional[Captioner] = None,
+    dynamic_batch: bool = True,
+    batch_max_delay_ms: float = 10.0,
+    batch_max_size: Optional[int] = None,
 ) -> HTTPServer:
-    """Build (don't start) the HTTP server — tests drive it in a thread."""
+    """Build (don't start) the HTTP server — tests drive it in a thread.
+
+    With ``dynamic_batch`` (default) the server is threaded and all device
+    work flows through one :class:`DynamicBatcher`; the returned server
+    carries it as ``server.batcher`` (closed by ``server_close``).
+    """
     cap = captioner or Captioner.from_checkpoint(cfg, cfg.load_model_path, vocab)
+    batcher = (
+        DynamicBatcher(
+            cap, max_batch=batch_max_size, max_delay_ms=batch_max_delay_ms
+        )
+        if dynamic_batch
+        else None
+    )
     handler = type(
         "BoundCaptionHandler",
         (CaptionHandler,),
         {
             "captioner": cap,
             "default_mode": "greedy" if cfg.beam_size <= 1 else "beam",
+            "batcher": batcher,
         },
     )
-    return HTTPServer((host, port), handler)
+    server_cls = ThreadingHTTPServer if batcher is not None else HTTPServer
+
+    class _Server(server_cls):
+        daemon_threads = True
+
+        def server_close(self):
+            if batcher is not None:
+                batcher.close()
+            super().server_close()
+
+    srv = _Server((host, port), handler)
+    srv.batcher = batcher
+    return srv
 
 
 def main(argv=None):
@@ -163,11 +219,28 @@ def main(argv=None):
     ap = argparse.ArgumentParser(add_help=False)
     ap.add_argument("--http_host", default="0.0.0.0")
     ap.add_argument("--http_port", type=int, default=8000)
+    ap.add_argument(
+        "--no_dynamic_batch", action="store_true",
+        help="synchronous single-threaded handling (no request coalescing)",
+    )
+    ap.add_argument(
+        "--batch_max_delay_ms", type=float, default=10.0,
+        help="max wait after the first queued request before dispatch",
+    )
+    ap.add_argument(
+        "--batch_max_size", type=int, default=None,
+        help="max coalesced batch (default: the largest serving bucket)",
+    )
     http_args, rest = ap.parse_known_args(argv)
     cfg = parse_config(rest)
     setup_logging("serve_http_log.txt")
     vocab = Vocabulary.load(cfg.vocab_path)
-    server = make_server(cfg, vocab, http_args.http_host, http_args.http_port)
+    server = make_server(
+        cfg, vocab, http_args.http_host, http_args.http_port,
+        dynamic_batch=not http_args.no_dynamic_batch,
+        batch_max_delay_ms=http_args.batch_max_delay_ms,
+        batch_max_size=http_args.batch_max_size,
+    )
     log.info("serving on %s:%d", http_args.http_host, http_args.http_port)
     try:
         server.serve_forever()

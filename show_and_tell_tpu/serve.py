@@ -15,6 +15,9 @@ padded to the bucket size so every request shape hits a cached compilation.
 from __future__ import annotations
 
 import logging
+import threading
+import time
+from collections import deque
 from typing import Dict, List, Optional, Sequence
 
 import jax
@@ -270,3 +273,175 @@ class Captioner:
                     self.last_errors.append((i + j, paths[i + j]))
             out.extend(caps)
         return out
+
+
+# ----------------------------------------------------------------------
+# Dynamic batching: coalesce concurrent single-image requests into one
+# device batch. The reference has no serving story at all; a naive HTTP
+# front end runs one device program per request (batch=1), wasting the
+# chip. The batcher is the standard production fix: requests queue, a
+# single consumer thread drains up to ``max_batch`` same-mode requests
+# (waiting at most ``max_delay_ms`` after the first), and one bucketed
+# Captioner call serves them all. One consumer thread also makes the
+# (non-thread-safe) Captioner safe under a threaded server.
+
+
+class _Ticket:
+    """One in-flight request: filled in by the batcher worker."""
+
+    __slots__ = ("image", "mode", "event", "caption", "error", "t_submit")
+
+    def __init__(self, image, mode: str):
+        self.image = image
+        self.mode = mode
+        self.event = threading.Event()
+        self.caption: Optional[str] = None
+        self.error: Optional[BaseException] = None
+        self.t_submit = time.perf_counter()
+
+    def result(self, timeout: Optional[float] = None) -> str:
+        if not self.event.wait(timeout):
+            raise TimeoutError("caption request timed out")
+        if self.error is not None:
+            raise RuntimeError(f"caption request failed: {self.error}") from self.error
+        return self.caption
+
+
+class DynamicBatcher:
+    """Thread-safe request coalescer over a :class:`Captioner`.
+
+    - ``submit(image_u8, mode)`` -> ticket (non-blocking); ``caption(...)``
+      is submit + wait.
+    - Batches are FIFO runs of same-mode requests: the worker pops the
+      head, then keeps appending queued same-mode requests until
+      ``max_batch`` or ``max_delay_ms`` after the pop; a different mode at
+      the head closes the batch (dispatched next round — order preserved).
+    - ``stats()`` reports requests/batches/mean batch size/queue wait —
+      the numbers a capacity planner needs.
+    - All device work happens on the one worker thread, so any number of
+      front-end threads may call ``submit``/``caption`` concurrently.
+    """
+
+    def __init__(
+        self,
+        captioner: Captioner,
+        max_batch: Optional[int] = None,
+        max_delay_ms: float = 10.0,
+        autostart: bool = True,
+    ):
+        self.captioner = captioner
+        self.max_batch = max_batch or max(captioner.bucket_sizes)
+        self.max_delay_s = max_delay_ms / 1e3
+        self._q: deque = deque()
+        self._cv = threading.Condition()
+        self._running = False
+        self._closed = False
+        self._worker: Optional[threading.Thread] = None
+        self._stats = {
+            "requests": 0, "batches": 0, "batch_size_sum": 0,
+            "queue_wait_s_sum": 0.0, "errors": 0,
+        }
+        if autostart:
+            self.start()
+
+    def start(self) -> None:
+        with self._cv:
+            if self._closed:
+                raise RuntimeError("batcher is closed")
+            if self._running:
+                return
+            self._running = True
+        self._worker = threading.Thread(
+            target=self._run, name="caption-batcher", daemon=True
+        )
+        self._worker.start()
+
+    def close(self, timeout: float = 30.0) -> None:
+        """Stop the worker; pending tickets fail with a closed error."""
+        with self._cv:
+            self._running = False
+            self._closed = True
+            self._cv.notify_all()
+        if self._worker is not None:
+            self._worker.join(timeout)
+        with self._cv:
+            while self._q:
+                t = self._q.popleft()
+                t.error = RuntimeError("batcher closed")
+                t.event.set()
+
+    def submit(self, image_u8, mode: str = "beam") -> _Ticket:
+        if mode not in ("beam", "greedy", "sample"):
+            raise ValueError(f"unknown mode {mode!r}")
+        ticket = _Ticket(image_u8, mode)
+        with self._cv:
+            if self._closed:
+                raise RuntimeError("batcher is closed")
+            self._q.append(ticket)
+            self._stats["requests"] += 1
+            self._cv.notify()
+        return ticket
+
+    def caption(
+        self, image_u8, mode: str = "beam", timeout: Optional[float] = 120.0
+    ) -> str:
+        return self.submit(image_u8, mode).result(timeout)
+
+    def stats(self) -> dict:
+        with self._cv:
+            s = dict(self._stats)
+        n = max(s["batches"], 1)
+        s["mean_batch_size"] = round(s["batch_size_sum"] / n, 2)
+        s["mean_queue_wait_ms"] = round(s["queue_wait_s_sum"] / n * 1e3, 2)
+        return s
+
+    # -- worker ---------------------------------------------------------
+
+    def _collect(self) -> List[_Ticket]:
+        """Block for the first request, then gather its same-mode run."""
+        with self._cv:
+            while self._running and not self._q:
+                self._cv.wait()
+            if not self._running:
+                return []
+            batch = [self._q.popleft()]
+            deadline = time.perf_counter() + self.max_delay_s
+            while len(batch) < self.max_batch and self._running:
+                if self._q:
+                    if self._q[0].mode != batch[0].mode:
+                        break  # mode boundary: next round's batch
+                    batch.append(self._q.popleft())
+                    continue
+                remaining = deadline - time.perf_counter()
+                if remaining <= 0 or not self._cv.wait(remaining):
+                    break
+            return batch
+
+    def _run(self) -> None:
+        import numpy as np  # local: keep thread start cheap
+
+        while True:
+            batch = self._collect()
+            if not batch:
+                return  # closed
+            t_dispatch = time.perf_counter()
+            try:
+                images = np.stack([t.image for t in batch])
+                caps = self.captioner.caption_images(images, mode=batch[0].mode)
+                for t, c in zip(batch, caps):
+                    t.caption = c
+            except Exception as e:  # one bad batch must not kill the worker
+                log.exception("batcher dispatch failed (%d requests)", len(batch))
+                for t in batch:
+                    t.error = e
+                with self._cv:
+                    self._stats["errors"] += len(batch)
+            finally:
+                with self._cv:
+                    self._stats["batches"] += 1
+                    self._stats["batch_size_sum"] += len(batch)
+                    self._stats["queue_wait_s_sum"] += sum(
+                        t_dispatch - t.t_submit for t in batch
+                    )
+                for t in batch:
+                    t.event.set()
