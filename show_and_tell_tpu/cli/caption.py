@@ -17,7 +17,8 @@ Positional arguments are image files and/or directories (searched for
 jpg/jpeg/png, non-recursive). Output: one JSON line per image on stdout —
 ``{"image": path, "caption": text}`` — so it pipes cleanly into jq etc.
 Decode mode follows ``--beam_size`` (1 = greedy, >1 = beam); for sampling
-use the :class:`Captioner` API directly (``temperature`` / ``top_k``).
+use the :class:`Captioner` API directly (``temperature`` / ``top_k`` /
+``top_p``).
 """
 
 from __future__ import annotations

@@ -6,9 +6,9 @@ statics in its step closure, ShowTell lets ``beam_search`` tile its small
 carry) live behind each model's ``decode_state`` method, so this is the one
 place that maps a mode string onto the decode algorithms.
 
-Trace-time constants: ``mode``, ``temperature``, ``top_k`` (``lax.top_k``
-needs a static k) — callers jit around this function and key their caches
-accordingly (serve.Captioner._fn).
+Trace-time constants: ``mode``, ``temperature``, ``top_k``, ``top_p``
+(static filtering shapes) — callers jit around this function and key their
+caches accordingly (serve.Captioner._fn).
 """
 
 from __future__ import annotations
@@ -32,6 +32,7 @@ def decode_ids(
     rng: Optional[jax.Array] = None,
     temperature: float = 1.0,
     top_k: int = 0,
+    top_p: float = 1.0,
 ) -> jax.Array:
     """features [B, ...] -> ids [B, max_decode_len] via beam/greedy/sample."""
     B = features.shape[0]
@@ -49,7 +50,8 @@ def decode_ids(
     if mode == "sample":
         return sample_decode(
             step_fn, carry, B, rng, cfg.max_decode_len,
-            temperature=temperature, top_k=top_k, first_logits=first,
+            temperature=temperature, top_k=top_k, top_p=top_p,
+            first_logits=first,
         )
     if mode != "greedy":
         raise ValueError(f"unknown decode mode {mode!r}")

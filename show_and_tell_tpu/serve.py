@@ -89,6 +89,7 @@ class Captioner:
         # sampling-mode knobs (mode="sample")
         self.temperature = 1.0
         self.top_k = 0
+        self.top_p = 1.0  # nucleus mass; 1.0 = off
         self._sample_key = jax.random.PRNGKey(cfg.random_seed)
         #: (index, path) pairs for images the last caption_paths call could
         #: not decode (their captions are ERROR_CAPTION)
@@ -161,15 +162,18 @@ class Captioner:
         return self.bucket_sizes[-1]
 
     def _fn(self, batch: int, mode: str):
-        # temperature/top_k are baked into the traced program (top_k must be
-        # static for lax.top_k), so they are part of the cache key — changing
-        # the attributes after a first "sample" call recompiles rather than
-        # silently reusing stale values.
-        key = (batch, mode, self.temperature, self.top_k) if mode == "sample" else (batch, mode)
+        # temperature/top_k/top_p are baked into the traced program (the
+        # filters need static shapes), so they are part of the cache key —
+        # changing the attributes after a first "sample" call recompiles
+        # rather than silently reusing stale values.
+        key = (
+            (batch, mode, self.temperature, self.top_k, self.top_p)
+            if mode == "sample" else (batch, mode)
+        )
         if key in self._fns:
             return self._fns[key]
         model, cfg = self.model, self.cfg
-        temperature, top_k = self.temperature, self.top_k
+        temperature, top_k, top_p = self.temperature, self.top_k, self.top_p
 
         @jax.jit
         def fn(params, batch_stats, frozen, images_u8, rng):
@@ -178,7 +182,7 @@ class Captioner:
             )
             return decode_ids(
                 model, cfg, params, batch_stats, feats, mode,
-                rng=rng, temperature=temperature, top_k=top_k,
+                rng=rng, temperature=temperature, top_k=top_k, top_p=top_p,
             )
 
         self._fns[key] = fn
@@ -191,8 +195,8 @@ class Captioner:
     ) -> List[str]:
         """images_u8 [N, 256, 256, 3] uint8 -> N caption strings.
 
-        ``mode``: "beam" (default), "greedy", or "sample" (temperature /
-        top-k via the ``temperature`` / ``top_k`` attributes).
+        ``mode``: "beam" (default), "greedy", or "sample" (knobs via the
+        ``temperature`` / ``top_k`` / ``top_p`` attributes).
         ``rng_offset``: global image index of ``images_u8[0]`` — sample-mode
         rng keys are folded from it, so per-chunk callers (caption_paths)
         get unique keys across chunks instead of reusing offset-0 keys."""

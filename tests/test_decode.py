@@ -173,6 +173,47 @@ def test_sample_decode():
     np.testing.assert_array_equal(np.asarray(g), np.asarray(k1))
 
 
+def test_sample_decode_top_p():
+    from show_and_tell_tpu.decode import sample_decode
+    from show_and_tell_tpu.decode.sample import _sample_from_logits
+
+    # key 6's table emits no <end> within 6 steps (pinned by the greedy-
+    # equivalence asserts in test_sample_decode — greedy pads after <end>,
+    # sampling does not, so the equivalence needs an <end>-free horizon)
+    step_fn, table = _markov_step_fn(jax.random.PRNGKey(6), V, 3)
+    g = greedy_decode(step_fn, {}, batch=3, max_len=6)
+    # tiny top_p keeps only the argmax -> exactly greedy, any rng
+    p0 = sample_decode(
+        step_fn, {}, batch=3, rng=jax.random.PRNGKey(4), max_len=6, top_p=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(g), np.asarray(p0))
+    # top_p=1.0 is a no-op: identical draws to unfiltered sampling
+    ids_full = sample_decode(
+        step_fn, {}, batch=3, rng=jax.random.PRNGKey(5), max_len=6
+    )
+    ids_p1 = sample_decode(
+        step_fn, {}, batch=3, rng=jax.random.PRNGKey(5), max_len=6, top_p=1.0
+    )
+    np.testing.assert_array_equal(np.asarray(ids_full), np.asarray(ids_p1))
+    # nucleus support is exactly the minimal prefix reaching the mass:
+    # probs [.5,.3,.15,.05] with top_p=.6 keeps {0,1}; many draws must
+    # never leave the nucleus but must hit both members
+    logits = jnp.log(jnp.array([[0.5, 0.3, 0.15, 0.05]], jnp.float32))
+    draws = np.asarray(
+        jax.vmap(
+            lambda r: _sample_from_logits(r, logits, 1.0, 0, 0.6)[0]
+        )(jax.random.split(jax.random.PRNGKey(6), 200))
+    )
+    assert set(draws.tolist()) == {0, 1}
+    # top_p composes after top_k: k=3 then p=.95 still excludes id 3
+    draws_k = np.asarray(
+        jax.vmap(
+            lambda r: _sample_from_logits(r, logits, 1.0, 3, 0.95)[0]
+        )(jax.random.split(jax.random.PRNGKey(7), 200))
+    )
+    assert set(draws_k.tolist()) == {0, 1, 2}
+
+
 def test_early_stop_matches_scan_after_truncation():
     """Early-exit while_loop and fixed scan produce identical captions after
     <end> truncation; with forced <end> early-stop pads the tail exactly."""

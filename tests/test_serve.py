@@ -212,6 +212,12 @@ def test_captioner_sample_mode():
     greedy = cap.caption_images(images, mode="greedy")
     k1 = cap.caption_images(images, mode="sample")
     assert greedy == k1
+    # top_p ~ 0 keeps only the argmax: also greedy (knob is part of the
+    # program cache key, so flipping the attribute takes effect)
+    cap.top_k = 0
+    cap.top_p = 1e-6
+    p0 = cap.caption_images(images, mode="sample")
+    assert greedy == p0
 
 
 def test_caption_paths_sample_keys_unique_across_chunks(tmp_path):
