@@ -91,6 +91,9 @@ class Config:
     # run used 3236 (~once/epoch at batch 128, log.txt) — 1 would evaluate
     # after every step
     save_checkpoint_every: int = 3000
+    # SIGTERM/SIGINT -> finish the step, save full train state, exit clean
+    # (train/preempt.py); resume is bit-continuous
+    preempt_save: bool = True
 
     # --- Decoding (reference models.py:60 / model2.py:100: hard 20-step cap) ---
     max_decode_len: int = 20

@@ -136,13 +136,30 @@ class Trainer:
         device_batch = {k: batch[k] for k in self._DEVICE_KEYS if k in batch}
         return mesh_lib.shard_batch(self.mesh, device_batch)
 
-    def train(self) -> dict:
+    def train(self, preempt_guard=None) -> dict:
+        """Run the training loop. ``preempt_guard``: an externally managed
+        :class:`~show_and_tell_tpu.train.preempt.PreemptionGuard` (tests /
+        cluster-notice watchers); by default one is installed here for
+        SIGTERM/SIGINT when ``cfg.preempt_save`` (trigger -> finish the
+        in-flight step, save full train state + infos, return)."""
+        import contextlib
+
+        from show_and_tell_tpu.train.preempt import PreemptionGuard
+
+        with contextlib.ExitStack() as stack:
+            guard = preempt_guard
+            if guard is None and self.cfg.preempt_save:
+                guard = stack.enter_context(PreemptionGuard())
+            return self._train_loop(guard)
+
+    def _train_loop(self, guard) -> dict:
         cfg = self.cfg
         infos = {}
         if cfg.start_from is not None and not cfg.load_pretrained:
             loaded = ckpt.load_infos(cfg.start_from)
             if loaded:
                 infos = loaded
+                infos.pop("preempted", None)  # consumed by this resume
                 # Prefer the full train state (params + Adam moments + step,
                 # bit-continuous resume); fall back to best-params only.
                 full = ckpt.load_train_state(cfg.start_from, self.state)
@@ -263,6 +280,16 @@ class Trainer:
                     # eval + checkpoint I/O must not pollute the timing window
                     window_t0 = time.perf_counter()
                     window_items = window_steps = 0
+
+                if guard is not None and guard.triggered:
+                    if pending_log is not None:
+                        self._log_step_line(*pending_log)
+                    self._emergency_save(
+                        epoch, it, total_iteration, float(metrics["loss"]),
+                        lr, best_val_score, val_result_history,
+                        loss_history, lr_history, infos,
+                    )
+                    return infos
             if pending_log is not None:  # flush the lagged window at epoch end
                 self._log_step_line(*pending_log)
                 pending_log = None
@@ -285,6 +312,43 @@ class Trainer:
         )
 
     # ------------------------------------------------------------------
+
+    def _emergency_save(
+        self,
+        epoch,
+        it,
+        total_iteration,
+        train_loss,
+        lr,
+        best_val_score,
+        val_result_history,
+        loss_history,
+        lr_history,
+        infos,
+    ) -> None:
+        """Preemption checkpoint: the same resume artifacts as the periodic
+        path (full train state + infos) but WITHOUT the validation eval —
+        the SIGTERM->SIGKILL grace window is short. ``model-best`` is left
+        untouched (no score was computed to gate it)."""
+        cfg = self.cfg
+        infos.update(
+            total_iter=total_iteration,
+            iter=it,
+            epoch=epoch,
+            best_val_score=best_val_score,
+            opt=cfg.to_dict(),
+            val_result_history=val_result_history,
+            loss_history=loss_history,
+            lr_history=lr_history,
+            preempted=True,
+        )
+        ckpt.save_infos(cfg.expr_dir, infos)
+        ckpt.save_train_state(cfg.expr_dir, self.state)
+        log.warning(
+            "preempted at epoch %d iter %d (total %d, loss %.4f): full "
+            "train state saved to %s — resume with start_from",
+            epoch, it, total_iteration, train_loss, cfg.expr_dir,
+        )
 
     def _checkpoint(
         self,

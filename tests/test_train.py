@@ -123,6 +123,73 @@ def test_trainer_cider_gate(tmp_path):
     assert best["total_iter"] == 4  # best checkpoint from the first eval
 
 
+def test_preemption_guard_signal_latch_and_restore():
+    import os
+    import signal
+
+    from show_and_tell_tpu.train.preempt import PreemptionGuard
+
+    prev = signal.getsignal(signal.SIGTERM)
+    g = PreemptionGuard()
+    with g:
+        assert not g.triggered
+        os.kill(os.getpid(), signal.SIGTERM)  # latched, not fatal
+        assert g.triggered
+    assert signal.getsignal(signal.SIGTERM) is prev
+
+
+class _KillAfter:
+    """Loader that delivers a real SIGTERM while producing batch ``after``
+    (0-based) — mimics the scheduler preempting mid-epoch."""
+
+    def __init__(self, batches, after):
+        self.batches, self.after = batches, after
+
+    def __iter__(self):
+        import os
+        import signal
+
+        for i, b in enumerate(self.batches):
+            if i == self.after:
+                os.kill(os.getpid(), signal.SIGTERM)
+            yield b
+
+
+def test_preemption_resume_bit_continuous(tmp_path):
+    """SIGTERM mid-epoch -> in-flight step finishes, full train state is
+    saved, train() returns; resuming completes the run with final params
+    BIT-identical to an uninterrupted one."""
+    loader = _loader(n_batches=4)
+    eval_fn = lambda *a: (1.0, [], {})  # noqa: E731
+
+    dir_a, dir_b = str(tmp_path / "a"), str(tmp_path / "b")
+    cfg_a = small_cfg(dir_a, save_checkpoint_every=100)
+    model = build_model(cfg_a, V)
+    ta = Trainer(cfg_a, model, loader, eval_fn=eval_fn)
+    ta.train()
+    ref = jax.device_get(ta.state.params)
+
+    # lookahead pulls batch 3 while step 2 runs, so the SIGTERM raised
+    # producing batch index 2 lands after iteration 2 completes
+    cfg_b = small_cfg(dir_b, save_checkpoint_every=100)
+    tb = Trainer(cfg_b, model, _KillAfter(loader, after=2), eval_fn=eval_fn)
+    infos = tb.train()
+    assert infos["preempted"] is True
+    assert infos["total_iter"] == 2 and infos["epoch"] == 1
+    on_disk = ckpt.load_infos(dir_b)
+    assert on_disk["preempted"] is True
+
+    cfg_b2 = small_cfg(dir_b, save_checkpoint_every=100, start_from=dir_b)
+    tb2 = Trainer(cfg_b2, model, loader, eval_fn=eval_fn)
+    infos2 = tb2.train()
+    assert infos2.get("preempted") is None  # consumed by the resume
+    resumed = jax.device_get(tb2.state.params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        ref, resumed,
+    )
+
+
 def test_trainer_resume_skips_iterations(tmp_path):
     cfg = small_cfg(tmp_path, max_epochs=1)
     model = build_model(cfg, V)
