@@ -17,6 +17,8 @@ Endpoints:
 - ``POST /caption_batch`` — multiple images as a JSON list of base64
   strings -> list of captions (one request = one bucketed device batch).
 - ``GET  /healthz``       — liveness + model/config echo + batcher stats.
+- ``GET  /metrics``       — Prometheus text exposition of the serving
+  counters (requests/batches/queue-wait/errors, per-mode request counts).
 
 Concurrency model: a threaded server accepts any number of simultaneous
 connections; every decoded image goes through one ``DynamicBatcher``
@@ -91,6 +93,8 @@ class CaptionHandler(BaseHTTPRequestHandler):
         return mode
 
     def do_GET(self):
+        if self.path.startswith("/metrics"):
+            return self._metrics()
         if self.path.startswith("/healthz"):
             cfg = self.captioner.cfg
             payload = {
@@ -104,6 +108,39 @@ class CaptionHandler(BaseHTTPRequestHandler):
             self._send(200, payload)
         else:
             self._send(404, {"error": "unknown path"})
+
+    def _metrics(self) -> None:
+        """Prometheus text exposition (format 0.0.4) of the batcher
+        counters — sums + counts so rate()/avg are computable server-side."""
+        if self.batcher is None:
+            return self._send(
+                404, {"error": "metrics require dynamic batching (drop "
+                      "--no_dynamic_batch)"}
+            )
+        s = self.batcher.stats()
+        lines = [
+            "# TYPE sat_requests_total counter",
+            f"sat_requests_total {s['requests']}",
+            "# TYPE sat_batches_total counter",
+            f"sat_batches_total {s['batches']}",
+            "# TYPE sat_batched_images_total counter",
+            f"sat_batched_images_total {s['batch_size_sum']}",
+            "# TYPE sat_queue_wait_seconds_total counter",
+            f"sat_queue_wait_seconds_total {s['queue_wait_s_sum']:.6f}",
+            "# TYPE sat_request_errors_total counter",
+            f"sat_request_errors_total {s['errors']}",
+            "# TYPE sat_requests_by_mode_total counter",
+        ]
+        lines += [
+            f'sat_requests_by_mode_total{{mode="{m}"}} {n}'
+            for m, n in s["requests_by_mode"].items()
+        ]
+        body = ("\n".join(lines) + "\n").encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "text/plain; version=0.0.4")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
 
     def do_POST(self):
         try:

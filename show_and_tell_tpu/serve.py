@@ -345,6 +345,7 @@ class DynamicBatcher:
             "requests": 0, "batches": 0, "batch_size_sum": 0,
             "queue_wait_s_sum": 0.0, "errors": 0,
         }
+        self._mode_counts = {"beam": 0, "greedy": 0, "sample": 0}
         if autostart:
             self.start()
 
@@ -383,6 +384,7 @@ class DynamicBatcher:
                 raise RuntimeError("batcher is closed")
             self._q.append(ticket)
             self._stats["requests"] += 1
+            self._mode_counts[mode] += 1
             self._cv.notify()
         return ticket
 
@@ -394,6 +396,7 @@ class DynamicBatcher:
     def stats(self) -> dict:
         with self._cv:
             s = dict(self._stats)
+            s["requests_by_mode"] = dict(self._mode_counts)
         n = max(s["batches"], 1)
         s["mean_batch_size"] = round(s["batch_size_sum"] / n, 2)
         s["mean_queue_wait_ms"] = round(s["queue_wait_s_sum"] / n * 1e3, 2)

@@ -152,6 +152,14 @@ def test_http_concurrent_requests_coalesce(captioner):
         with urllib.request.urlopen(f"{url}/healthz", timeout=30) as r:
             body = json.loads(r.read())
         assert body["batcher"]["requests"] == n + 1
+        assert body["batcher"]["requests_by_mode"]["beam"] == n + 1
+        # Prometheus exposition mirrors the same counters
+        with urllib.request.urlopen(f"{url}/metrics", timeout=30) as r:
+            assert r.headers["Content-Type"].startswith("text/plain")
+            text = r.read().decode()
+        assert f"sat_requests_total {n + 1}" in text
+        assert f'sat_requests_by_mode_total{{mode="beam"}} {n + 1}' in text
+        assert "sat_queue_wait_seconds_total" in text
     finally:
         srv.shutdown()
         srv.server_close()
