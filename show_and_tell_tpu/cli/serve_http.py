@@ -45,7 +45,12 @@ from typing import Optional
 import numpy as np
 
 from show_and_tell_tpu.config import Config, parse_config
-from show_and_tell_tpu.serve import Captioner, DynamicBatcher, ERROR_CAPTION
+from show_and_tell_tpu.serve import (
+    Captioner,
+    DynamicBatcher,
+    ERROR_CAPTION,
+    QueueFull,
+)
 from show_and_tell_tpu.utils.logging import setup_logging
 from show_and_tell_tpu.utils.vocab import Vocabulary
 
@@ -129,6 +134,10 @@ class CaptionHandler(BaseHTTPRequestHandler):
             f"sat_queue_wait_seconds_total {s['queue_wait_s_sum']:.6f}",
             "# TYPE sat_request_errors_total counter",
             f"sat_request_errors_total {s['errors']}",
+            "# TYPE sat_requests_rejected_total counter",
+            f"sat_requests_rejected_total {s['rejected']}",
+            "# TYPE sat_requests_abandoned_total counter",
+            f"sat_requests_abandoned_total {s['abandoned']}",
             "# TYPE sat_requests_by_mode_total counter",
         ]
         lines += [
@@ -151,10 +160,21 @@ class CaptionHandler(BaseHTTPRequestHandler):
         if length <= 0:
             return self._send(400, {"error": "empty body"})
         data = self.rfile.read(length)
-        if self.path.startswith("/caption_batch"):
-            return self._caption_batch(data, mode)
-        if self.path.startswith("/caption"):
-            return self._caption_one(data, mode)
+        # every failure mode maps to an HTTP response (review fix: a raised
+        # TimeoutError/RuntimeError used to escape do_POST, and the client
+        # saw a dropped connection instead of a status code)
+        try:
+            if self.path.startswith("/caption_batch"):
+                return self._caption_batch(data, mode)
+            if self.path.startswith("/caption"):
+                return self._caption_one(data, mode)
+        except QueueFull as e:
+            return self._send(429, {"error": str(e)})
+        except TimeoutError as e:
+            return self._send(503, {"error": str(e)})
+        except Exception as e:
+            log.exception("request handling failed")
+            return self._send(500, {"error": f"caption request failed: {e}"})
         self._send(404, {"error": "unknown path"})
 
     def _caption_one(self, data: bytes, mode: str) -> None:
@@ -180,15 +200,40 @@ class CaptionHandler(BaseHTTPRequestHandler):
         ok = [d is not None for d in decoded]
         if self.batcher is not None:
             # per-item tickets: this request's images coalesce with every
-            # other in-flight client on the one batcher worker
-            tickets = [
-                self.batcher.submit(d, mode=mode) if good else None
-                for d, good in zip(decoded, ok)
-            ]
-            captions = [
-                t.result(timeout=120.0) if t is not None else ERROR_CAPTION
-                for t in tickets
-            ]
+            # other in-flight client on the one batcher worker. Per-item
+            # overload/timeout failures degrade that item to ERROR_CAPTION
+            # (reported in "errors") instead of failing the whole request —
+            # unless NOTHING succeeded, which surfaces as 429/503 via the
+            # do_POST mapping.
+            any_decoded = any(ok)
+            tickets = []
+            for d, good in zip(decoded, ok):
+                if not good:
+                    tickets.append(None)
+                    continue
+                try:
+                    tickets.append(self.batcher.submit(d, mode=mode))
+                except QueueFull as e:
+                    tickets.append(e)
+            captions = []
+            for i, t in enumerate(tickets):
+                if t is None or isinstance(t, QueueFull):
+                    captions.append(ERROR_CAPTION)
+                    if t is not None:
+                        ok[i] = False
+                    continue
+                try:
+                    captions.append(t.result(timeout=120.0))
+                except (TimeoutError, RuntimeError):
+                    captions.append(ERROR_CAPTION)
+                    ok[i] = False
+            if any_decoded and not any(ok):
+                first = next(
+                    (t for t in tickets if isinstance(t, QueueFull)), None
+                )
+                if first is not None:
+                    raise first
+                raise TimeoutError("no caption request completed")
         else:
             stack = np.stack([
                 d if d is not None else np.zeros((256, 256, 3), np.uint8)
@@ -211,6 +256,7 @@ def make_server(
     dynamic_batch: bool = True,
     batch_max_delay_ms: float = 10.0,
     batch_max_size: Optional[int] = None,
+    batch_max_queue: Optional[int] = None,
 ) -> HTTPServer:
     """Build (don't start) the HTTP server — tests drive it in a thread.
 
@@ -221,7 +267,8 @@ def make_server(
     cap = captioner or Captioner.from_checkpoint(cfg, cfg.load_model_path, vocab)
     batcher = (
         DynamicBatcher(
-            cap, max_batch=batch_max_size, max_delay_ms=batch_max_delay_ms
+            cap, max_batch=batch_max_size, max_delay_ms=batch_max_delay_ms,
+            max_queue=batch_max_queue,
         )
         if dynamic_batch
         else None
@@ -245,7 +292,14 @@ def make_server(
                 batcher.close()
             super().server_close()
 
-    srv = _Server((host, port), handler)
+    try:
+        srv = _Server((host, port), handler)
+    except Exception:
+        # bind failed (e.g. port in use): don't leak the already-started
+        # batcher worker thread (review fix)
+        if batcher is not None:
+            batcher.close()
+        raise
     srv.batcher = batcher
     return srv
 
@@ -268,6 +322,11 @@ def main(argv=None):
         "--batch_max_size", type=int, default=None,
         help="max coalesced batch (default: the largest serving bucket)",
     )
+    ap.add_argument(
+        "--batch_max_queue", type=int, default=None,
+        help="queue depth past which requests get 429 "
+        "(default: 8x the max batch)",
+    )
     http_args, rest = ap.parse_known_args(argv)
     cfg = parse_config(rest)
     setup_logging("serve_http_log.txt")
@@ -277,6 +336,7 @@ def main(argv=None):
         dynamic_batch=not http_args.no_dynamic_batch,
         batch_max_delay_ms=http_args.batch_max_delay_ms,
         batch_max_size=http_args.batch_max_size,
+        batch_max_queue=http_args.batch_max_queue,
     )
     log.info("serving on %s:%d", http_args.http_host, http_args.http_port)
     try:

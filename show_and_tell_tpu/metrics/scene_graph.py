@@ -207,6 +207,10 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
     last_loc_rel = None
     after_conj = False  # the segment after an NP-coordination close forms
     # its own NP even without a determiner ("dogs and CATS SITTING ...")
+    # a relativizer immediately before a copula binds the copula to the
+    # NP just closed ("a mat THAT is torn" -> (mat, torn)), overriding the
+    # locative re-anchor below
+    rel_before_copula = False
 
     def content_count(ws: List[str]) -> int:
         return len(
@@ -375,7 +379,11 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
         if w == "that" and nxt is not None and (
             _is_verbish(nxt) or nxt in COPULAS
         ):
+            rel_before_copula = nxt in COPULAS
             continue  # relativizer ("a girl THAT holds..."), not a det
+        if w in ("which", "who") and nxt is not None and nxt in COPULAS:
+            rel_before_copula = True  # "a dog WHICH is sleeping"
+            continue
         if w == "'s":
             # possessive clitic: "a man 's hat" -> (man, have, hat); the
             # copular reading ("the dog 's brown") is rare in caption text
@@ -420,10 +428,17 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                 rel_subj = last_np
         elif w in COPULAS:
             close_np()
-            if last_loc_rel is not None and last_np is last_loc_rel[1]:
+            if (
+                not rel_before_copula
+                and last_loc_rel is not None
+                and last_np is last_loc_rel[1]
+            ):
                 # copula after a locative object re-anchors to the clause
-                # subject: "the man on the left IS smiling" -> (man, smile)
+                # subject: "the man on the left IS smiling" -> (man, smile) —
+                # UNLESS a relativizer bound the copula to the object NP
+                # ("a cat on a mat THAT is torn" -> (mat, torn))
                 last_np = last_loc_rel[0]
+            rel_before_copula = False
         elif w in CONJUNCTIONS:
             # attribute coordination stays inside the NP: "black AND white
             # cat" — the next token continues the same bare segment. NP

@@ -91,6 +91,7 @@ class Captioner:
         self.top_k = 0
         self.top_p = 1.0  # nucleus mass; 1.0 = off
         self._sample_key = jax.random.PRNGKey(cfg.random_seed)
+        self._sample_count = 0  # images sampled so far (rng counter)
         #: (index, path) pairs for images the last caption_paths call could
         #: not decode (their captions are ERROR_CAPTION)
         self.last_errors: List = []
@@ -197,9 +198,16 @@ class Captioner:
 
         ``mode``: "beam" (default), "greedy", or "sample" (knobs via the
         ``temperature`` / ``top_k`` / ``top_p`` attributes).
-        ``rng_offset``: global image index of ``images_u8[0]`` — sample-mode
-        rng keys are folded from it, so per-chunk callers (caption_paths)
-        get unique keys across chunks instead of reusing offset-0 keys."""
+
+        Sample-mode rng: each image's key is
+        ``fold_in(seed_key, images_sampled_so_far + rng_offset + i)`` — the
+        running counter advances per sampled image, so repeated requests
+        for the same image draw DIFFERENT keys (review fix: a server whose
+        'sample' endpoint returns the identical caption forever defeats the
+        point of sampling), while a fresh Captioner with the same
+        ``random_seed`` reproduces the same sequence. ``rng_offset`` lets a
+        caller that split one logical request into several calls keep a
+        global index instead (counter + offset are simply added)."""
         n = images_u8.shape[0]
         from show_and_tell_tpu.models import quantize as quantize_mod
 
@@ -232,6 +240,9 @@ class Captioner:
         # loop bench.py measures; a per-chunk sync serializes a host round
         # trip into every batch).
         pending = None  # (device ids, live row count)
+        base = self._sample_count
+        if mode == "sample":
+            self._sample_count += n
         i = 0
         while i < n:
             b = self._bucket(n - i)
@@ -239,7 +250,7 @@ class Captioner:
             if chunk.shape[0] < b:  # pad to the bucket's static shape
                 pad = np.repeat(chunk[-1:], b - chunk.shape[0], axis=0)
                 chunk = np.concatenate([chunk, pad], axis=0)
-            rng = jax.random.fold_in(self._sample_key, rng_offset + i)
+            rng = jax.random.fold_in(self._sample_key, base + rng_offset + i)
             if self.mesh is not None:
                 from show_and_tell_tpu.parallel import mesh as mesh_lib
 
@@ -270,7 +281,10 @@ class Captioner:
         for i in range(0, len(paths), chunk):
             loaded = [_load_image_checked(p) for p in paths[i : i + chunk]]
             images = np.stack([im for im, _ in loaded])
-            caps = self.caption_images(images, mode, rng_offset=i)
+            # sample-mode keys stay unique and whole-call-equivalent across
+            # chunks via the _sample_count counter (no explicit offset: the
+            # counter already advanced by exactly i after the prior chunks)
+            caps = self.caption_images(images, mode)
             for j, (_, ok) in enumerate(loaded):
                 if not ok:
                     caps[j] = ERROR_CAPTION
@@ -290,10 +304,16 @@ class Captioner:
 # (non-thread-safe) Captioner safe under a threaded server.
 
 
+class QueueFull(RuntimeError):
+    """DynamicBatcher queue is at max_queue: shed load (HTTP 429)."""
+
+
 class _Ticket:
     """One in-flight request: filled in by the batcher worker."""
 
-    __slots__ = ("image", "mode", "event", "caption", "error", "t_submit")
+    __slots__ = (
+        "image", "mode", "event", "caption", "error", "t_submit", "abandoned"
+    )
 
     def __init__(self, image, mode: str):
         self.image = image
@@ -302,9 +322,13 @@ class _Ticket:
         self.caption: Optional[str] = None
         self.error: Optional[BaseException] = None
         self.t_submit = time.perf_counter()
+        self.abandoned = False  # client gave up (result() timed out)
 
     def result(self, timeout: Optional[float] = None) -> str:
         if not self.event.wait(timeout):
+            # mark so the worker skips this ticket instead of burning a
+            # device slot on a caption nobody will read (review fix)
+            self.abandoned = True
             raise TimeoutError("caption request timed out")
         if self.error is not None:
             raise RuntimeError(f"caption request failed: {self.error}") from self.error
@@ -332,10 +356,15 @@ class DynamicBatcher:
         max_batch: Optional[int] = None,
         max_delay_ms: float = 10.0,
         autostart: bool = True,
+        max_queue: Optional[int] = None,
     ):
         self.captioner = captioner
         self.max_batch = max_batch or max(captioner.bucket_sizes)
         self.max_delay_s = max_delay_ms / 1e3
+        # backpressure: past this depth submit() raises QueueFull (the HTTP
+        # layer maps it to 429) instead of queueing requests whose clients
+        # will have timed out long before the device reaches them
+        self.max_queue = self.max_batch * 8 if max_queue is None else max_queue
         self._q: deque = deque()
         self._cv = threading.Condition()
         self._running = False
@@ -343,7 +372,8 @@ class DynamicBatcher:
         self._worker: Optional[threading.Thread] = None
         self._stats = {
             "requests": 0, "batches": 0, "batch_size_sum": 0,
-            "queue_wait_s_sum": 0.0, "errors": 0,
+            "queue_wait_s_sum": 0.0, "errors": 0, "rejected": 0,
+            "abandoned": 0,
         }
         self._mode_counts = {"beam": 0, "greedy": 0, "sample": 0}
         if autostart:
@@ -382,6 +412,11 @@ class DynamicBatcher:
         with self._cv:
             if self._closed:
                 raise RuntimeError("batcher is closed")
+            if len(self._q) >= self.max_queue:
+                self._stats["rejected"] += 1
+                raise QueueFull(
+                    f"caption queue full ({self.max_queue} pending)"
+                )
             self._q.append(ticket)
             self._stats["requests"] += 1
             self._mode_counts[mode] += 1
@@ -397,27 +432,51 @@ class DynamicBatcher:
         with self._cv:
             s = dict(self._stats)
             s["requests_by_mode"] = dict(self._mode_counts)
-        n = max(s["batches"], 1)
-        s["mean_batch_size"] = round(s["batch_size_sum"] / n, 2)
-        s["mean_queue_wait_ms"] = round(s["queue_wait_s_sum"] / n * 1e3, 2)
+        s["mean_batch_size"] = round(
+            s["batch_size_sum"] / max(s["batches"], 1), 2
+        )
+        # per-REQUEST mean: the wait sum is accumulated per ticket, so the
+        # divisor is tickets dispatched, not batches (review fix — dividing
+        # by batches overstated the wait by a factor of the batch size)
+        s["mean_queue_wait_ms"] = round(
+            s["queue_wait_s_sum"] / max(s["batch_size_sum"], 1) * 1e3, 2
+        )
         return s
 
     # -- worker ---------------------------------------------------------
 
     def _collect(self) -> List[_Ticket]:
         """Block for the first request, then gather its same-mode run."""
+        def pop_live() -> Optional[_Ticket]:
+            # drop tickets whose client already timed out: dispatching them
+            # would spend device time on output nobody reads
+            while self._q:
+                t = self._q.popleft()
+                if not t.abandoned:
+                    return t
+                self._stats["abandoned"] += 1
+                t.event.set()
+            return None
+
         with self._cv:
-            while self._running and not self._q:
-                self._cv.wait()
+            batch: List[_Ticket] = []
+            while self._running and not batch:
+                head = pop_live()
+                if head is not None:
+                    batch.append(head)
+                    break
+                if not self._q:
+                    self._cv.wait()
             if not self._running:
                 return []
-            batch = [self._q.popleft()]
             deadline = time.perf_counter() + self.max_delay_s
             while len(batch) < self.max_batch and self._running:
                 if self._q:
                     if self._q[0].mode != batch[0].mode:
                         break  # mode boundary: next round's batch
-                    batch.append(self._q.popleft())
+                    t = pop_live()
+                    if t is not None:
+                        batch.append(t)
                     continue
                 remaining = deadline - time.perf_counter()
                 if remaining <= 0 or not self._cv.wait(remaining):
@@ -431,6 +490,16 @@ class DynamicBatcher:
             batch = self._collect()
             if not batch:
                 return  # closed
+            live = [t for t in batch if not t.abandoned]
+            if len(live) < len(batch):  # abandoned while the batch formed
+                with self._cv:
+                    self._stats["abandoned"] += len(batch) - len(live)
+                for t in batch:
+                    if t.abandoned:
+                        t.event.set()
+                if not live:
+                    continue
+                batch = live
             t_dispatch = time.perf_counter()
             try:
                 images = np.stack([t.image for t in batch])

@@ -60,6 +60,16 @@ class PreemptionGuard:
             "train state for resume", signal.Signals(signum).name,
         )
         self._event.set()
+        # One latch only: restore the previous handlers so a SECOND signal
+        # behaves normally (KeyboardInterrupt / default termination). The
+        # flag is polled between steps — if the process is hung anywhere
+        # else (data loader, wedged device call), a repeat Ctrl+C must
+        # still be able to kill it rather than requiring SIGKILL.
+        if self._installed:
+            for s, prev in self._prev.items():
+                signal.signal(s, prev)
+            self._prev.clear()
+            self._installed = False
 
     # -- API ------------------------------------------------------------
 

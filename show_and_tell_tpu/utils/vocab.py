@@ -121,17 +121,29 @@ class Vocabulary:
         with open(path, "rb") as f:
             obj = _AnyClassUnpickler(f, encoding="latin1").load()
 
-        if isinstance(obj, dict) and "word2idx" not in obj:
-            word2idx = {_s(k): int(v) for k, v in obj.items()}
-        else:
-            d = obj if isinstance(obj, dict) else getattr(obj, "__dict__", {})
-            raw = d.get("word2idx") or d.get(b"word2idx")
-            if raw is None:
-                raise ValueError(
-                    f"{path!r} does not look like a reference vocab.pkl: "
-                    "no word2idx attribute and not a word->index dict"
-                )
+        # dispatch: an object (or dict) carrying word2idx — str OR bytes
+        # key (py2-str payloads pickle attribute names as bytes) — else a
+        # bare {word: idx} fork variant
+        d = obj if isinstance(obj, dict) else getattr(obj, "__dict__", {})
+        raw = d.get("word2idx")
+        if not isinstance(raw, dict):
+            raw = d.get(b"word2idx")
+        if not isinstance(raw, dict):
+            raw = obj if isinstance(obj, dict) else None
+        if raw is None:
+            raise ValueError(
+                f"{path!r} does not look like a reference vocab.pkl: "
+                "no word2idx attribute and not a word->index dict"
+            )
+        if not raw:
+            raise ValueError(f"{path!r}: empty vocabulary (no entries)")
+        try:
             word2idx = {_s(k): int(v) for k, v in raw.items()}
+        except (TypeError, ValueError) as e:
+            raise ValueError(
+                f"{path!r} does not look like a reference vocab.pkl: "
+                f"values are not integer indices ({e})"
+            ) from None
 
         by_index = sorted(word2idx.items(), key=lambda kv: kv[1])
         indices = [i for _, i in by_index]

@@ -13,14 +13,16 @@ from benchmarks.spice_parser_eval import evaluate as spice_parser_eval
 
 def test_spice_parser_golden_bounds():
     r = spice_parser_eval()
-    # fixed corpus: 105 hand-labeled captions, 384 gold tuples (the corpus
+    # fixed corpus: 108 hand-labeled captions, 396 gold tuples (the corpus
     # grows with regressions found in review — 'amid'/'front seat'/copula
-    # re-anchoring cases added after the round-3 code reviews)
-    assert r["overall"]["n"] == 105
-    assert r["overall"]["gold"] == 384
-    assert r["easy"]["n"] == 40 and r["medium"]["n"] == 40 and r["hard"]["n"] == 25
-    # measured 2026-08-17 (round 3): easy 1.0 / medium 0.9515 / hard 0.9091,
-    # overall P 0.9582 R 0.9557. Floors sit just under the measurement so
+    # re-anchoring cases added after the round-3 code reviews; relativizer-
+    # before-copula cases after the third review caught the re-anchor
+    # regressing relative clauses)
+    assert r["overall"]["n"] == 108
+    assert r["overall"]["gold"] == 396
+    assert r["easy"]["n"] == 40 and r["medium"]["n"] == 40 and r["hard"]["n"] == 28
+    # measured 2026-08-17 (round 3): easy 1.0 / medium 0.9515 / hard 0.9194,
+    # overall P 0.9595 R 0.9571. Floors sit just under the measurement so
     # legitimate parser work has headroom but regressions trip.
     assert r["easy"]["f1"] == 1.0
     assert r["medium"]["f1"] >= 0.93

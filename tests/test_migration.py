@@ -112,3 +112,39 @@ def test_reference_val_split_eval_metadata(tmp_path):
     assert len(ds) == 1
     batch = next(ds.iter_index_batches(batch_size=1, shuffle=False))
     assert ds.batch_meta(batch["indices"])["cocoids"] == [200]
+
+
+def test_vocab_pickle_bytes_keyed_dict_payload(tmp_path):
+    """A fork's vocab.pkl pickled as vocab.__dict__ with py2-str (bytes)
+    attribute names must load via the b'word2idx' path instead of being
+    misread as a bare word->idx map (review fix)."""
+    words = ["<pad>", "<start>", "<end>", "<unk>", "a", "dog"]
+    payload = {
+        b"word2idx": {w.encode(): i for i, w in enumerate(words)},
+        b"idx2word": {i: w.encode() for i, w in enumerate(words)},
+        b"idx": len(words),
+    }
+    pkl = str(tmp_path / "vocab_dict.pkl")
+    with open(pkl, "wb") as f:
+        pickle.dump(payload, f, 2)
+    v = Vocabulary.from_reference_pickle(pkl)
+    assert len(v) == len(words)
+    assert v("dog") == 5 and v.decode([4, 5]) == "a dog"
+
+
+def test_vocab_pickle_empty_and_junk_messages(tmp_path):
+    """Empty vocab and non-integer values get specific errors, not a
+    TypeError from deep inside the dict comprehension."""
+    import pytest
+
+    p1 = str(tmp_path / "empty.pkl")
+    with open(p1, "wb") as f:
+        pickle.dump({"word2idx": {}}, f, 2)
+    with pytest.raises(ValueError, match="empty vocabulary"):
+        Vocabulary.from_reference_pickle(p1)
+
+    p2 = str(tmp_path / "junk.pkl")
+    with open(p2, "wb") as f:
+        pickle.dump({"a": {"nested": 1}}, f, 2)
+    with pytest.raises(ValueError, match="not integer indices"):
+        Vocabulary.from_reference_pickle(p2)

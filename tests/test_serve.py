@@ -203,9 +203,16 @@ def test_captioner_sample_mode():
     cap.temperature = 1.5
     caps1 = cap.caption_images(images, mode="sample")
     assert len(caps1) == 4
-    # deterministic given the same key state
-    caps2 = cap.caption_images(images, mode="sample")
-    assert caps1 == caps2
+    # the rng counter advances per request (review fix: a serving endpoint
+    # must not return the identical "sample" forever) ...
+    assert cap._sample_count == 4
+    cap.caption_images(images, mode="sample")
+    assert cap._sample_count == 8
+    # ... while a fresh Captioner with the same seed reproduces the same
+    # sequence (deterministic given the same key state)
+    cap_b = Captioner.from_checkpoint(cfg, None, _vocab(), bucket_sizes=(4,))
+    cap_b.temperature = 1.5
+    assert cap_b.caption_images(images, mode="sample") == caps1
     # top_k=1 collapses to greedy
     cap.top_k = 1
     cap._fns.clear()
@@ -221,10 +228,11 @@ def test_captioner_sample_mode():
 
 
 def test_caption_paths_sample_keys_unique_across_chunks(tmp_path):
-    """caption_paths chunks by max bucket; in sample mode each chunk must
-    fold a GLOBAL image index into the rng (review fix) — so the chunked
-    path reproduces exactly what one caption_images call over all images
-    would sample, instead of re-using the chunk-0 keys per chunk."""
+    """caption_paths chunks by max bucket; in sample mode the running
+    _sample_count counter gives each chunk fresh GLOBAL keys (review fix) —
+    so the chunked path reproduces exactly what one caption_images call
+    over all images would sample (from the same counter state), instead of
+    re-using the chunk-0 keys per chunk."""
     from PIL import Image
 
     cfg = Config(
@@ -239,9 +247,17 @@ def test_caption_paths_sample_keys_unique_across_chunks(tmp_path):
         p = str(tmp_path / f"img{i}.png")
         Image.fromarray(arr).save(p)
         paths.append(p)
-    whole = cap.caption_images(images, mode="sample")  # offsets 0 and 2
-    chunked = cap.caption_paths(paths, mode="sample")  # 2 chunks of 2
+    whole = cap.caption_images(images, mode="sample")  # counter 0 -> 4
+    # fresh captioner at counter 0: the chunked path must equal the whole
+    # call, NOT repeat chunk-0 keys per chunk
+    cap2 = Captioner.from_checkpoint(cfg, None, _vocab(), bucket_sizes=(2,))
+    cap2.temperature = 2.0
+    chunked = cap2.caption_paths(paths, mode="sample")  # 2 chunks of 2
     assert chunked == whole
+    assert cap2._sample_count == 4
+    # and successive logical requests on ONE captioner use fresh keys
+    # (counter advanced), not a replay of the first call's keys
+    assert cap._sample_count == 4
 
 
 def test_attention_sheet_rendering(tmp_path):

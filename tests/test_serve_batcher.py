@@ -164,3 +164,57 @@ def test_http_concurrent_requests_coalesce(captioner):
         srv.shutdown()
         srv.server_close()
         thread.join(timeout=10)
+
+
+def test_queue_full_backpressure(captioner):
+    """Past max_queue, submit() sheds load with QueueFull instead of
+    growing the queue unboundedly (review fix)."""
+    from show_and_tell_tpu.serve import QueueFull
+
+    b = DynamicBatcher(captioner, autostart=False, max_queue=2)
+    imgs = _images(3, seed=3)
+    t0, t1 = b.submit(imgs[0]), b.submit(imgs[1])
+    with pytest.raises(QueueFull, match="queue full"):
+        b.submit(imgs[2])
+    assert b.stats()["rejected"] == 1
+    b.start()
+    for t in (t0, t1):
+        t.result(timeout=120.0)
+    assert b.stats()["requests"] == 2
+    b.close()
+
+
+def test_abandoned_tickets_not_dispatched(captioner):
+    """A ticket whose client timed out is dropped by the worker, not
+    captioned into the void (review fix)."""
+    b = DynamicBatcher(captioner, autostart=False, max_delay_ms=5.0)
+    imgs = _images(3, seed=4)
+    tickets = [b.submit(imgs[i]) for i in range(3)]
+    with pytest.raises(TimeoutError):
+        tickets[1].result(timeout=0.01)  # client gives up -> abandoned
+    assert tickets[1].abandoned
+    b.start()
+    got0 = tickets[0].result(timeout=120.0)
+    got2 = tickets[2].result(timeout=120.0)
+    assert got0 == captioner.caption_images(imgs[:1])[0]
+    assert got2 == captioner.caption_images(imgs[2:])[0]
+    s = b.stats()
+    assert s["abandoned"] == 1
+    assert s["batch_size_sum"] == 2  # only the live tickets hit the device
+    b.close()
+
+
+def test_mean_queue_wait_is_per_request(captioner):
+    """stats() mean wait divides by requests dispatched, not batches
+    (review fix: dividing by batches overstated by the batch size)."""
+    b = DynamicBatcher(captioner, max_delay_ms=50.0, autostart=False)
+    imgs = _images(4, seed=5)
+    tickets = [b.submit(imgs[i]) for i in range(4)]
+    b.start()
+    for t in tickets:
+        t.result(timeout=120.0)
+    s = b.stats()
+    assert s["batches"] == 1 and s["batch_size_sum"] == 4
+    want = round(s["queue_wait_s_sum"] / 4 * 1e3, 2)
+    assert s["mean_queue_wait_ms"] == want
+    b.close()

@@ -95,3 +95,58 @@ def test_error_contracts(server):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _post(f"{server}/nope", _png_bytes())
     assert ei.value.code == 404
+
+
+def test_overload_maps_to_429(server):
+    """A full batcher queue surfaces as HTTP 429, not a dropped connection
+    (review fix). Uses a dedicated server whose queue holds nothing."""
+    cfg = Config(
+        embed_size=16, hidden_size=24, crop_size=32, max_decode_len=4,
+        beam_size=2,
+    )
+    vocab = Vocabulary.from_words(["a", "dog", "runs", "sits"])
+    srv = make_server(
+        cfg, vocab, host="127.0.0.1", port=0, batch_max_queue=0
+    )
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(f"{url}/caption", _png_bytes())
+        assert ei.value.code == 429
+        # batch endpoint: nothing succeeded -> whole request is 429 too
+        items = [base64.b64encode(_png_bytes(0)).decode()]
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(f"{url}/caption_batch", json.dumps(items).encode())
+        assert ei.value.code == 429
+        assert srv.batcher.stats()["rejected"] == 2
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_bind_failure_closes_batcher():
+    """A failed bind must not leak a running batcher worker (review fix)."""
+    import socket
+
+    cfg = Config(
+        embed_size=16, hidden_size=24, crop_size=32, max_decode_len=4,
+        beam_size=2,
+    )
+    vocab = Vocabulary.from_words(["a", "dog", "runs", "sits"])
+    hog = socket.socket()
+    hog.bind(("127.0.0.1", 0))
+    hog.listen(1)
+    port = hog.getsockname()[1]
+    before = set(threading.enumerate())  # other fixtures' workers excluded
+    try:
+        with pytest.raises(OSError):
+            make_server(cfg, vocab, host="127.0.0.1", port=port)
+        leaked = [
+            th for th in threading.enumerate()
+            if th.name == "caption-batcher" and th not in before
+        ]
+        assert leaked == []  # the autostarted worker was closed, not leaked
+    finally:
+        hog.close()

@@ -130,12 +130,19 @@ def test_preemption_guard_signal_latch_and_restore():
     from show_and_tell_tpu.train.preempt import PreemptionGuard
 
     prev = signal.getsignal(signal.SIGTERM)
+    prev_int = signal.getsignal(signal.SIGINT)
     g = PreemptionGuard()
     with g:
         assert not g.triggered
         os.kill(os.getpid(), signal.SIGTERM)  # latched, not fatal
         assert g.triggered
+        # one latch only (review fix): the FIRST signal restores the
+        # previous handlers, so a second Ctrl+C/SIGTERM while the process
+        # is hung outside the step loop kills it instead of being swallowed
+        assert signal.getsignal(signal.SIGTERM) is prev
+        assert signal.getsignal(signal.SIGINT) is prev_int
     assert signal.getsignal(signal.SIGTERM) is prev
+    assert signal.getsignal(signal.SIGINT) is prev_int
 
 
 class _KillAfter:
