@@ -60,10 +60,65 @@ COPULAS = frozenset("is are was were be been being 's am".split())
 CONJUNCTIONS = frozenset("and or".split())
 SKIP = frozenset(
     """there it he she they i you we who which that as while when where
-    very really quite just also not n't up out about""".split()
+    very really quite just also not n't up out about than""".split()
 )
+# "than" is comparative syntax, not scene content: "a cake larger THAN a
+# plate" -> (cake, larger) + separate plate object, no relation tuple
 
 Tuple3 = Tuple[str, ...]
+
+# post-nominal adjectives ("a bowl FULL of oranges", "a cake LARGER than a
+# plate"): a closed list so _flush_np never mistakes one for the NP head —
+# comparatives and quantity adjectives are the forms captions put after the
+# noun
+POST_ADJS = frozenset(
+    """full empty half larger smaller bigger taller longer shorter higher
+    lower older younger wider deeper darker lighter brighter""".split()
+)
+
+# nouns that cannot be the agent of a verb relation (body parts, clothing,
+# accessories): "a man with a BEARD holding a phone" — the gerund's subject
+# re-anchors past these to the possessor ("a man"), matching the reading a
+# dependency parse + animacy would give. Closed caption-domain list.
+NON_AGENT = frozenset(
+    """beard mustache moustache hair hat cap helmet shirt tshirt jacket
+    coat dress skirt tie suit uniform glasses sunglasses scarf glove
+    gloves backpack purse watch necklace bracelet outfit jersey vest
+    sweater hoodie jeans pants shorts shoes boots sneakers""".split()
+)
+
+# location nouns: a passive "by" phrase whose object is one of these is
+# LOCATIVE, not agentive ("a picture hung BY THE WINDOW" -> (picture, by,
+# window), not (window, hang, picture)); and a "with" after a locative on
+# one of these re-anchors to the clause subject ("a dog running on the
+# beach WITH a ball" -> the dog has the ball, not the beach)
+PLACE_NOUNS = frozenset(
+    """beach street field park grass road sidewalk water ocean sea lake
+    river pool sky ground floor wall window door fence tree building
+    mountain hill shore curb corner roof ceiling kitchen bathroom bedroom
+    room station market harbor dock bridge background foreground""".split()
+)
+
+# container nouns: "a PLATE of food on a table" — a locative after the
+# "of" object re-anchors to the container (the plate is on the table);
+# group/photo heads keep the of-object ("a group of people AROUND a
+# table", "a photo of a man ON a horse")
+CONTAINER_NOUNS = frozenset(
+    """plate bowl vase cup glass basket box bottle pot pan tray jar bag
+    mug bucket pitcher crate carton""".split()
+)
+
+# photographic-framing participles: describe how the image was taken, not
+# the scene ("a man SEEN through a window") — never emitted as attributes
+FRAMING_PARTICIPLES = frozenset(
+    "seen shown pictured photographed displayed featured".split()
+)
+# aspectual verbs before an infinitive carry no scene content of their own
+# ("a man TRYING to catch a ball" -> (man, catch, ball) only)
+ASPECTUAL_VERBS = frozenset(
+    """trying tries attempting attempts preparing starting beginning
+    getting going""".split()
+)
 
 
 def _norm(word: str) -> str:
@@ -87,8 +142,12 @@ def _flush_np(words: List[str]) -> _NP | None:
     content = [w for w in content if w not in SKIP]
     if not content:
         return None
+    # post-nominal adjectives are attributes, never the head ("a bowl full")
+    post: List[str] = []
+    while len(content) >= 2 and content[-1] in POST_ADJS:
+        post.append(content.pop())
     head = content[-1]
-    attrs = content[:-1]
+    attrs = content[:-1] + post
     return _NP(head, attrs)
 
 
@@ -126,6 +185,17 @@ _COMPOUND_PREPS = (
     # "a close up of a plate" parses as the plate NP
     (("close", "up", "of"), None),
     (("close", "of"), None),  # after PTB 'up' stripping variants
+    # partitives whose head is the downstream noun: "ONE OF THE zebras is
+    # drinking" -> the zebra drinks; "A PAIR OF scissors" is lexically
+    # scissors
+    (("one", "of", "the"), None),
+    (("two", "of", "the"), None),
+    (("some", "of", "the"), None),
+    (("a", "pair", "of"), None),
+    (("a", "couple", "of"), None),
+    # "cut IN HALF" is a state of the cut object, not a location: drop the
+    # phrase so a following locative attaches to the object itself
+    (("in", "half"), None),
 )
 
 # irregular past participles (no -ing/-ed surface marker) -> base verb, so
@@ -211,6 +281,59 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
     # NP just closed ("a mat THAT is torn" -> (mat, torn)), overriding the
     # locative re-anchor below
     rel_before_copula = False
+    # "not" before a verb/preposition negates the VP: the verb and the
+    # relation are suppressed, the NPs survive as objects ("a cat NOT
+    # sitting on the mat" -> cat, mat, no (cat, sit)/(cat, on, mat))
+    negate_vp = False
+    # (subj NP, rel word, obj NP) of the last completed ACTIVE relation —
+    # the anchor for coordination: "a man holding a drink AND wearing a
+    # hat" re-anchors the post-conj verb to the subject; "wearing a dress
+    # AND a hat" distributes the relation over the coordinated object
+    last_rel3: tuple | None = None
+    last_rel3_slot = "obj"
+    # coordinated-object candidates deferred to end of stream: (subj NP,
+    # rel word, obj NP). Cancelled if the object later starts its own
+    # relation ("...and a woman ON a chair" is a new clause, not a
+    # distributed object).
+    dist_pending: List[tuple] = []
+    # NP -> coordinated-partner NPs: "DOGS AND CATS sitting on a couch" —
+    # relations/verb attributes whose subject is `cats` mirror onto `dogs`
+    coord_partner: Dict[int, List["_NP"]] = {}
+    # the NP closed at the last conjunction with no relation of its own —
+    # the candidate left-hand side of a subject coordination
+    conj_prev: "_NP" | None = None
+    # (subj NP, obj NP) of the last completed "of" relation: a locative
+    # after the object re-anchors to a CONTAINER subject ("a plate of food
+    # ON a table" -> the plate is on the table)
+    last_of_rel = None
+
+    def add_subj_tuple(subj_np: "_NP", *rest: str) -> None:
+        """Emit a tuple for subj_np and mirror it onto coordinated
+        partners ("dogs and cats SITTING" -> both sit)."""
+        tuples.add((_norm(subj_np.head),) + rest)
+        for p in coord_partner.get(id(subj_np), []):
+            tuples.add((_norm(p.head),) + rest)
+
+    def _attr_ok(v: str) -> bool:
+        return (
+            v not in FRAMING_PARTICIPLES and v not in ASPECTUAL_VERBS
+        )
+
+    def agent_subject(np_: "_NP") -> "_NP":
+        """Non-agent heads (clothing/body parts) pass verb agency to the
+        possessor: 'a man with a BEARD holding a phone' -> man holds."""
+        if (
+            np_.head in NON_AGENT
+            and last_loc_rel is not None
+            and np_ is last_loc_rel[1]
+        ):
+            return last_loc_rel[0]
+        return np_
+
+    def cancel_dist(np_: "_NP") -> None:
+        """np_ became the subject of its own relation: it was a new clause
+        subject, not a distributed object."""
+        dist_pending[:] = [d for d in dist_pending if d[2] is not np_]
 
     def content_count(ws: List[str]) -> int:
         return len(
@@ -227,7 +350,9 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
         ``defer_verbs`` the stripped trailing verbs are RETURNED instead of
         emitted as attributes — the 'by'-passive caller turns them into the
         inverted relation's verb."""
-        nonlocal cur, last_np, pending_rel, rel_subj, after_conj, last_loc_rel
+        nonlocal cur, last_np, pending_rel, rel_subj, after_conj, \
+            last_loc_rel, last_rel3, last_rel3_slot, conj_prev, last_of_rel
+        entry_conj = after_conj
         after_conj = False
         words = list(cur)
         cur = []
@@ -279,14 +404,19 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
             if subj_np is not None and obj_np is not None:
                 nps.append(subj_np)
                 nps.append(obj_np)
+                # subject coordination: "a man and A WOMAN HOLDING HANDS"
+                # -> the split subject mirrors onto the pre-conj NP
+                if entry_conj and conj_prev is not None:
+                    coord_partner[id(subj_np)] = [conj_prev] + \
+                        coord_partner.get(id(conj_prev), [])
+                    conj_prev = None
                 for v in subj_verbs:
-                    tuples.add((_norm(subj_np.head), _norm(v)))
-                base = PARTICIPLE_BASE.get(verb, verb)
-                tuples.add(
-                    (_norm(subj_np.head), _norm(base), _norm(obj_np.head))
-                )
+                    if _attr_ok(v):
+                        add_subj_tuple(subj_np, _norm(v))
                 # a pending relation ("a man WITH a dog chasing birds")
-                # completes with the SUBJECT of the split
+                # completes with the SUBJECT of the split — FIRST, so the
+                # agent re-anchor below can see the locative it creates
+                # ("a woman in a HAT drinking coffee" -> woman drinks)
                 if pending_rel is not None and rel_subj is not None:
                     if isinstance(pending_rel, tuple):  # passive
                         pv = PARTICIPLE_BASE.get(pending_rel[1], pending_rel[1])
@@ -294,11 +424,18 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                             (_norm(subj_np.head), _norm(pv), _norm(rel_subj.head))
                         )
                     else:
-                        tuples.add(
-                            (_norm(rel_subj.head), _norm(pending_rel), _norm(subj_np.head))
+                        add_subj_tuple(
+                            rel_subj, _norm(pending_rel), _norm(subj_np.head)
                         )
                         if pending_rel in PREPOSITIONS and pending_rel != "of":
                             last_loc_rel = (rel_subj, subj_np)
+                        if pending_rel == "of":
+                            last_of_rel = (rel_subj, subj_np)
+                base = PARTICIPLE_BASE.get(verb, verb)
+                agent = agent_subject(subj_np)
+                add_subj_tuple(agent, _norm(base), _norm(obj_np.head))
+                last_rel3 = (agent, base, obj_np)
+                last_rel3_slot = "obj"
                 pending_rel = None
                 rel_subj = None
                 last_np = obj_np
@@ -310,33 +447,89 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
 
         np_ = _flush_np(words)
         if np_ is None:
-            # segment was all verbs/adjectives: attach to the previous NP
-            if last_np is not None and not defer_verbs:
+            # segment was all verbs/adjectives: attach to the previous NP.
+            # After a conjunction the verbs belong to the CLAUSE SUBJECT,
+            # not the object just closed: "a man sitting on a bench AND
+            # LOOKING at the sky" -> (man, look); last_np moves back to the
+            # subject so a following preposition relates it too.
+            anchor = last_np
+            if (
+                entry_conj
+                and last_rel3 is not None
+                and last_np is (
+                    last_rel3[2] if last_rel3_slot == "obj" else last_rel3[0]
+                )
+            ):
+                anchor = last_rel3[0]
+                last_np = anchor
+            if anchor is not None and not defer_verbs:
                 for v in trailing_verbs:
-                    tuples.add((_norm(last_np.head), _norm(v)))
+                    if _attr_ok(v):
+                        add_subj_tuple(anchor, _norm(v))
                 return []
             return trailing_verbs
         nps.append(np_)
         if pending_rel is not None and rel_subj is not None:
             if isinstance(pending_rel, tuple):  # ("__passive__", verb)
-                # "X VERBED by Y" -> (Y, base-verb, X): same tuple the
-                # active phrasing produces, so passive/active captions align
                 verb = pending_rel[1]
-                verb = PARTICIPLE_BASE.get(verb, verb)
-                tuples.add((_norm(np_.head), _norm(verb), _norm(rel_subj.head)))
+                if np_.head in PLACE_NOUNS:
+                    # a location can't be the agent: "a picture hung BY
+                    # THE WINDOW" is locative -> (picture, hung) +
+                    # (picture, by, window), not (window, hang, picture)
+                    if _attr_ok(verb):
+                        add_subj_tuple(rel_subj, _norm(verb))
+                    add_subj_tuple(rel_subj, "by", _norm(np_.head))
+                    last_loc_rel = (rel_subj, np_)
+                    last_rel3 = (rel_subj, "by", np_)
+                    last_rel3_slot = "obj"
+                else:
+                    # "X VERBED by Y" -> (Y, base-verb, X): same tuple the
+                    # active phrasing produces, so passive/active captions
+                    # align
+                    verb = PARTICIPLE_BASE.get(verb, verb)
+                    tuples.add(
+                        (_norm(np_.head), _norm(verb), _norm(rel_subj.head))
+                    )
+                    last_rel3 = (np_, verb, rel_subj)
+                    last_rel3_slot = "subj"  # coordination varies the agent
             else:
-                tuples.add(
-                    (_norm(rel_subj.head), _norm(pending_rel), _norm(np_.head))
-                )
+                add_subj_tuple(rel_subj, _norm(pending_rel), _norm(np_.head))
                 if pending_rel in PREPOSITIONS and pending_rel != "of":
                     last_loc_rel = (rel_subj, np_)
+                if pending_rel == "of":
+                    last_of_rel = (rel_subj, np_)
+                last_rel3 = (rel_subj, pending_rel, np_)
+                last_rel3_slot = "obj"
+        elif (
+            entry_conj
+            and last_rel3 is not None
+            and not trailing_verbs
+            and last_np is (
+                last_rel3[2] if last_rel3_slot == "obj" else last_rel3[0]
+            )
+        ):
+            # coordinated object/agent: "wearing a dress AND A HAT" ->
+            # (woman, wear, hat). Deferred: cancelled if this NP turns out
+            # to start its own clause ("...and a woman ON a chair").
+            if last_rel3_slot == "obj":
+                dist_pending.append((last_rel3[0], last_rel3[1], np_, np_))
+            else:
+                dist_pending.append((np_, last_rel3[1], last_rel3[2], np_))
+        elif entry_conj and conj_prev is not None:
+            # subject coordination: "DOGS AND CATS sitting on a couch" —
+            # later relations/verb attributes on this NP mirror onto the
+            # pre-conjunction NP
+            coord_partner[id(np_)] = [conj_prev] + \
+                coord_partner.get(id(conj_prev), [])
+            conj_prev = None
         pending_rel = None
         rel_subj = None
         last_np = np_
         if defer_verbs:
             return trailing_verbs
         for v in trailing_verbs:
-            tuples.add((_norm(np_.head), _norm(v)))
+            if _attr_ok(v):
+                add_subj_tuple(np_, _norm(v))
         return []
 
     def lone_content_segment() -> bool:
@@ -354,9 +547,13 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
         non-verb content is a bare-object relation ("is drinking water"
         after 'the zebra': (zebra, drink, water), extra leading verbs stay
         attributes); otherwise every content token is an attribute."""
-        nonlocal cur
+        nonlocal cur, last_rel3, last_rel3_slot
         words = [c for c in cur if c not in SKIP]
         cur = []
+        # verbs anchor to the agent-capable subject ("a man in a HAT
+        # drinking coffee" -> man drinks); plain attributes stay with the
+        # nearest NP
+        anchor = agent_subject(last_np)
         k = 0
         while k < len(words) and _is_verbish(words[k]):
             k += 1
@@ -365,17 +562,34 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
             if obj is not None:
                 nps.append(obj)
                 for v in words[: k - 1]:
-                    tuples.add((_norm(last_np.head), _norm(PARTICIPLE_BASE.get(v, v))))
+                    if _attr_ok(v):
+                        add_subj_tuple(anchor, _norm(PARTICIPLE_BASE.get(v, v)))
                 base = PARTICIPLE_BASE.get(words[k - 1], words[k - 1])
-                tuples.add((_norm(last_np.head), _norm(base), _norm(obj.head)))
+                add_subj_tuple(anchor, _norm(base), _norm(obj.head))
+                last_rel3 = (anchor, base, obj)
+                last_rel3_slot = "obj"
                 return
         for c in words:
-            tuples.add((_norm(last_np.head), _norm(c)))
+            if not _attr_ok(c):
+                continue
+            target = anchor if _is_verbish(c) else last_np
+            add_subj_tuple(target, _norm(c))
 
     for ti, w in enumerate(toks):
         nxt = toks[ti + 1] if ti + 1 < len(toks) else None
         if w == "to" and nxt is not None and _is_verbish(nxt):
             continue  # infinitive marker ("trying TO catch"), not a prep
+        if w in ("not", "n't"):
+            if nxt is not None and (_is_verbish(nxt) or nxt in PREPOSITIONS):
+                negate_vp = True
+            continue
+        if negate_vp and _is_verbish(w) and w not in ING_NOUNS:
+            # the negated verb itself: dropped; a det-less object after it
+            # still becomes its own NP (after_conj forces independence)
+            if cur:
+                close_np()
+            after_conj = True
+            continue
         if w == "that" and nxt is not None and (
             _is_verbish(nxt) or nxt in COPULAS
         ):
@@ -391,8 +605,17 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
             if last_np is not None:
                 pending_rel = "have"
                 rel_subj = last_np
+                cancel_dist(last_np)
             continue
         if w in PREPOSITIONS:
+            if negate_vp:
+                # negated relation: close the segment, emit no tuple; the
+                # prep's object becomes a standalone NP
+                negate_vp = False
+                if cur:
+                    close_np()
+                after_conj = True
+                continue
             if lone_content_segment() and pending_rel is None:
                 # "dogs RUNNING on the beach": gerund/adjective segment ->
                 # attributes of the previous NP; the preposition then
@@ -426,6 +649,25 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
             if last_np is not None:
                 pending_rel = w
                 rel_subj = last_np
+                cancel_dist(last_np)
+                if (
+                    w == "with"
+                    and last_loc_rel is not None
+                    and last_np is last_loc_rel[1]
+                    and last_np.head in PLACE_NOUNS
+                ):
+                    # "a dog running on the beach WITH a ball": the dog
+                    # has the ball, not the beach
+                    rel_subj = last_loc_rel[0]
+                elif (
+                    w != "of"
+                    and last_of_rel is not None
+                    and last_np is last_of_rel[1]
+                    and last_of_rel[0].head in CONTAINER_NOUNS
+                ):
+                    # "a PLATE of food ON a table": the container carries
+                    # the locative (photo/group heads keep the of-object)
+                    rel_subj = last_of_rel[0]
         elif w in COPULAS:
             close_np()
             if (
@@ -460,16 +702,61 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
             pending_rel = None
             rel_subj = None
             after_conj = True
+            # a relation-less NP before "and" is a coordination candidate:
+            # a later clause on the right-hand NP mirrors onto it
+            conj_prev = None
+            if last_np is not None and (
+                last_rel3 is None
+                or (
+                    last_np is not last_rel3[2]
+                    and last_np is not last_rel3[0]
+                )
+            ):
+                conj_prev = last_np
         elif w in DETERMINERS and w not in NUMBERS:
             if cur:
-                content = [t for t in cur if t not in SKIP]
-                if len(content) == 1 and lone_content_segment() and pending_rel is None:
+                # content words only: determiners never count, or
+                # back-to-back NPs ("a man , a baseball player ," after
+                # punctuation stripping) hit the subject-split below and
+                # the first NP is silently dropped
+                content = [
+                    t for t in cur
+                    if (t not in DETERMINERS or t in NUMBERS) and t not in SKIP
+                ]
+                if (
+                    len(content) == 1
+                    and pending_rel is None
+                    and (
+                        lone_content_segment()
+                        or (
+                            after_conj
+                            and _is_verbish(content[0])
+                            and last_np is not None
+                        )
+                    )
+                ):
                     # "...shirt HOLDING an umbrella": lone verb segment —
-                    # relation from the previous NP, not a new object
+                    # relation from the previous NP, not a new object.
+                    # After a conjunction the verb re-anchors to the clause
+                    # subject ("holding a drink AND WEARING a hat" -> the
+                    # man wears, not the drink); NON_AGENT heads pass
+                    # agency to their possessor either way.
+                    subj = last_np
+                    if (
+                        after_conj
+                        and last_rel3 is not None
+                        and last_np is (
+                            last_rel3[2] if last_rel3_slot == "obj"
+                            else last_rel3[0]
+                        )
+                    ):
+                        subj = last_rel3[0]
                     pending_rel = content[0]
-                    rel_subj = last_np
+                    rel_subj = agent_subject(subj)
+                    cancel_dist(rel_subj)
+                    after_conj = False
                     cur = []
-                elif len(content) >= 2:
+                elif len(content) >= 2 and _is_verbish(cur[-1]):
                     # "a man rides A horse" -> cur == [a, man, rides]:
                     # final word is the verb, the rest the subject NP;
                     # extra trailing verbs on the subject ("a man trying
@@ -487,13 +774,33 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                     np_ = _flush_np(subj_words)
                     if np_ is not None:
                         nps.append(np_)
+                        if after_conj and conj_prev is not None:
+                            # "a man and A WOMAN HOLDING an umbrella"
+                            coord_partner[id(np_)] = [conj_prev] + \
+                                coord_partner.get(id(conj_prev), [])
+                            conj_prev = None
+                        after_conj = False
                         for v in subj_verbs:
-                            tuples.add(
-                                (_norm(np_.head), _norm(PARTICIPLE_BASE.get(v, v)))
+                            if _attr_ok(v):
+                                add_subj_tuple(
+                                    np_, _norm(PARTICIPLE_BASE.get(v, v))
+                                )
+                        # an open prep relation completes with this NP
+                        # ("a woman IN a red shirt holding an umbrella"):
+                        # (woman, in, shirt) must not be dropped, and the
+                        # verb's agent re-anchors past NON_AGENT heads
+                        if pending_rel is not None and rel_subj is not None \
+                                and not isinstance(pending_rel, tuple):
+                            add_subj_tuple(
+                                rel_subj, _norm(pending_rel), _norm(np_.head)
                             )
+                            if pending_rel in PREPOSITIONS and pending_rel != "of":
+                                last_loc_rel = (rel_subj, np_)
+                            if pending_rel == "of":
+                                last_of_rel = (rel_subj, np_)
                         last_np = np_
                         pending_rel = verb
-                        rel_subj = np_
+                        rel_subj = agent_subject(np_)
                 else:
                     close_np()
             cur.append(w)
@@ -503,10 +810,29 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
             cur.append(w)
 
     # end of stream: a trailing lone segment hangs off the last NP
-    # (attributes, or a bare-object relation — attach_lone_segment)
+    # (attributes, or a bare-object relation — attach_lone_segment). After
+    # a conjunction, a verb-led det-less segment is a coordinated VP whose
+    # subject is the clause subject: "a woman drinking coffee AND EATING
+    # CAKE" -> (woman, eat, cake).
+    if pending_rel is None and after_conj and cur and last_np is not None:
+        tail = [t for t in cur if content_count([t])]
+        if (
+            tail
+            and _is_verbish(tail[0])
+            and not all(_is_verbish(t) for t in tail)
+        ):
+            if last_rel3 is not None and last_np is (
+                last_rel3[2] if last_rel3_slot == "obj" else last_rel3[0]
+            ):
+                last_np = last_rel3[0]
+            after_conj = False
     if lone_content_segment() and pending_rel is None:
         attach_lone_segment()
     close_np()
+
+    # surviving coordinated-object candidates ("wearing a dress and A HAT")
+    for subj, rel, obj, _var in dist_pending:
+        add_subj_tuple(subj, _norm(rel), _norm(obj.head))
 
     for np_ in nps:
         tuples.add((_norm(np_.head),))

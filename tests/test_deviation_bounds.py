@@ -13,23 +13,26 @@ from benchmarks.spice_parser_eval import evaluate as spice_parser_eval
 
 def test_spice_parser_golden_bounds():
     r = spice_parser_eval()
-    # fixed corpus: 108 hand-labeled captions, 396 gold tuples (the corpus
+    # fixed corpus: 131 hand-labeled captions, 505 gold tuples (the corpus
     # grows with regressions found in review — 'amid'/'front seat'/copula
     # re-anchoring cases added after the round-3 code reviews; relativizer-
-    # before-copula cases after the third review caught the re-anchor
-    # regressing relative clauses)
-    assert r["overall"]["n"] == 108
-    assert r["overall"]["gold"] == 396
-    assert r["easy"]["n"] == 40 and r["medium"]["n"] == 40 and r["hard"]["n"] == 28
-    # measured 2026-08-17 (round 3): easy 1.0 / medium 0.9515 / hard 0.9194,
-    # overall P 0.9595 R 0.9571. Floors sit just under the measurement so
-    # legitimate parser work has headroom but regressions trip.
+    # before-copula cases after the third review; +23 coordination/
+    # partitive/negation/comparative cases with the session-2 parser work
+    # on VP+object+subject coordination, container attachment, locative-by
+    # passives, non-agent re-anchoring and post-nominal adjectives)
+    assert r["overall"]["n"] == 131
+    assert r["overall"]["gold"] == 505
+    assert r["easy"]["n"] == 40 and r["medium"]["n"] == 55 and r["hard"]["n"] == 36
+    # measured 2026-08-17 (round 3, session 2): easy 1.0 / medium 1.0 /
+    # hard 0.9699, overall P 0.9940 R 0.9901 F1 0.9921. Floors sit just
+    # under the measurement so legitimate parser work has headroom but
+    # regressions trip.
     assert r["easy"]["f1"] == 1.0
-    assert r["medium"]["f1"] >= 0.93
-    assert r["hard"]["f1"] >= 0.88
-    assert r["overall"]["f1"] >= 0.94
-    assert r["overall"]["precision"] >= 0.94
-    assert r["overall"]["recall"] >= 0.94
+    assert r["medium"]["f1"] >= 0.98
+    assert r["hard"]["f1"] >= 0.95
+    assert r["overall"]["f1"] >= 0.98
+    assert r["overall"]["precision"] >= 0.98
+    assert r["overall"]["recall"] >= 0.98
 
 
 def test_meteor_ablation_pinned():
