@@ -57,7 +57,7 @@ PREPOSITIONS = frozenset(
 # collapsed token derails the whole clause (golden-set finding,
 # benchmarks/spice_parser_eval — the original "front" bug)
 COPULAS = frozenset("is are was were be been being 's am".split())
-CONJUNCTIONS = frozenset("and or".split())
+CONJUNCTIONS = frozenset("and or but".split())
 SKIP = frozenset(
     """there it he she they i you we who which that as while when where
     very really quite just also not n't up out about than""".split()
@@ -113,11 +113,12 @@ CONTAINER_NOUNS = frozenset(
 FRAMING_PARTICIPLES = frozenset(
     "seen shown pictured photographed displayed featured".split()
 )
-# aspectual verbs before an infinitive carry no scene content of their own
-# ("a man TRYING to catch a ball" -> (man, catch, ball) only)
+# conative verbs carry no scene content of their own ("a man TRYING to
+# catch a ball" -> (man, catch, ball) only). Deliberately narrow: "going"/
+# "getting"/"starting" are genuine motion/activity attributes in caption
+# text ("a train GOING down the tracks" keeps (train, go))
 ASPECTUAL_VERBS = frozenset(
-    """trying tries attempting attempts preparing starting beginning
-    getting going""".split()
+    "trying tries attempting attempts".split()
 )
 
 
@@ -248,7 +249,13 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
     elements are Porter-normalized so candidate/reference graphs built by
     this same parser align on lemmas.
     """
-    toks = [t for t in caption.split() if t.isalpha() or t in COPULAS]
+    # "n't" survives the filter: PTB splits "isn't" -> "is n't" and the
+    # metric pipeline's punctuation strip does not remove it, so contracted
+    # negation must reach the negation handler below
+    toks = [
+        t for t in caption.split()
+        if t.isalpha() or t in COPULAS or t == "n't"
+    ]
     # collapse compound prepositions ("on top of" -> "on")
     out: List[str] = []
     i = 0
@@ -281,10 +288,24 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
     # NP just closed ("a mat THAT is torn" -> (mat, torn)), overriding the
     # locative re-anchor below
     rel_before_copula = False
-    # "not" before a verb/preposition negates the VP: the verb and the
-    # relation are suppressed, the NPs survive as objects ("a cat NOT
-    # sitting on the mat" -> cat, mat, no (cat, sit)/(cat, on, mat))
+    # "not"/"n't" before a verb/preposition negates the VP: the verb and
+    # its immediately-following relation are suppressed, the NPs survive
+    # as objects ("a cat NOT sitting on the mat" -> cat, mat, no
+    # (cat, sit)/(cat, on, mat)). Scope: negate_vp covers the verb itself,
+    # negate_rel the prep right after it; BOTH clear at the next clause
+    # boundary (determiner/copula/conjunction) so later verbs are
+    # unaffected ("a man not wearing a hat IS HOLDING A DOG" keeps
+    # (man, hold, dog)).
     negate_vp = False
+    negate_rel = False
+    # NPs that closed as the object of a negated VP: excluded from
+    # subject-coordination ("a cat not sitting on a MAT and a dog eating
+    # food" must not mirror the dog's relations onto the mat)
+    negated_np_ids: Set[int] = set()
+    detached = False  # next det-less segment closes as its own NP
+    # subject of the negated VP: later verbs re-anchor past the stranded
+    # object to it ("a man not wearing a hat IS HOLDING a dog" -> man holds)
+    negated_subject: "_NP | None" = None
     # (subj NP, rel word, obj NP) of the last completed ACTIVE relation —
     # the anchor for coordination: "a man holding a drink AND wearing a
     # hat" re-anchors the post-conj verb to the subject; "wearing a dress
@@ -319,6 +340,25 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
             v not in FRAMING_PARTICIPLES and v not in ASPECTUAL_VERBS
         )
 
+    def at_rel3_anchor() -> "_NP | None":
+        """The NP that coordination re-anchors FROM: the object of the
+        last active relation, or — for a passive — its agent. None when no
+        relation has completed."""
+        if last_rel3 is None:
+            return None
+        return last_rel3[2] if last_rel3_slot == "obj" else last_rel3[0]
+
+    def clause_subject(np_: "_NP | None") -> "_NP | None":
+        """The stranded object of a negated VP passes clause-subject duty
+        back to the VP's subject."""
+        if (
+            np_ is not None
+            and id(np_) in negated_np_ids
+            and negated_subject is not None
+        ):
+            return negated_subject
+        return np_
+
     def agent_subject(np_: "_NP") -> "_NP":
         """Non-agent heads (clothing/body parts) pass verb agency to the
         possessor: 'a man with a BEARD holding a phone' -> man holds."""
@@ -332,8 +372,10 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
 
     def cancel_dist(np_: "_NP") -> None:
         """np_ became the subject of its own relation: it was a new clause
-        subject, not a distributed object."""
-        dist_pending[:] = [d for d in dist_pending if d[2] is not np_]
+        subject, not a distributed object/agent. Filter on the VARIED slot
+        (d[3]) — for passive-agent candidates the varied NP sits in the
+        subject position, not d[2]."""
+        dist_pending[:] = [d for d in dist_pending if d[3] is not np_]
 
     def content_count(ws: List[str]) -> int:
         return len(
@@ -351,9 +393,12 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
         emitted as attributes — the 'by'-passive caller turns them into the
         inverted relation's verb."""
         nonlocal cur, last_np, pending_rel, rel_subj, after_conj, \
-            last_loc_rel, last_rel3, last_rel3_slot, conj_prev, last_of_rel
+            last_loc_rel, last_rel3, last_rel3_slot, conj_prev, \
+            last_of_rel, detached
         entry_conj = after_conj
         after_conj = False
+        entry_detached = detached
+        detached = False
         words = list(cur)
         cur = []
 
@@ -404,6 +449,11 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
             if subj_np is not None and obj_np is not None:
                 nps.append(subj_np)
                 nps.append(obj_np)
+                if entry_detached:
+                    # stranded object of a negated VP: it is not the agent
+                    # of the following verb ("a man not wearing a HAT
+                    # carrying a bag" -> the man carries)
+                    negated_np_ids.add(id(subj_np))
                 # subject coordination: "a man and A WOMAN HOLDING HANDS"
                 # -> the split subject mirrors onto the pre-conj NP
                 if entry_conj and conj_prev is not None:
@@ -432,7 +482,7 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                         if pending_rel == "of":
                             last_of_rel = (rel_subj, subj_np)
                 base = PARTICIPLE_BASE.get(verb, verb)
-                agent = agent_subject(subj_np)
+                agent = agent_subject(clause_subject(subj_np))
                 add_subj_tuple(agent, _norm(base), _norm(obj_np.head))
                 last_rel3 = (agent, base, obj_np)
                 last_rel3_slot = "obj"
@@ -442,7 +492,8 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                 if defer_verbs:
                     return trailing_verbs
                 for v in trailing_verbs:
-                    tuples.add((_norm(obj_np.head), _norm(v)))
+                    if _attr_ok(v):
+                        add_subj_tuple(obj_np, _norm(v))
                 return []
 
         np_ = _flush_np(words)
@@ -455,10 +506,8 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
             anchor = last_np
             if (
                 entry_conj
-                and last_rel3 is not None
-                and last_np is (
-                    last_rel3[2] if last_rel3_slot == "obj" else last_rel3[0]
-                )
+                and last_np is not None
+                and last_np is at_rel3_anchor()
             ):
                 anchor = last_rel3[0]
                 last_np = anchor
@@ -469,15 +518,22 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                 return []
             return trailing_verbs
         nps.append(np_)
+        if entry_detached:
+            negated_np_ids.add(id(np_))
         if pending_rel is not None and rel_subj is not None:
             if isinstance(pending_rel, tuple):  # ("__passive__", verb)
                 verb = pending_rel[1]
                 if np_.head in PLACE_NOUNS:
                     # a location can't be the agent: "a picture hung BY
-                    # THE WINDOW" is locative -> (picture, hung) +
-                    # (picture, by, window), not (window, hang, picture)
+                    # THE WINDOW" is locative -> (picture, hang) +
+                    # (picture, by, window), not (window, hang, picture).
+                    # The attribute uses the PARTICIPLE_BASE form so it
+                    # aligns with active phrasings ("a picture HANGING by
+                    # the window" stems to the same 'hang')
                     if _attr_ok(verb):
-                        add_subj_tuple(rel_subj, _norm(verb))
+                        add_subj_tuple(
+                            rel_subj, _norm(PARTICIPLE_BASE.get(verb, verb))
+                        )
                     add_subj_tuple(rel_subj, "by", _norm(np_.head))
                     last_loc_rel = (rel_subj, np_)
                     last_rel3 = (rel_subj, "by", np_)
@@ -502,11 +558,10 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                 last_rel3_slot = "obj"
         elif (
             entry_conj
+            and not entry_detached
             and last_rel3 is not None
             and not trailing_verbs
-            and last_np is (
-                last_rel3[2] if last_rel3_slot == "obj" else last_rel3[0]
-            )
+            and last_np is at_rel3_anchor()
         ):
             # coordinated object/agent: "wearing a dress AND A HAT" ->
             # (woman, wear, hat). Deferred: cancelled if this NP turns out
@@ -515,7 +570,7 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                 dist_pending.append((last_rel3[0], last_rel3[1], np_, np_))
             else:
                 dist_pending.append((np_, last_rel3[1], last_rel3[2], np_))
-        elif entry_conj and conj_prev is not None:
+        elif entry_conj and not entry_detached and conj_prev is not None:
             # subject coordination: "DOGS AND CATS sitting on a couch" —
             # later relations/verb attributes on this NP mirror onto the
             # pre-conjunction NP
@@ -538,6 +593,7 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
         return (
             bool(cur)
             and not after_conj
+            and not detached
             and last_np is not None
             and not any(c in DETERMINERS and c not in NUMBERS for c in cur)
         )
@@ -553,7 +609,7 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
         # verbs anchor to the agent-capable subject ("a man in a HAT
         # drinking coffee" -> man drinks); plain attributes stay with the
         # nearest NP
-        anchor = agent_subject(last_np)
+        anchor = agent_subject(clause_subject(last_np))
         k = 0
         while k < len(words) and _is_verbish(words[k]):
             k += 1
@@ -582,13 +638,21 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
         if w in ("not", "n't"):
             if nxt is not None and (_is_verbish(nxt) or nxt in PREPOSITIONS):
                 negate_vp = True
+                # "does n't wear" / "is n't wearing": the auxiliary before
+                # the negation carries no scene content either
+                if cur and cur[-1] in ("does", "do", "did"):
+                    cur.pop()
             continue
-        if negate_vp and _is_verbish(w) and w not in ING_NOUNS:
-            # the negated verb itself: dropped; a det-less object after it
-            # still becomes its own NP (after_conj forces independence)
+        if negate_vp and _is_verbish(w):
+            # the negated verb itself: dropped; its immediately-following
+            # preposition is suppressed too (negate_rel); a det-less object
+            # after it still becomes its own NP (detached)
             if cur:
                 close_np()
-            after_conj = True
+            negate_vp = False
+            negate_rel = True
+            detached = True
+            negated_subject = last_np
             continue
         if w == "that" and nxt is not None and (
             _is_verbish(nxt) or nxt in COPULAS
@@ -608,13 +672,16 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                 cancel_dist(last_np)
             continue
         if w in PREPOSITIONS:
-            if negate_vp:
+            if negate_vp or negate_rel:
                 # negated relation: close the segment, emit no tuple; the
                 # prep's object becomes a standalone NP
                 negate_vp = False
+                negate_rel = False
                 if cur:
                     close_np()
-                after_conj = True
+                detached = True
+                if negated_subject is None:
+                    negated_subject = last_np
                 continue
             if lone_content_segment() and pending_rel is None:
                 # "dogs RUNNING on the beach": gerund/adjective segment ->
@@ -669,6 +736,7 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                     # the locative (photo/group heads keep the of-object)
                     rel_subj = last_of_rel[0]
         elif w in COPULAS:
+            negate_rel = False
             close_np()
             if (
                 not rel_before_copula
@@ -680,6 +748,10 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                 # UNLESS a relativizer bound the copula to the object NP
                 # ("a cat on a mat THAT is torn" -> (mat, torn))
                 last_np = last_loc_rel[0]
+            elif not rel_before_copula:
+                # likewise past the stranded object of a negated VP ("a man
+                # not wearing a hat IS holding a dog" -> man holds)
+                last_np = clause_subject(last_np)
             rel_before_copula = False
         elif w in CONJUNCTIONS:
             # attribute coordination stays inside the NP: "black AND white
@@ -698,18 +770,25 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                 and not cur[-1].endswith("s")
             ):
                 continue
+            negate_vp = False
+            negate_rel = False
             close_np()
             pending_rel = None
             rel_subj = None
             after_conj = True
             # a relation-less NP before "and" is a coordination candidate:
-            # a later clause on the right-hand NP mirrors onto it
+            # a later clause on the right-hand NP mirrors onto it — but
+            # never the stranded object of a negated VP
             conj_prev = None
-            if last_np is not None and (
-                last_rel3 is None
-                or (
-                    last_np is not last_rel3[2]
-                    and last_np is not last_rel3[0]
+            if (
+                last_np is not None
+                and id(last_np) not in negated_np_ids
+                and (
+                    last_rel3 is None
+                    or (
+                        last_np is not last_rel3[2]
+                        and last_np is not last_rel3[0]
+                    )
                 )
             ):
                 conj_prev = last_np
@@ -741,14 +820,11 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                     # subject ("holding a drink AND WEARING a hat" -> the
                     # man wears, not the drink); NON_AGENT heads pass
                     # agency to their possessor either way.
-                    subj = last_np
+                    subj = clause_subject(last_np)
                     if (
                         after_conj
-                        and last_rel3 is not None
-                        and last_np is (
-                            last_rel3[2] if last_rel3_slot == "obj"
-                            else last_rel3[0]
-                        )
+                        and last_np is not None
+                        and last_np is at_rel3_anchor()
                     ):
                         subj = last_rel3[0]
                     pending_rel = content[0]
@@ -774,6 +850,12 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                     np_ = _flush_np(subj_words)
                     if np_ is not None:
                         nps.append(np_)
+                        if detached:
+                            # stranded object of a negated VP ("a man not
+                            # holding an UMBRELLA carrying A bag"): not
+                            # the agent of the following verb
+                            negated_np_ids.add(id(np_))
+                            detached = False
                         if after_conj and conj_prev is not None:
                             # "a man and A WOMAN HOLDING an umbrella"
                             coord_partner[id(np_)] = [conj_prev] + \
@@ -800,7 +882,7 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                                 last_of_rel = (rel_subj, np_)
                         last_np = np_
                         pending_rel = verb
-                        rel_subj = agent_subject(np_)
+                        rel_subj = agent_subject(clause_subject(np_))
                 else:
                     close_np()
             cur.append(w)
@@ -821,9 +903,7 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
             and _is_verbish(tail[0])
             and not all(_is_verbish(t) for t in tail)
         ):
-            if last_rel3 is not None and last_np is (
-                last_rel3[2] if last_rel3_slot == "obj" else last_rel3[0]
-            ):
+            if last_np is at_rel3_anchor():
                 last_np = last_rel3[0]
             after_conj = False
     if lone_content_segment() and pending_rel is None:
