@@ -48,6 +48,45 @@ def test_cpp_tokenizer_matches_python():
         assert tk._cpp_tokenize(text) == tk.tokenize_caption(text), text
 
 
+def test_cpp_tokenizer_fuzz_differential():
+    """Randomized differential: the C++ tokenizer must agree with the
+    Python reference on arbitrary caption-shaped text, not just the
+    curated corpus — random words, contractions, punctuation runs,
+    numbers, quotes, parentheses and non-ASCII bytes."""
+    if not _ensure_built("libptb_tokenizer.so"):
+        pytest.skip("no C++ toolchain")
+    import random
+
+    from show_and_tell_tpu.metrics import tokenizer as tk
+
+    rng = random.Random(0xC0FFEE)
+    words = (
+        "a the man dog woman horse riding on beach big red it's doesn't "
+        "can't we've I'll mr. dr. u.s. 3:45 1,000 100% half-baked "
+        "well-known naïve café — … ... -- ?! .. '"
+    ).split()
+    punct = list(".,;:!?()[]{}\"'`-/&#@%$*")
+    for case in range(2000):
+        n = rng.randint(0, 12)
+        parts = []
+        for _ in range(n):
+            r = rng.random()
+            if r < 0.6:
+                parts.append(rng.choice(words))
+            elif r < 0.8:
+                parts.append(rng.choice(punct))
+            elif r < 0.9:
+                parts.append(rng.choice(words) + rng.choice(punct))
+            else:
+                parts.append(
+                    "".join(rng.choice(punct + words) for _ in range(3))
+                )
+        text = (" " * rng.randint(1, 2)).join(parts)
+        assert tk._cpp_tokenize(text) == tk.tokenize_caption(text), (
+            case, repr(text)
+        )
+
+
 def test_cpp_meteor_matches_python():
     if not _ensure_built("libmeteor.so"):
         pytest.skip("no C++ toolchain")
