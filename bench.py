@@ -50,9 +50,15 @@ import numpy as np
 ESTIMATED_REFERENCE_GPU_IMG_S = 120.0  # documented estimate, not a measurement
 V5E_PEAK_BF16_FLOPS = 197e12
 
-BATCH = 512
+# Serving batch: swept on-chip (round 3, session 2, random-weights
+# protocol, same double-buffered measure): beam-3 img/s was 3085 @128 /
+# 2253 @192 / 3757 @256 / 3680 @384 / 3511 @512 / 3563 @1024 (greedy
+# 4410 @256 vs 4133 @512). B=256 wins both modes by ~7% over the old 512
+# — decode state + feature tiles fit device memory tiers better while the
+# trunk stays MXU-bound; non-128-multiples crater on padding.
+BATCH = 256
 N_WARMUP = 2
-N_ITERS = 6
+N_ITERS = 8
 
 # Wall-clock budget: relay remote-compiles are not cached across processes
 # and each big program costs 30-120 s, so optional sections (currently the
@@ -334,7 +340,7 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "trained-model captioning throughput beam=3 "
-                "(VGG16+SAT, 224px, b512, early-exit active)",
+                f"(VGG16+SAT, 224px, b{BATCH}, early-exit active)",
                 "value": round(trained_beam_img_s, 2),
                 "unit": "images/sec/chip",
                 # measured-vs-measured, same greedy protocol (both random
