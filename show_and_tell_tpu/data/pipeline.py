@@ -167,6 +167,10 @@ class Loader:
         # the host num_workers^2-fold. Serialize native calls (each gets the
         # full thread budget); batch-level pipelining continues via the pool.
         self._native_decode_lock = threading.Lock()
+        # corrupt_skipped is incremented from pool worker threads; +=
+        # alone is a non-atomic read-modify-write that loses counts under
+        # concurrency (review fix)
+        self._stats_lock = threading.Lock()
 
     def set_epoch(self, epoch: int) -> None:
         """Pin the shuffle seed to a logical epoch number so a resumed run
@@ -259,7 +263,8 @@ class Loader:
             log.warning(
                 "corrupt image skipped (record substituted in-batch): %s", paths[i]
             )
-        self.corrupt_skipped += len(bad)
+        with self._stats_lock:
+            self.corrupt_skipped += len(bad)
 
     def __iter__(self) -> Iterator[Dict]:
         epoch = (

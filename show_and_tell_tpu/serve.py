@@ -202,15 +202,22 @@ class Captioner:
         ``mode``: "beam" (default), "greedy", or "sample" (knobs via the
         ``temperature`` / ``top_k`` / ``top_p`` attributes).
 
-        Sample-mode rng: each image's key is
-        ``fold_in(seed_key, images_sampled_so_far + rng_offset + i)`` — the
-        running counter advances per sampled image, so repeated requests
-        for the same image draw DIFFERENT keys (review fix: a server whose
-        'sample' endpoint returns the identical caption forever defeats the
-        point of sampling), while a fresh Captioner with the same
-        ``random_seed`` reproduces the same sequence. ``rng_offset`` lets a
-        caller that split one logical request into several calls keep a
-        global index instead (counter + offset are simply added)."""
+        Sample-mode rng: one key per CHUNK, derived as
+        ``fold_in(seed_key, images_sampled_so_far + rng_offset + chunk_start)``
+        where ``chunk_start`` is the chunk's offset within this call. Rows
+        within a chunk draw independent noise from that one key (the
+        batched ``jax.random.categorical`` generates per-row Gumbel noise),
+        so duplicate images in a chunk still sample different captions.
+        The running counter advances per sampled image, so repeated
+        requests draw DIFFERENT keys (review fix: a 'sample' endpoint that
+        returns the identical caption forever defeats the point), while a
+        fresh Captioner with the same ``random_seed`` replays the same
+        sequence — bit-identically only when the calls' chunk boundaries
+        also match, since keys are per-chunk. ``rng_offset`` is for a
+        caller that REBUILT the Captioner (counter reset to zero) and
+        wants to continue a global sequence; on a live Captioner the
+        counter already advances, so passing an offset on top would
+        double-count."""
         n = images_u8.shape[0]
         from show_and_tell_tpu.models import quantize as quantize_mod
 
@@ -222,8 +229,6 @@ class Captioner:
             # int8 PTQ (models/quantize.py): calibrate activation scales on
             # the first batch this Captioner sees, quantize once, and let
             # backbone_features dispatch to the int8 trunk from then on.
-            from show_and_tell_tpu.data.transforms import eval_transform
-
             calib = eval_transform(
                 jnp.asarray(images_u8[: min(32, n)]), self.cfg.crop_size
             )
@@ -262,11 +267,18 @@ class Captioner:
                 self.params, self.batch_stats, self.frozen, chunk, rng
             )
             if pending is not None:
-                out.extend(self.vocab.decode_batch(np.asarray(pending[0]))[: pending[1]])
+                # slice to live rows BEFORE the id->string decode: a tail
+                # chunk of 1 live row padded to a 256 bucket must not
+                # string-decode 255 dead rows (review fix)
+                out.extend(
+                    self.vocab.decode_batch(np.asarray(pending[0])[: pending[1]])
+                )
             pending = (ids_d, min(b, n - i))
             i += b
         if pending is not None:
-            out.extend(self.vocab.decode_batch(np.asarray(pending[0]))[: pending[1]])
+            out.extend(
+                self.vocab.decode_batch(np.asarray(pending[0])[: pending[1]])
+            )
         return out
 
     def caption_paths(self, paths: Sequence[str], mode: str = "beam") -> List[str]:
@@ -450,15 +462,27 @@ class DynamicBatcher:
 
     def _collect(self) -> List[_Ticket]:
         """Block for the first request, then gather its same-mode run."""
-        def pop_live() -> Optional[_Ticket]:
+        def pop_live(mode: Optional[str] = None) -> Optional[_Ticket]:
             # drop tickets whose client already timed out: dispatching them
-            # would spend device time on output nobody reads
+            # would spend device time on output nobody reads. With ``mode``
+            # set, a live ticket of ANOTHER mode is pushed back and None
+            # returned — the mode check must come AFTER the abandoned-skip,
+            # or skipping an abandoned head can pull a different-mode
+            # ticket into the batch (review fix: a greedy client would
+            # silently receive a beam caption)
             while self._q:
                 t = self._q.popleft()
-                if not t.abandoned:
-                    return t
-                self._stats["abandoned"] += 1
-                t.event.set()
+                if t.abandoned:
+                    self._stats["abandoned"] += 1
+                    t.error = TimeoutError(
+                        "abandoned: client result() timed out before dispatch"
+                    )
+                    t.event.set()
+                    continue
+                if mode is not None and t.mode != mode:
+                    self._q.appendleft(t)
+                    return None
+                return t
             return None
 
         with self._cv:
@@ -475,12 +499,13 @@ class DynamicBatcher:
             deadline = time.perf_counter() + self.max_delay_s
             while len(batch) < self.max_batch and self._running:
                 if self._q:
-                    if self._q[0].mode != batch[0].mode:
-                        break  # mode boundary: next round's batch
-                    t = pop_live()
+                    t = pop_live(batch[0].mode)
                     if t is not None:
                         batch.append(t)
-                    continue
+                        continue
+                    if self._q:
+                        break  # live different-mode head: next round
+                    continue  # drained abandoned tickets: re-check/wait
                 remaining = deadline - time.perf_counter()
                 if remaining <= 0 or not self._cv.wait(remaining):
                     break
@@ -499,6 +524,11 @@ class DynamicBatcher:
                     self._stats["abandoned"] += len(batch) - len(live)
                 for t in batch:
                     if t.abandoned:
+                        # a retry of result() on this ticket must raise,
+                        # not return a None caption (review fix)
+                        t.error = TimeoutError(
+                            "abandoned: client result() timed out before dispatch"
+                        )
                         t.event.set()
                 if not live:
                     continue

@@ -55,11 +55,20 @@ class PreemptionGuard:
             self._installed = False
 
     def _handler(self, signum, frame) -> None:
-        log.warning(
-            "received %s: finishing the in-flight step, then saving "
-            "train state for resume", signal.Signals(signum).name,
-        )
+        # Latch FIRST: logging from a signal handler can raise a reentrant-
+        # call RuntimeError if the signal lands while the main thread is
+        # mid-write in a (locked, buffered) logging stream — the event must
+        # already be set when that happens or the clean save never runs
+        # (review fix). The log call itself is best-effort for the same
+        # reason.
         self._event.set()
+        try:
+            log.warning(
+                "received %s: finishing the in-flight step, then saving "
+                "train state for resume", signal.Signals(signum).name,
+            )
+        except RuntimeError:
+            pass  # reentrant stream write: the latch is what matters
         # One latch only: restore the previous handlers so a SECOND signal
         # behaves normally (KeyboardInterrupt / default termination). The
         # flag is polled between steps — if the process is hung anywhere

@@ -218,3 +218,42 @@ def test_mean_queue_wait_is_per_request(captioner):
     want = round(s["queue_wait_s_sum"] / 4 * 1e3, 2)
     assert s["mean_queue_wait_ms"] == want
     b.close()
+
+
+def test_abandoned_head_does_not_pull_wrong_mode(captioner):
+    """Skipping an abandoned ticket mid-gather must not pull a ticket of
+    ANOTHER mode into the batch (review fix: the mode boundary was checked
+    on the raw queue head, but the pop skipped abandoned tickets and could
+    return a later different-mode ticket — a greedy client then silently
+    received a beam caption)."""
+    b = DynamicBatcher(captioner, autostart=False, max_delay_ms=5.0)
+    imgs = _images(3, seed=6)
+    t_beam = b.submit(imgs[0], "beam")
+    t_dead = b.submit(imgs[1], "beam")
+    t_greedy = b.submit(imgs[2], "greedy")
+    with pytest.raises(TimeoutError):
+        t_dead.result(timeout=0.01)
+    b._running = True  # drive _collect on this thread, no worker
+    batch = b._collect()
+    assert [t.mode for t in batch] == ["beam"]
+    assert batch == [t_beam]
+    # the greedy ticket is still queued for the next round, not lost
+    assert list(b._q) == [t_greedy]
+    b.close()
+
+
+def test_abandoned_ticket_retry_raises_not_none(captioner):
+    """result() retried after a timeout must raise, never return a None
+    caption (review fix: the worker set the event on abandoned tickets
+    with neither caption nor error)."""
+    b = DynamicBatcher(captioner, autostart=False, max_delay_ms=5.0)
+    imgs = _images(2, seed=7)
+    t_dead = b.submit(imgs[0])
+    t_live = b.submit(imgs[1])
+    with pytest.raises(TimeoutError):
+        t_dead.result(timeout=0.01)
+    b.start()
+    assert isinstance(t_live.result(timeout=120.0), str)
+    with pytest.raises(RuntimeError, match="abandoned"):
+        t_dead.result(timeout=5.0)
+    b.close()
