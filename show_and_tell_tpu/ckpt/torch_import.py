@@ -178,3 +178,28 @@ def load_reference_checkpoint(
     if model == "show_tell":
         return import_show_tell(sd, num_layers=num_layers)
     raise ValueError(f"unknown model {model!r}")
+
+
+def apply_reference_checkpoint(cfg, params, batch_stats, frozen):
+    """Overlay ``cfg.torch_checkpoint`` onto freshly initialized trees —
+    the one implementation of the migration overlay shared by the serving,
+    eval and training entry points (it previously lived as three copies).
+
+    Returns ``(params, batch_stats, frozen, has_encoder)``; ``has_encoder``
+    is False for a decoder-only ``.pth`` (separate-module save), in which
+    case the caller decides whether a random frozen encoder deserves a
+    warning (not when precomputed features bypass the backbone).
+    """
+    if cfg.model == "show_tell":
+        t, bs, fr = load_reference_checkpoint(
+            cfg.torch_checkpoint, "show_tell", cfg.num_layers
+        )
+        params = {**params, **t}
+        if bs is not None:
+            batch_stats = bs
+    else:
+        t, fr = load_reference_checkpoint(cfg.torch_checkpoint)
+        params = t
+    if fr is not None:
+        frozen = fr
+    return params, batch_stats, frozen, fr is not None

@@ -49,20 +49,12 @@ def main(argv=None):
         # --torch_checkpoint model-best.pth: evaluate a reference-trained
         # checkpoint directly (ckpt/torch_import.py; the state_dict carries
         # the frozen trunk, so no --encoder_weights needed)
-        from show_and_tell_tpu.ckpt.torch_import import load_reference_checkpoint
+        from show_and_tell_tpu.ckpt.torch_import import apply_reference_checkpoint
 
-        if cfg.model == "show_tell":
-            t, bs, fr = load_reference_checkpoint(
-                cfg.torch_checkpoint, "show_tell", cfg.num_layers
-            )
-            params = {**params, **t}
-            batch_stats = bs if bs is not None else batch_stats
-        else:
-            t, fr = load_reference_checkpoint(cfg.torch_checkpoint)
-            params = t
-        if fr is not None:
-            frozen = fr
-        elif not cfg.encoder_weights and not cfg.features_path:
+        params, batch_stats, frozen, has_enc = apply_reference_checkpoint(
+            cfg, params, batch_stats, frozen
+        )
+        if not has_enc and not cfg.encoder_weights and not cfg.features_path:
             # (with --features_path the backbone never runs — no warning)
             log.warning(
                 "--torch_checkpoint %s carries no encoder weights and "

@@ -36,7 +36,6 @@ Captioner.caption_paths, mapped onto HTTP.
 from __future__ import annotations
 
 import base64
-import io
 import json
 import logging
 from http.server import BaseHTTPRequestHandler, HTTPServer, ThreadingHTTPServer
@@ -58,16 +57,13 @@ log = logging.getLogger(__name__)
 
 
 def _decode_image(data: bytes, size: int = 256) -> Optional[np.ndarray]:
-    from PIL import Image
+    # the canonical ingest contract lives in data/pipeline.py — one
+    # definition of the resize/convert policy for loader, serving and
+    # HTTP paths (review fix: this was a second copy that could drift)
+    from show_and_tell_tpu.data.pipeline import _load_image_checked
 
-    try:
-        img = Image.open(io.BytesIO(data)).convert("RGB")
-        if img.size != (size, size):
-            img = img.resize((size, size))
-        return np.asarray(img, dtype=np.uint8)
-    except Exception as e:
-        log.warning("request image failed to decode: %s", e)
-        return None
+    img, ok = _load_image_checked(data, size)
+    return img if ok else None
 
 
 class CaptionHandler(BaseHTTPRequestHandler):
@@ -156,7 +152,12 @@ class CaptionHandler(BaseHTTPRequestHandler):
             mode = self._mode()
         except ValueError as e:
             return self._send(400, {"error": str(e)})
-        length = int(self.headers.get("Content-Length", 0))
+        try:
+            # a malformed Content-Length must map to a 400 like every other
+            # bad input, not kill the handler thread (review fix)
+            length = int(self.headers.get("Content-Length", 0))
+        except (TypeError, ValueError):
+            return self._send(400, {"error": "bad Content-Length header"})
         if length <= 0:
             return self._send(400, {"error": "empty body"})
         data = self.rfile.read(length)

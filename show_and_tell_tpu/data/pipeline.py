@@ -34,25 +34,33 @@ from show_and_tell_tpu.data.dataset import CocoCaptionDataset
 log = logging.getLogger(__name__)
 
 
-def _load_image(path: str, size: int = 256) -> np.ndarray:
+def _load_image(src, size: int = 256) -> np.ndarray:
+    """Path OR raw encoded bytes -> [size, size, 3] uint8 RGB — THE
+    canonical online image-ingest contract (training loader, serving
+    paths, HTTP request bodies all funnel here so the resize/convert
+    policy has exactly one definition)."""
+    import io
+
     from PIL import Image
 
-    img = Image.open(path).convert("RGB")
+    fh = io.BytesIO(src) if isinstance(src, (bytes, bytearray)) else src
+    img = Image.open(fh).convert("RGB")
     if img.size != (size, size):
         img = img.resize((size, size))
     return np.asarray(img, dtype=np.uint8)
 
 
-def _load_image_checked(path: str, size: int = 256):
-    """(image, ok) — a corrupt/truncated/zero-byte/unreadable file returns
-    (zeros, False) instead of raising from a worker thread. The online
-    extension of the reference's offline swallow-and-report contract
-    (preprocess.py:89-92): one bad file must not kill an epoch or a
-    serving batch."""
+def _load_image_checked(src, size: int = 256):
+    """(image, ok) — a corrupt/truncated/zero-byte/unreadable source
+    returns (zeros, False) instead of raising from a worker thread. The
+    online extension of the reference's offline swallow-and-report
+    contract (preprocess.py:89-92): one bad file must not kill an epoch
+    or a serving batch."""
     try:
-        return _load_image(path, size), True
+        return _load_image(src, size), True
     except Exception as e:  # PIL raises a zoo: OSError, SyntaxError, ValueError…
-        log.warning("failed to decode image %s: %s", path, e)
+        desc = src if isinstance(src, str) else f"<{len(src)}-byte request>"
+        log.warning("failed to decode image %s: %s", desc, e)
         return np.zeros((size, size, 3), dtype=np.uint8), False
 
 

@@ -38,6 +38,9 @@ from show_and_tell_tpu.utils.vocab import Vocabulary
 log = logging.getLogger(__name__)
 
 
+_warned_no_ann = False  # one warning per process, not per periodic eval
+
+
 def language_eval(
     predictions: List[Dict], ann_file: str
 ) -> Dict[str, float]:
@@ -59,7 +62,20 @@ def make_caption_fn(
     cfg: Config,
     mode: str = "greedy",
 ) -> Callable:
-    """Returns jitted ``fn(params, batch_stats, features) -> ids [B, L]``."""
+    """Returns jitted ``fn(params, batch_stats, features) -> ids [B, L]``
+    (``mode='sample'`` adds a required trailing ``rng`` argument — the
+    evaluation loop folds a per-batch key; review fix: the rng was
+    silently dropped and sample-mode eval crashed at trace time)."""
+
+    if mode == "sample":
+
+        @jax.jit
+        def fn(params, batch_stats, features, rng):
+            return decode_ids(
+                model, cfg, params, batch_stats, features, mode, rng=rng
+            )
+
+        return fn
 
     @jax.jit
     def fn(params, batch_stats, features):
@@ -113,8 +129,11 @@ def evaluation(
     # i's encode/loss/decode, then fetch + host-process batch i-1 while the
     # device works — the id->string decode and the result transfers overlap
     # compute instead of serializing a host round-trip into every batch.
+    sample_key = (
+        jax.random.PRNGKey(cfg.random_seed) if mode == "sample" else None
+    )
     inflight = None
-    for batch in validloader:
+    for bi, batch in enumerate(validloader):
         dbatch = {
             "captions": batch["captions"],
             "lengths": batch["lengths"],
@@ -124,7 +143,13 @@ def evaluation(
         else:
             dbatch["features"] = encode_images(frozen, batch["images"])
         loss_d, _ = loss_step(params, batch_stats, frozen, dbatch)
-        ids_d = caption_fn(params, batch_stats, dbatch["features"])
+        if sample_key is not None:
+            ids_d = caption_fn(
+                params, batch_stats, dbatch["features"],
+                jax.random.fold_in(sample_key, bi),
+            )
+        else:
+            ids_d = caption_fn(params, batch_stats, dbatch["features"])
         if inflight is not None:
             collect(*inflight)
         inflight = (loss_d, ids_d, batch["imgids"], batch["cocoids"])
@@ -134,6 +159,19 @@ def evaluation(
     lang_stats: Dict = {}
     if run_language_eval and ann_file:
         lang_stats = language_eval(predictions, ann_file)
+    elif run_language_eval:
+        # language_eval==1 with no annotation file would otherwise SILENTLY
+        # switch the best-checkpoint gate from CIDEr to -val_loss (review
+        # fix): say so once, loudly.
+        global _warned_no_ann
+        if not _warned_no_ann:
+            _warned_no_ann = True
+            log.warning(
+                "language_eval=1 but ann_file is unset: language metrics "
+                "are skipped and the best-checkpoint gate falls back to "
+                "-val_loss. Pass Config.ann_file (a COCO-format annotation "
+                "JSON) to gate on CIDEr as configured."
+            )
     return loss_sum / max(loss_evals, 1), predictions, lang_stats
 
 

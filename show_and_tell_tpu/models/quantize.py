@@ -94,17 +94,9 @@ def quantize_vgg16(
 
 
 def _qconv(q: Params, x: jax.Array) -> jax.Array:
-    """x (float) -> int8 conv -> int32 -> float rescale + bias."""
-    xq = jnp.clip(jnp.round(x / q["sx"]), -_QMAX, _QMAX).astype(jnp.int8)
-    y = jax.lax.conv_general_dilated(
-        xq,
-        q["wq"],
-        (1, 1),
-        [(1, 1), (1, 1)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.int32,
-    )
-    return y.astype(jnp.float32) * (q["sx"] * q["sw"]) + q["b"]
+    """x (float) -> int8 conv -> int32 -> float rescale + bias (VGG's
+    3x3/s1/p1 case of the general ``_qconv_s`` — one epilogue to maintain)."""
+    return _qconv_s(q, x, stride=1, padding=((1, 1), (1, 1)))
 
 
 def vgg16_features_q(qparams: Params, images: jax.Array) -> jax.Array:
@@ -152,7 +144,20 @@ def obtain_quantized(
     import os
 
     if path and os.path.exists(path):
-        return load_quantized(path)
+        q = load_quantized(path)
+        # a persisted tree from the WRONG architecture (stale path reuse)
+        # would otherwise dispatch to the wrong trunk and die with an
+        # opaque shape error deep in the decoder (review fix). Same-arch
+        # staleness (different weights) is the caller's responsibility —
+        # the path names ONE calibration, delete it to recalibrate.
+        kind = "resnet152" if "qlayers" in q else "vgg16"
+        if kind != encoder_name:
+            raise ValueError(
+                f"quantized tree at {path} was calibrated for {kind}, but "
+                f"this model's encoder is {encoder_name}; delete the file "
+                "or point quantized_backbone_path elsewhere"
+            )
+        return q
     q = quantize_backbone(encoder_name, frozen, calib_images)
     if path:
         save_quantized(path, q)
@@ -195,9 +200,21 @@ def load_quantized(path: str) -> Params:
 
 def feature_agreement(frozen: Params, qparams: Params, images: jax.Array) -> float:
     """Mean cosine similarity between f32 and int8 trunk features — the
-    quantization-error bound the tests pin."""
-    f = np.asarray(vgg16_features(frozen, images.astype(jnp.float32)), np.float32)
-    g = np.asarray(vgg16_features_q(qparams, images), np.float32)
+    quantization-error bound the tests pin. Dispatches on the quantized
+    tree's kind (review fix: it hardcoded the VGG trunk, so the ResNet
+    path's error could not be measured with the advertised helper)."""
+    if "qlayers" in qparams:
+        from show_and_tell_tpu.models.encoders import resnet152_features
+
+        f = np.asarray(
+            resnet152_features(frozen, images.astype(jnp.float32)), np.float32
+        )
+        g = np.asarray(resnet152_features_q(qparams, images), np.float32)
+    else:
+        f = np.asarray(
+            vgg16_features(frozen, images.astype(jnp.float32)), np.float32
+        )
+        g = np.asarray(vgg16_features_q(qparams, images), np.float32)
     return _cosine(f, g)
 
 

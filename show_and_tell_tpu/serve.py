@@ -115,21 +115,12 @@ class Captioner:
         if cfg.torch_checkpoint:
             # migration path: a reference-trained model-best.pth state_dict
             # (ckpt/torch_import.py) — takes the place of an expr_dir restore
-            from show_and_tell_tpu.ckpt.torch_import import load_reference_checkpoint
+            from show_and_tell_tpu.ckpt.torch_import import apply_reference_checkpoint
 
-            if cfg.model == "show_tell":
-                t, bs, fr = load_reference_checkpoint(
-                    cfg.torch_checkpoint, "show_tell", cfg.num_layers
-                )
-                params = {**params, **t}
-                if bs is not None:
-                    batch_stats = bs
-            else:
-                t, fr = load_reference_checkpoint(cfg.torch_checkpoint)
-                params = t
-            if fr is not None:
-                frozen = fr  # the .pth carries the whole frozen trunk too
-            elif not cfg.encoder_weights:
+            params, batch_stats, frozen, has_enc = apply_reference_checkpoint(
+                cfg, params, batch_stats, frozen
+            )
+            if not has_enc and not cfg.encoder_weights:
                 # decoder-only .pth (a separate-module save): same random-
                 # frozen-encoder footgun as the expr_dir path below
                 log.warning(

@@ -65,6 +65,53 @@ def make_train_state(cfg: Config, params: Any, batch_stats: Any = None) -> Train
     )
 
 
+def place_train_state(mesh, cfg: Config, state: TrainState) -> TrainState:
+    """Re-apply mesh placement to a train state restored from bytes.
+
+    ``serialization.from_bytes`` yields host numpy leaves, so a resumed
+    state silently loses the TP sharding ``__init__`` established (review
+    fix: with model_parallel > 1 the vocab-sharded embedding/head and
+    their Adam moments came back replicated, multiplying per-device HBM
+    by the model-axis size). Param shardings come from
+    ``mesh_lib.place_params``; the Adam-moment leaves mirror the param
+    tree, so a throwaway ``tx.init`` on the placed params yields the
+    matching sharding template for each moment leaf.
+    """
+    from show_and_tell_tpu.parallel import mesh as mesh_lib
+
+    if mesh_lib._single_device(mesh):
+        # plain uncommitted placement: committed single-device sharding
+        # costs ~45x dispatch overhead on the relay backend (mesh.py note)
+        return jax.tree.map(jax.device_put, state)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    params = mesh_lib.place_params(mesh, state.params)
+    template = make_optimizer(cfg).init(params)
+    replicated = NamedSharding(mesh, P())
+
+    def put_like(val, tmpl):
+        sh = tmpl.sharding
+        # eager zeros_like in tx.init propagates the param's NamedSharding
+        # to the moment leaves; scalar leaves (Adam count) are created
+        # fresh on one device — those replicate over the mesh
+        if not isinstance(sh, NamedSharding):
+            sh = replicated
+        return jax.device_put(val, sh)
+
+    opt_state = jax.tree.map(put_like, state.opt_state, template)
+    batch_stats = (
+        mesh_lib.replicate(mesh, state.batch_stats)
+        if state.batch_stats is not None
+        else None
+    )
+    return TrainState(
+        params=params,
+        opt_state=opt_state,
+        batch_stats=batch_stats,
+        step=jax.device_put(state.step, replicated),
+    )
+
+
 def make_train_step(
     model,
     cfg: Config,

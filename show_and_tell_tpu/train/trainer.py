@@ -85,6 +85,30 @@ class Trainer:
                 params, batch_stats = restored
                 log.info("loaded pretrained params from %s", cfg.load_model_path)
 
+        if getattr(cfg, "torch_checkpoint", None):
+            # fine-tune migration: start training from a reference-trained
+            # model-best.pth (the same overlay serving/eval use — review
+            # fix: the flag was silently ignored here and a "fine-tune" run
+            # trained from random weights)
+            from show_and_tell_tpu.ckpt.torch_import import (
+                apply_reference_checkpoint,
+            )
+
+            params, batch_stats, frozen, has_enc = apply_reference_checkpoint(
+                cfg, params, batch_stats, frozen
+            )
+            if not has_enc and not cfg.encoder_weights:
+                log.warning(
+                    "torch_checkpoint %s carries no encoder weights and "
+                    "encoder_weights is unset: fine-tuning on top of a "
+                    "randomly initialized frozen encoder",
+                    cfg.torch_checkpoint,
+                )
+            log.info(
+                "initialized trainable params from reference checkpoint %s",
+                cfg.torch_checkpoint,
+            )
+
         params = mesh_lib.place_params(self.mesh, params)
         self.frozen = mesh_lib.replicate(self.mesh, frozen)
         self.state = make_train_state(cfg, params, batch_stats)
@@ -162,16 +186,25 @@ class Trainer:
                 infos.pop("preempted", None)  # consumed by this resume
                 # Prefer the full train state (params + Adam moments + step,
                 # bit-continuous resume); fall back to best-params only.
+                # Either way the restored host arrays must be re-placed on
+                # the mesh — from_bytes drops the TP sharding __init__
+                # established (review fix; see step.place_train_state).
+                from show_and_tell_tpu.train.step import place_train_state
+
                 full = ckpt.load_train_state(cfg.start_from, self.state)
                 if full is not None:
-                    self.state = full
+                    self.state = place_train_state(self.mesh, cfg, full)
                 else:
                     restored = ckpt.load_best_params(
                         cfg.start_from, self.state.params, self.state.batch_stats
                     )
                     if restored is not None:
-                        self.state = self.state.replace(
-                            params=restored[0], batch_stats=restored[1]
+                        self.state = place_train_state(
+                            self.mesh,
+                            cfg,
+                            self.state.replace(
+                                params=restored[0], batch_stats=restored[1]
+                            ),
                         )
                 log.info("resuming from %s", cfg.start_from)
 
@@ -330,6 +363,33 @@ class Trainer:
         path (full train state + infos) but WITHOUT the validation eval —
         the SIGTERM->SIGKILL grace window is short. ``model-best`` is left
         untouched (no score was computed to gate it)."""
+        self._persist_state(
+            epoch, it, total_iteration, best_val_score,
+            val_result_history, loss_history, lr_history, infos,
+            preempted=True,
+        )
+        log.warning(
+            "preempted at epoch %d iter %d (total %d, loss %.4f): full "
+            "train state saved to %s — resume with start_from",
+            epoch, it, total_iteration, train_loss, self.cfg.expr_dir,
+        )
+
+    def _persist_state(
+        self,
+        epoch,
+        it,
+        total_iteration,
+        best_val_score,
+        val_result_history,
+        loss_history,
+        lr_history,
+        infos,
+        preempted: bool = False,
+    ) -> None:
+        """The ONE definition of the resume-artifact schema (infos blob +
+        full train state), shared by the periodic checkpoint and the
+        preemption save — two copies of this block let the schemas drift
+        (review fix)."""
         cfg = self.cfg
         infos.update(
             total_iter=total_iteration,
@@ -340,15 +400,11 @@ class Trainer:
             val_result_history=val_result_history,
             loss_history=loss_history,
             lr_history=lr_history,
-            preempted=True,
         )
+        if preempted:
+            infos["preempted"] = True
         ckpt.save_infos(cfg.expr_dir, infos)
         ckpt.save_train_state(cfg.expr_dir, self.state)
-        log.warning(
-            "preempted at epoch %d iter %d (total %d, loss %.4f): full "
-            "train state saved to %s — resume with start_from",
-            epoch, it, total_iteration, train_loss, cfg.expr_dir,
-        )
 
     def _checkpoint(
         self,
@@ -392,18 +448,10 @@ class Trainer:
         if best_flag:
             best_val_score = current_score
 
-        infos.update(
-            total_iter=total_iteration,
-            iter=it,
-            epoch=epoch,
-            best_val_score=best_val_score,
-            opt=cfg.to_dict(),
-            val_result_history=val_result_history,
-            loss_history=loss_history,
-            lr_history=lr_history,
+        self._persist_state(
+            epoch, it, total_iteration, best_val_score,
+            val_result_history, loss_history, lr_history, infos,
         )
-        ckpt.save_infos(cfg.expr_dir, infos)
-        ckpt.save_train_state(cfg.expr_dir, self.state)
         if best_flag:
             ckpt.save_best(
                 cfg.expr_dir,

@@ -215,3 +215,31 @@ def test_captioner_serves_reference_checkpoint(reference_model2, tmp_path):
     imgs = (np.random.default_rng(0).random((2, 256, 256, 3)) * 255).astype(np.uint8)
     caps = cap.caption_images(imgs, mode="greedy")
     assert len(caps) == 2 and all(isinstance(c, str) for c in caps)
+
+
+def test_trainer_finetunes_from_reference_checkpoint(reference_model2, tmp_path):
+    """Config.torch_checkpoint seeds TRAINING too (review fix: serve and
+    evaluate honored the flag but the Trainer silently ignored it, so a
+    "fine-tune the reference checkpoint" run trained from random weights)."""
+    from show_and_tell_tpu.models.registry import build_model
+    from show_and_tell_tpu.train.trainer import Trainer
+
+    ref = _build_reference_sat(reference_model2)
+    path = str(tmp_path / "model-best.pth")
+    torch.save(ref.state_dict(), path)
+    cfg = Config(
+        embed_size=512, hidden_size=1024, crop_size=64, dtype="float32",
+        torch_checkpoint=path, expr_dir=str(tmp_path / "expr"),
+    )
+    model = build_model(cfg, 40)
+    t = Trainer(cfg, model, [], eval_fn=None)
+    np.testing.assert_allclose(
+        np.asarray(t.state.params["att"]["w_img"]),
+        ref.image_att_w.detach().numpy(),
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(t.state.params["embed"]),
+        ref.embedding.weight.detach().numpy(),
+        atol=1e-6,
+    )

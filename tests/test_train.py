@@ -309,3 +309,58 @@ def test_grad_accumulation_matches_big_batch():
     np.testing.assert_allclose(
         (float(ma["loss"]) + float(mb["loss"])) / 2, float(m1["loss"]), rtol=1e-5
     )
+
+
+def test_place_train_state_restores_tp_sharding(tmp_path):
+    """Resume must re-place restored host arrays on the mesh: with
+    model_parallel > 1 the vocab-sharded params AND their Adam moments
+    come back from serialization as host numpy and previously stayed
+    replicated (review fix), silently multiplying per-device HBM."""
+    from show_and_tell_tpu.parallel import mesh as mesh_lib
+    from show_and_tell_tpu.train.step import (
+        make_train_state,
+        make_train_step,
+        place_train_state,
+    )
+
+    cfg = small_cfg(tmp_path, num_devices=8, model_parallel=2)
+    vocab_size = 20  # divisible by the model axis so TP sharding applies
+    model = build_model(cfg, vocab_size)
+    mesh = mesh_lib.make_mesh(8, 2)
+    params, frozen = model.init(jax.random.PRNGKey(0))
+    params = mesh_lib.place_params(mesh, params)
+    state = make_train_state(cfg, params)
+
+    # simulate serialization.from_bytes: every leaf back to host numpy
+    host_state = jax.tree.map(np.asarray, state)
+    placed = place_train_state(mesh, cfg, host_state)
+
+    def specs(tree):
+        return jax.tree.map(lambda x: x.sharding, tree)
+
+    assert specs(placed.params) == specs(state.params)
+    # Adam moments mirror the param shardings exactly (the scalar count
+    # leaf is replicated — the fresh state leaves it uncommitted, which
+    # jit places freely, so only the moment trees are compared)
+    assert specs(placed.opt_state[1].mu) == specs(placed.params)
+    assert specs(placed.opt_state[1].nu) == specs(placed.params)
+    # the whole point: at least one param is actually TP-sharded
+    shardings = jax.tree.leaves(specs(placed.params))
+    assert any(
+        s.spec != jax.sharding.PartitionSpec() for s in shardings
+    )
+
+    # and the placed state runs a step without device mismatch errors
+    B, T, L = 8, 6, 4
+    step = make_train_step(model, cfg, donate=False)
+    batch = mesh_lib.shard_batch(
+        mesh,
+        {
+            "captions": np.ones((B, T), np.int32),
+            "lengths": np.full((B,), T, np.int32),
+            "features": np.zeros((B, L, 512), np.float32),
+        },
+    )
+    frozen_r = mesh_lib.replicate(mesh, frozen)
+    state2, m = step(placed, frozen_r, batch, 1e-3, 0.0, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["loss"]))
