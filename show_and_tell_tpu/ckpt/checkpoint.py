@@ -69,8 +69,15 @@ def save_best(expr_dir: str, params: Any, batch_stats: Any, infos: Dict) -> str:
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(blob)
-    os.replace(tmp, path)
+    # pair consistency: write infos-best (its own atomic replace) BEFORE
+    # publishing model-best, and only then rename the weights into place —
+    # the slow work (serialize + write) all happens before the two renames,
+    # so the window where the pair can disagree shrinks to the instants
+    # between back-to-back os.replace calls (review fix: infos-best used
+    # to be written after, leaving a full serialize+write window in which
+    # a crash paired NEW weights with the PREVIOUS gate's infos)
     save_infos(expr_dir, infos, best=True)
+    os.replace(tmp, path)
     return path
 
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import logging
+import os
 import sys
 
 from show_and_tell_tpu.config import Config, parse_config
@@ -34,19 +35,39 @@ log = logging.getLogger(__name__)
 
 def main(cfg: Config) -> Trainer:
     enable_compile_cache()
+    host_shard = None
+    if cfg.multihost:
+        # must run before anything touches the XLA backend
+        # (parallel/distributed.py — review fix: the documented multi-host
+        # sequence had no caller, so pod launches ran N duplicated
+        # single-host jobs)
+        from show_and_tell_tpu.parallel import distributed
+
+        distributed.initialize(cfg.coordinator_address)
+        host_shard = distributed.host_shard_info()
     cfg = make_experiment_dir(cfg)
-    setup_logging("log.txt")
+    # log inside the experiment dir (a cwd-relative mode='w' log.txt let a
+    # second run truncate the first run's log — review fix); secondary
+    # hosts get their own file
+    log_name = "log.txt" if not host_shard or host_shard[0] == 0 else (
+        f"log.proc{host_shard[0]}.txt"
+    )
+    setup_logging(os.path.join(cfg.expr_dir, log_name))
     log.info("run arguments: %s", json.dumps(cfg.to_dict(), indent=4, sort_keys=True))
+    if host_shard is not None:
+        log.info("multi-host: process %d of %d", host_shard[0], host_shard[1])
 
     vocab = Vocabulary.load(cfg.vocab_path)
     with open(cfg.data_json) as f:
         records = json.load(f)
 
     train_ds = CocoCaptionDataset(
-        records, vocab, "train", cfg.max_caption_len, cfg.num_buckets
+        records, vocab, "train", cfg.max_caption_len, cfg.num_buckets,
+        host_shard=host_shard,
     )
     val_ds = CocoCaptionDataset(
-        records, vocab, "val", cfg.max_caption_len, cfg.num_buckets
+        records, vocab, "val", cfg.max_caption_len, cfg.num_buckets,
+        host_shard=host_shard,
     )
     trainloader = make_loader(cfg, train_ds, mode="train")
     validloader = make_loader(cfg, val_ds, mode="val")

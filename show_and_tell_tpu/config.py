@@ -40,6 +40,11 @@ class Config:
     # --- Devices / reproducibility (reference config.py:13-14) ---
     num_devices: int = 0  # 0 = all visible devices on the mesh data axis
     model_parallel: int = 1  # size of the mesh "model" axis (reference: no TP)
+    # multi-host (pod) training: initialize the JAX distributed runtime,
+    # shard dataset IO per host, globalize batches over the mesh, and gate
+    # checkpoint/infos writes to process 0 (parallel/distributed.py)
+    multihost: bool = False
+    coordinator_address: Optional[str] = None  # None = auto-detect
     random_seed: int = 123
 
     # --- Experiment management (reference config.py:20-25) ---

@@ -105,8 +105,13 @@ class CocoCaptionDataset:
         stay static (the duplicate rows are masked out downstream: training
         sees them as extra samples of real data; eval dedups by imgid exactly
         as the reference does, eval.py:112-118).
+
+        ``rng=None`` with ``shuffle=True`` draws FRESH entropy — a fixed
+        default seed here made every epoch of a direct caller reuse one
+        identical "shuffled" order (review fix); the Loader threads its own
+        seeded per-epoch rng for reproducible runs.
         """
-        rng = rng or np.random.default_rng(0)
+        rng = rng or np.random.default_rng()
         plan = []
         for b in self.buckets:
             idx = b["indices"].copy()

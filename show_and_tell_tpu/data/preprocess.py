@@ -14,10 +14,11 @@ Behavior parity with the reference pipeline (preprocess.py):
 - records sorted by caption length ascending (preprocess.py:133) — in this
   build that ordering also seeds the length-bucketing that replaces
   sort+pack,
-- optional image resize to 256x256 with grayscale->RGB promotion
-  (preprocess.py:86-101; squash resize, not aspect-preserving),
+- optional image resize to 256x256 (preprocess.py:86-101; squash resize,
+  not aspect-preserving) through the canonical RGB ingest contract
+  (pipeline._load_image), skip-and-report per failed file,
 - the COCO-integrity check of 616,767 total captions (preprocess.py:130) is
-  an opt-in flag rather than a hard assert so non-COCO datasets work.
+  a warning rather than a hard assert so non-COCO datasets work.
 
 Outputs are JSON (+Vocabulary JSON), not pickles.
 """
@@ -91,19 +92,21 @@ def build_vocab(
 
 
 def resize_image(img_path: str, out_path: str, size: int = 256) -> bool:
-    """Squash-resize to size x size, promoting grayscale to RGB."""
+    """Squash-resize to size x size RGB via THE canonical ingest contract
+    (data/pipeline._load_image — convert('RGB') BEFORE array inspection).
+
+    The former ndim-based grayscale patch-up silently corrupted
+    palette-mode (P) PNGs — their 2-D palette INDICES were stacked as if
+    they were gray pixel values — and crashed saving LA-mode sources as
+    JPEG (review fix, both verified live); PIL's mode conversion handles
+    every mode correctly and keeps offline-preprocessed pixels identical
+    to the online loader's."""
     try:
         from PIL import Image
 
-        img = Image.open(img_path)
-        img = img.resize((size, size))
-        arr = np.asarray(img)
-        if arr.ndim == 2:
-            arr = np.stack([arr] * 3, axis=-1)
-            img = Image.fromarray(arr)
-        elif arr.ndim == 3 and arr.shape[-1] == 4:
-            img = img.convert("RGB")
-        img.save(out_path)
+        from show_and_tell_tpu.data.pipeline import _load_image
+
+        Image.fromarray(_load_image(img_path, size)).save(out_path)
         return True
     except Exception as e:  # mirror the swallow-and-report contract
         log.warning("resize failed for %s: %s", img_path, e)
@@ -117,13 +120,21 @@ def preprocess(cfg: Config, resize_images: bool = False, data_root: str = "data"
     )
 
     out: List[dict] = []
+    resize_failures: List[str] = []
     for i, img in enumerate(imgs):
         save_path = os.path.join(data_root, img.get("filepath", ""), img["filename"])
         if resize_images:
             src = os.path.join(cfg.images_root, img.get("filepath", ""), img["filename"])
             os.makedirs(os.path.dirname(save_path), exist_ok=True)
             if not resize_image(src, save_path):
-                raise RuntimeError(f"failed resizing image {src}")
+                # swallow-and-report (the reference's contract,
+                # preprocess.py:89-92): one odd file hours into a 123k-image
+                # pass must not abort the run and discard completed work
+                # (review fix — this used to raise). The image's caption
+                # records are dropped with it so data.json never points at
+                # a file that was not written.
+                resize_failures.append(src)
+                continue
         base = {
             "split": img["split"],
             "imgid": img["imgid"],
@@ -136,7 +147,16 @@ def preprocess(cfg: Config, resize_images: bool = False, data_root: str = "data"
             rec["sentids"] = img["sentids"][si] if "sentids" in img else si
             out.append(rec)
 
-    if cfg.caption_json and len(out) != COCO_TOTAL_CAPTIONS:
+    if resize_failures:
+        log.warning(
+            "%d image(s) failed to resize and were skipped (with their "
+            "caption records): %s%s",
+            len(resize_failures), resize_failures[:5],
+            "…" if len(resize_failures) > 5 else "",
+        )
+    # warning-only, always checked (the reference hard-asserts 616,767 at
+    # preprocess.py:130; non-COCO datasets legitimately differ)
+    if len(out) != COCO_TOTAL_CAPTIONS:
         log.warning(
             "caption count %d != COCO's %d (fine for non-COCO data)",
             len(out), COCO_TOTAL_CAPTIONS,

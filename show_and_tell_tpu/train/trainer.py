@@ -156,9 +156,13 @@ class Trainer:
 
     def _shard(self, batch):
         # Only array fields go to device; metadata (imgids/cocoids/paths)
-        # stays host-side.
+        # stays host-side. Under multi-host each process contributes its
+        # local shard to the global data-sharded array
+        # (distributed.globalize_batch == shard_batch on one process).
         device_batch = {k: batch[k] for k in self._DEVICE_KEYS if k in batch}
-        return mesh_lib.shard_batch(self.mesh, device_batch)
+        from show_and_tell_tpu.parallel import distributed
+
+        return distributed.globalize_batch(self.mesh, device_batch)
 
     def train(self, preempt_guard=None) -> dict:
         """Run the training loop. ``preempt_guard``: an externally managed
@@ -390,6 +394,8 @@ class Trainer:
         full train state), shared by the periodic checkpoint and the
         preemption save — two copies of this block let the schemas drift
         (review fix)."""
+        if jax.process_index() != 0:
+            return  # multi-host: one writer, or processes clobber each other
         cfg = self.cfg
         infos.update(
             total_iter=total_iteration,
@@ -452,7 +458,7 @@ class Trainer:
             epoch, it, total_iteration, best_val_score,
             val_result_history, loss_history, lr_history, infos,
         )
-        if best_flag:
+        if best_flag and jax.process_index() == 0:
             ckpt.save_best(
                 cfg.expr_dir,
                 jax.device_get(self.state.params),

@@ -80,6 +80,18 @@ class Vocabulary:
         v = cls()
         for w in d["words"]:
             v.add_word(w)
+        # encode/decode hardwire PAD/START/END/UNK ids, so a hand-built
+        # vocab JSON that doesn't lead with the special tokens would
+        # silently mis-encode every caption (review fix — the pickle
+        # importer already validated this; the JSON path must too)
+        for tok, want in zip(SPECIAL_TOKENS, (PAD_ID, START_ID, END_ID, UNK_ID)):
+            got = v.word2idx.get(tok)
+            if got != want:
+                raise ValueError(
+                    f"{path!r}: special token {tok!r} is at index {got}, "
+                    f"expected {want} — the words list must begin with "
+                    f"{list(SPECIAL_TOKENS)}"
+                )
         return v
 
     @classmethod
@@ -106,14 +118,31 @@ class Vocabulary:
         import pickle
 
         class _Bag:
-            pass
+            def __init__(self, *a, **k):  # tolerate REDUCE-style construction
+                pass
+
+        # NEVER consult the real import machinery: a vocab.pkl is untrusted
+        # third-party data, and the default resolver turns any importable
+        # callable named in the stream (os.system, ...) into code execution
+        # at load time (review fix — verified live). The tiny whitelist is
+        # what genuine py2/py3 reference pickles actually need to
+        # reconstruct a plain attribute bag; everything else becomes _Bag.
+        _SAFE = {
+            ("collections", "OrderedDict"),
+            ("builtins", "object"),
+            ("__builtin__", "object"),
+            ("copy_reg", "_reconstructor"),
+            ("copyreg", "_reconstructor"),
+            # protocol<=2 has no bytes opcode: py3 pickles bytes through
+            # codecs.encode (pure data transform, no side effects)
+            ("_codecs", "encode"),
+        }
 
         class _AnyClassUnpickler(pickle.Unpickler):
             def find_class(self, module, name):  # noqa: D102
-                try:
+                if (module, name) in _SAFE:
                     return super().find_class(module, name)
-                except (ImportError, AttributeError):
-                    return _Bag
+                return _Bag
 
         def _s(x) -> str:
             return x.decode("utf-8", "replace") if isinstance(x, bytes) else str(x)

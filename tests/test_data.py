@@ -294,3 +294,58 @@ def test_device_transforms():
     assert not np.allclose(np.asarray(out2), np.asarray(out3))  # random aug
     c = center_crop(jnp.asarray(imgs), 224)
     np.testing.assert_array_equal(np.asarray(c), np.asarray(imgs)[:, 16:240, 16:240])
+
+
+def test_resize_image_palette_mode_preserves_colors(tmp_path):
+    """A palette-mode (P) PNG must convert through the palette, not treat
+    its 2-D palette indices as gray pixel values (review fix — a solid red
+    P-mode image came out near-black)."""
+    from PIL import Image
+
+    rgb = np.zeros((40, 30, 3), np.uint8)
+    rgb[..., 0] = 255  # solid red
+    src = tmp_path / "p.png"
+    Image.fromarray(rgb).convert("P", palette=Image.ADAPTIVE).save(src)
+    dst = tmp_path / "p_rgb.png"
+    assert resize_image(str(src), str(dst), size=32)
+    out = np.asarray(Image.open(dst))
+    assert out.shape == (32, 32, 3)
+    assert out[..., 0].mean() > 200 and out[..., 1].mean() < 30
+
+
+def test_resize_image_la_mode_saves_as_jpeg(tmp_path):
+    """LA-mode (gray+alpha) sources must save as JPEG instead of raising
+    'cannot write mode LA as JPEG' (review fix)."""
+    from PIL import Image
+
+    src = tmp_path / "la.png"
+    Image.fromarray((np.ones((40, 30)) * 200).astype(np.uint8)).convert(
+        "LA"
+    ).save(src)
+    dst = tmp_path / "la.jpg"
+    assert resize_image(str(src), str(dst), size=32)
+    assert np.asarray(Image.open(dst)).shape == (32, 32, 3)
+
+
+def test_preprocess_skips_failed_resizes(tmp_path):
+    """One unreadable image must not abort the offline pass: its caption
+    records are dropped and the run completes (review fix — the reference's
+    swallow-and-report contract, preprocess.py:89-92)."""
+    ann, img_root = make_karpathy_json(tmp_path)
+    # corrupt one source image
+    imgs = sorted(os.listdir(img_root))
+    with open(os.path.join(img_root, imgs[0]), "wb") as f:
+        f.write(b"not an image")
+    cfg = Config(
+        caption_json=ann,
+        images_root=img_root,
+        vocab_path=str(tmp_path / "vocab2.json"),
+        output_json=str(tmp_path / "data2.json"),
+        word_count_threshold=1,
+        print_stats=False,
+    )
+    preprocess(cfg, resize_images=True, data_root=str(tmp_path / "resized2"))
+    with open(cfg.output_json) as f:
+        records = json.load(f)
+    assert records  # the rest of the dataset survived
+    assert all(imgs[0] not in r["file_path"] for r in records)

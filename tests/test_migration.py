@@ -148,3 +148,35 @@ def test_vocab_pickle_empty_and_junk_messages(tmp_path):
         pickle.dump({"a": {"nested": 1}}, f, 2)
     with pytest.raises(ValueError, match="not integer indices"):
         Vocabulary.from_reference_pickle(p2)
+
+
+def test_vocab_pickle_never_executes_pickled_callables(tmp_path):
+    """A malicious vocab.pkl naming an importable callable (os.system)
+    must NOT execute it: find_class resolves only a tiny data-transform
+    whitelist, everything else becomes an inert bag (review fix — the
+    default-resolver-first fallback was verified to run shell commands)."""
+    import pytest
+
+    marker = tmp_path / "pwned"
+    payload = (
+        b"cos\nsystem\n(S'touch " + str(marker).encode() + b"'\ntR."
+    )
+    pkl = tmp_path / "evil.pkl"
+    pkl.write_bytes(payload)
+    with pytest.raises(ValueError):
+        Vocabulary.from_reference_pickle(str(pkl))
+    assert not marker.exists()
+
+
+def test_vocab_load_validates_special_tokens(tmp_path):
+    """A hand-built vocab.json whose word list does not lead with the
+    special tokens must raise instead of silently mis-encoding (review
+    fix: encode/decode hardwire PAD/START/END/UNK ids)."""
+    import json as _json
+
+    import pytest
+
+    p = tmp_path / "vocab.json"
+    p.write_text(_json.dumps({"words": ["a", "dog", "<pad>", "<start>"]}))
+    with pytest.raises(ValueError, match="special token"):
+        Vocabulary.load(str(p))
