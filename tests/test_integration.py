@@ -146,3 +146,27 @@ def test_full_training_loop_cider_gate_and_serving(tmp_path):
     ]
     correct = sum(c == e for c, e in zip(captions, expected))
     assert correct >= 9, list(zip(captions, expected))
+
+    # argv-level evaluate CLI on the same artifacts (the standalone eval
+    # workflow a user runs on a finished experiment) — the one CLI surface
+    # the rest of the suite exercised only through its error path
+    from show_and_tell_tpu.cli.evaluate import main as evaluate_main
+
+    val_loss, preds, stats = evaluate_main(
+        [
+            "--data_json", cfg.data_json,
+            "--vocab_path", cfg.vocab_path,
+            "--ann_file", cfg.ann_file,
+            "--load_model_path", expr,
+            "--batch_size", "6",
+            "--embed_size", "24", "--hidden_size", "48", "--crop_size", "32",
+            "--num_buckets", "1", "--num_workers", "2",
+            "--beam_size", "3", "--max_decode_len", "5",
+            "--language_eval", "1", "--log_step", "50",
+        ]
+    )
+    assert np.isfinite(val_loss)
+    assert len(preds) == 12, len(preds)
+    # same gated-best checkpoint the Captioner just decoded with: the CLI
+    # must reproduce the near-memorised val CIDEr, not a random-weights one
+    assert stats.get("CIDEr", 0.0) > 1.0, stats
