@@ -276,89 +276,94 @@ def init_inception_v3(key, dtype=jnp.float32) -> Params:
     return p
 
 
-def _inc_a(p, x):
-    b1 = _basic(p["branch1x1"], x)
-    b5 = _basic(p["branch5x5_2"], _basic(p["branch5x5_1"], x), padding=2)
-    b3 = _basic(p["branch3x3dbl_1"], x)
-    b3 = _basic(p["branch3x3dbl_2"], b3, padding=1)
-    b3 = _basic(p["branch3x3dbl_3"], b3, padding=1)
-    bp = _basic(p["branch_pool"], avg_pool(x, 3, 1, [(0, 0), (1, 1), (1, 1), (0, 0)]))
+def _inc_a(p, x, basic=_basic):
+    b1 = basic(p["branch1x1"], x)
+    b5 = basic(p["branch5x5_2"], basic(p["branch5x5_1"], x), padding=2)
+    b3 = basic(p["branch3x3dbl_1"], x)
+    b3 = basic(p["branch3x3dbl_2"], b3, padding=1)
+    b3 = basic(p["branch3x3dbl_3"], b3, padding=1)
+    bp = basic(p["branch_pool"], avg_pool(x, 3, 1, [(0, 0), (1, 1), (1, 1), (0, 0)]))
     return jnp.concatenate([b1, b5, b3, bp], axis=-1)
 
 
-def _inc_b(p, x):
-    b3 = _basic(p["branch3x3"], x, stride=2)
-    bd = _basic(p["branch3x3dbl_1"], x)
-    bd = _basic(p["branch3x3dbl_2"], bd, padding=1)
-    bd = _basic(p["branch3x3dbl_3"], bd, stride=2)
+def _inc_b(p, x, basic=_basic):
+    b3 = basic(p["branch3x3"], x, stride=2)
+    bd = basic(p["branch3x3dbl_1"], x)
+    bd = basic(p["branch3x3dbl_2"], bd, padding=1)
+    bd = basic(p["branch3x3dbl_3"], bd, stride=2)
     bp = max_pool(x, 3, 2)
     return jnp.concatenate([b3, bd, bp], axis=-1)
 
 
-def _inc_c(p, x):
-    b1 = _basic(p["branch1x1"], x)
-    b7 = _basic(p["branch7x7_1"], x)
-    b7 = _basic(p["branch7x7_2"], b7, padding=[(0, 0), (3, 3)])
-    b7 = _basic(p["branch7x7_3"], b7, padding=[(3, 3), (0, 0)])
-    bd = _basic(p["branch7x7dbl_1"], x)
-    bd = _basic(p["branch7x7dbl_2"], bd, padding=[(3, 3), (0, 0)])
-    bd = _basic(p["branch7x7dbl_3"], bd, padding=[(0, 0), (3, 3)])
-    bd = _basic(p["branch7x7dbl_4"], bd, padding=[(3, 3), (0, 0)])
-    bd = _basic(p["branch7x7dbl_5"], bd, padding=[(0, 0), (3, 3)])
-    bp = _basic(p["branch_pool"], avg_pool(x, 3, 1, [(0, 0), (1, 1), (1, 1), (0, 0)]))
+def _inc_c(p, x, basic=_basic):
+    b1 = basic(p["branch1x1"], x)
+    b7 = basic(p["branch7x7_1"], x)
+    b7 = basic(p["branch7x7_2"], b7, padding=[(0, 0), (3, 3)])
+    b7 = basic(p["branch7x7_3"], b7, padding=[(3, 3), (0, 0)])
+    bd = basic(p["branch7x7dbl_1"], x)
+    bd = basic(p["branch7x7dbl_2"], bd, padding=[(3, 3), (0, 0)])
+    bd = basic(p["branch7x7dbl_3"], bd, padding=[(0, 0), (3, 3)])
+    bd = basic(p["branch7x7dbl_4"], bd, padding=[(3, 3), (0, 0)])
+    bd = basic(p["branch7x7dbl_5"], bd, padding=[(0, 0), (3, 3)])
+    bp = basic(p["branch_pool"], avg_pool(x, 3, 1, [(0, 0), (1, 1), (1, 1), (0, 0)]))
     return jnp.concatenate([b1, b7, bd, bp], axis=-1)
 
 
-def _inc_d(p, x):
-    b3 = _basic(p["branch3x3_2"], _basic(p["branch3x3_1"], x), stride=2)
-    b7 = _basic(p["branch7x7x3_1"], x)
-    b7 = _basic(p["branch7x7x3_2"], b7, padding=[(0, 0), (3, 3)])
-    b7 = _basic(p["branch7x7x3_3"], b7, padding=[(3, 3), (0, 0)])
-    b7 = _basic(p["branch7x7x3_4"], b7, stride=2)
+def _inc_d(p, x, basic=_basic):
+    b3 = basic(p["branch3x3_2"], basic(p["branch3x3_1"], x), stride=2)
+    b7 = basic(p["branch7x7x3_1"], x)
+    b7 = basic(p["branch7x7x3_2"], b7, padding=[(0, 0), (3, 3)])
+    b7 = basic(p["branch7x7x3_3"], b7, padding=[(3, 3), (0, 0)])
+    b7 = basic(p["branch7x7x3_4"], b7, stride=2)
     bp = max_pool(x, 3, 2)
     return jnp.concatenate([b3, b7, bp], axis=-1)
 
 
-def _inc_e(p, x):
-    b1 = _basic(p["branch1x1"], x)
-    b3 = _basic(p["branch3x3_1"], x)
+def _inc_e(p, x, basic=_basic):
+    b1 = basic(p["branch1x1"], x)
+    b3 = basic(p["branch3x3_1"], x)
     b3 = jnp.concatenate(
         [
-            _basic(p["branch3x3_2a"], b3, padding=[(0, 0), (1, 1)]),
-            _basic(p["branch3x3_2b"], b3, padding=[(1, 1), (0, 0)]),
+            basic(p["branch3x3_2a"], b3, padding=[(0, 0), (1, 1)]),
+            basic(p["branch3x3_2b"], b3, padding=[(1, 1), (0, 0)]),
         ],
         axis=-1,
     )
-    bd = _basic(p["branch3x3dbl_1"], x)
-    bd = _basic(p["branch3x3dbl_2"], bd, padding=1)
+    bd = basic(p["branch3x3dbl_1"], x)
+    bd = basic(p["branch3x3dbl_2"], bd, padding=1)
     bd = jnp.concatenate(
         [
-            _basic(p["branch3x3dbl_3a"], bd, padding=[(0, 0), (1, 1)]),
-            _basic(p["branch3x3dbl_3b"], bd, padding=[(1, 1), (0, 0)]),
+            basic(p["branch3x3dbl_3a"], bd, padding=[(0, 0), (1, 1)]),
+            basic(p["branch3x3dbl_3b"], bd, padding=[(1, 1), (0, 0)]),
         ],
         axis=-1,
     )
-    bp = _basic(p["branch_pool"], avg_pool(x, 3, 1, [(0, 0), (1, 1), (1, 1), (0, 0)]))
+    bp = basic(p["branch_pool"], avg_pool(x, 3, 1, [(0, 0), (1, 1), (1, 1), (0, 0)]))
     return jnp.concatenate([b1, b3, bd, bp], axis=-1)
 
 
-def inception_v3_features(params: Params, images: jax.Array) -> jax.Array:
-    """images [B,299,299,3] -> pooled [B, 2048]."""
-    x = _basic(params["Conv2d_1a_3x3"], images, stride=2)
-    x = _basic(params["Conv2d_2a_3x3"], x)
-    x = _basic(params["Conv2d_2b_3x3"], x, padding=1)
+def inception_v3_features(params: Params, images: jax.Array, basic=_basic) -> jax.Array:
+    """images [B,299,299,3] -> pooled [B, 2048].
+
+    ``basic`` injects how each BasicConv2d node is applied, so this ONE
+    wiring definition serves the f32 forward, the int8 forward, and the
+    PTQ calibration replay (models/quantize.py) — three consumers, zero
+    duplicated topology."""
+    x = basic(params["Conv2d_1a_3x3"], images, stride=2)
+    x = basic(params["Conv2d_2a_3x3"], x)
+    x = basic(params["Conv2d_2b_3x3"], x, padding=1)
     x = max_pool(x, 3, 2)
-    x = _basic(params["Conv2d_3b_1x1"], x)
-    x = _basic(params["Conv2d_4a_3x3"], x)
+    x = basic(params["Conv2d_3b_1x1"], x)
+    x = basic(params["Conv2d_4a_3x3"], x)
     x = max_pool(x, 3, 2)
     for name in ["Mixed_5b", "Mixed_5c", "Mixed_5d"]:
-        x = _inc_a(params[name], x)
-    x = _inc_b(params["Mixed_6a"], x)
+        x = _inc_a(params[name], x, basic)
+    x = _inc_b(params["Mixed_6a"], x, basic)
     for name in ["Mixed_6b", "Mixed_6c", "Mixed_6d", "Mixed_6e"]:
-        x = _inc_c(params[name], x)
-    x = _inc_d(params["Mixed_7a"], x)
+        x = _inc_c(params[name], x, basic)
+    x = _inc_d(params["Mixed_7a"], x, basic)
     for name in ["Mixed_7b", "Mixed_7c"]:
-        x = _inc_e(params[name], x)
+        x = _inc_e(params[name], x, basic)
     return global_avg_pool(x)
 
 

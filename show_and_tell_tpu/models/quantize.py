@@ -119,10 +119,20 @@ def vgg16_features_q(qparams: Params, images: jax.Array) -> jax.Array:
 
 
 def is_quantized(frozen: Params) -> bool:
-    return isinstance(frozen, dict) and ("qconvs" in frozen or "qlayers" in frozen)
+    return isinstance(frozen, dict) and (
+        "qconvs" in frozen or "qlayers" in frozen or "qinception" in frozen
+    )
 
 
-QUANTIZABLE_ENCODERS = ("vgg16", "resnet152")
+QUANTIZABLE_ENCODERS = ("vgg16", "resnet152", "inception_v3")
+
+
+def _quantized_kind(q: Params) -> str:
+    if "qlayers" in q:
+        return "resnet152"
+    if "qinception" in q:
+        return "inception_v3"
+    return "vgg16"
 
 
 def quantize_backbone(encoder_name: str, frozen: Params, calib_images: jax.Array):
@@ -131,6 +141,8 @@ def quantize_backbone(encoder_name: str, frozen: Params, calib_images: jax.Array
         return quantize_vgg16(frozen, calib_images)
     if encoder_name == "resnet152":
         return quantize_resnet152(frozen, calib_images)
+    if encoder_name == "inception_v3":
+        return quantize_inception_v3(frozen, calib_images)
     raise ValueError(f"no int8 recipe for encoder {encoder_name!r}")
 
 
@@ -150,7 +162,7 @@ def obtain_quantized(
         # opaque shape error deep in the decoder (review fix). Same-arch
         # staleness (different weights) is the caller's responsibility —
         # the path names ONE calibration, delete it to recalibrate.
-        kind = "resnet152" if "qlayers" in q else "vgg16"
+        kind = _quantized_kind(q)
         if kind != encoder_name:
             raise ValueError(
                 f"quantized tree at {path} was calibrated for {kind}, but "
@@ -165,7 +177,11 @@ def obtain_quantized(
 
 
 def backbone_features_q(qparams: Params, images: jax.Array) -> jax.Array:
-    fn = resnet152_features_q if "qlayers" in qparams else vgg16_features_q
+    fn = {
+        "resnet152": resnet152_features_q,
+        "inception_v3": inception_v3_features_q,
+        "vgg16": vgg16_features_q,
+    }[_quantized_kind(qparams)]
     return jax.lax.stop_gradient(fn(qparams, images))
 
 
@@ -203,18 +219,15 @@ def feature_agreement(frozen: Params, qparams: Params, images: jax.Array) -> flo
     quantization-error bound the tests pin. Dispatches on the quantized
     tree's kind (review fix: it hardcoded the VGG trunk, so the ResNet
     path's error could not be measured with the advertised helper)."""
-    if "qlayers" in qparams:
-        from show_and_tell_tpu.models.encoders import resnet152_features
-
-        f = np.asarray(
-            resnet152_features(frozen, images.astype(jnp.float32)), np.float32
-        )
-        g = np.asarray(resnet152_features_q(qparams, images), np.float32)
+    kind = _quantized_kind(qparams)
+    if kind == "resnet152":
+        from show_and_tell_tpu.models.encoders import resnet152_features as f32_fn
+    elif kind == "inception_v3":
+        from show_and_tell_tpu.models.encoders import inception_v3_features as f32_fn
     else:
-        f = np.asarray(
-            vgg16_features(frozen, images.astype(jnp.float32)), np.float32
-        )
-        g = np.asarray(vgg16_features_q(qparams, images), np.float32)
+        f32_fn = vgg16_features
+    f = np.asarray(f32_fn(frozen, images.astype(jnp.float32)), np.float32)
+    g = np.asarray(backbone_features_q(qparams, images), np.float32)
     return _cosine(f, g)
 
 
@@ -239,10 +252,10 @@ def _cosine(f: np.ndarray, g: np.ndarray) -> float:
 _BN_EPS = 1e-5
 
 
-def _fold_conv_bn(conv: Params, bn: Params) -> Params:
+def _fold_conv_bn(conv: Params, bn: Params, eps: float = _BN_EPS) -> Params:
     w = np.asarray(conv["w"], np.float32)  # [kh, kw, ci, co]
     s = np.asarray(bn["scale"], np.float32) / np.sqrt(
-        np.asarray(bn["var"], np.float32) + _BN_EPS
+        np.asarray(bn["var"], np.float32) + eps
     )
     # BN(conv(x)+b_conv) = (conv(x)+b_conv-mean)*s + bias; standard ResNet
     # convs are bias-free but a nonzero b_conv (seen in some exports) must
@@ -358,3 +371,88 @@ def resnet152_features_q(qparams: Params, images: jax.Array) -> jax.Array:
                 x = _qconv_s(qb["qdown"], x, stride=stride)
             x = jax.nn.relu(x + y)
     return global_avg_pool(x)
+
+
+# --------------------------------------------------------------------------
+# Inception-v3 (the scaled BASELINE.json config's trunk): same recipe
+# --------------------------------------------------------------------------
+# Every Inception conv is a torchvision BasicConv2d (bias-free conv ->
+# BN(eps=1e-3) -> ReLU, encoders._basic), so BN folding + per-output-channel
+# int8 is uniform. The wiring is NOT duplicated here: encoders.
+# inception_v3_features takes an injectable ``basic`` apply-fn, and this
+# module supplies (a) a tracking ``basic`` for the calibration replay and
+# (b) the int8 ``basic`` for the quantized forward. The stem conv
+# (Conv2d_1a_3x3, C_in=3) stays float — same rule as VGG conv0/ResNet stem.
+
+_INCEPTION_BN_EPS = 1e-3
+
+
+def quantize_inception_v3(
+    frozen: Params, calib_images: jax.Array, headroom: float = 1.1
+) -> Params:
+    """Frozen Inception-v3 trunk -> ``{"qinception": mirrored-tree}``.
+
+    Calibration is ONE jitted replay of the real wiring: ``frozen`` is a
+    closure capture (not a jit argument), so the tracking ``basic`` sees
+    the ORIGINAL param subdicts at trace time and the per-conv input
+    absmaxes map back to their nodes by identity.
+    """
+    from show_and_tell_tpu.models.encoders import _basic, inception_v3_features
+
+    order: list = []  # BasicConv2d nodes, application order (trace-time)
+    tracked: list = []
+
+    def tracking(node, x, stride=1, padding="VALID"):
+        order.append(node)
+        tracked.append(jnp.max(jnp.abs(x)))
+        return _basic(node, x, stride, padding)
+
+    @jax.jit
+    def collect(images):
+        order.clear()
+        tracked.clear()
+        inception_v3_features(
+            frozen, images.astype(jnp.float32), basic=tracking
+        )
+        return jnp.stack(tracked)
+
+    absmax = np.asarray(collect(calib_images))
+    assert len(order) == absmax.shape[0], (len(order), absmax.shape)
+    scale_of = {
+        id(n): float(absmax[i]) * headroom / _QMAX for i, n in enumerate(order)
+    }
+    stem = frozen["Conv2d_1a_3x3"]
+
+    def qmap(node):
+        if isinstance(node, dict) and "conv" in node and "bn" in node:
+            if node is stem:
+                return {"conv": node["conv"], "bn": node["bn"]}  # float stem
+            return _quant_folded(
+                _fold_conv_bn(node["conv"], node["bn"], eps=_INCEPTION_BN_EPS),
+                scale_of[id(node)],
+            )
+        return {k: qmap(v) for k, v in node.items()}
+
+    return {"qinception": qmap(frozen)}
+
+
+def _qbasic(node: Params, x: jax.Array, stride: int = 1, padding="VALID"):
+    """Quantized BasicConv2d: int8 folded conv -> float rescale -> ReLU.
+    Float nodes (the stem) fall through to the f32 BasicConv2d."""
+    if "wq" not in node:
+        from show_and_tell_tpu.models.encoders import _basic
+
+        return _basic(node, x, stride, padding)
+    if isinstance(padding, int):
+        padding = [(padding, padding), (padding, padding)]
+    return jax.nn.relu(_qconv_s(node, x, stride=stride, padding=padding))
+
+
+def inception_v3_features_q(qparams: Params, images: jax.Array) -> jax.Array:
+    """Quantized mirror of ``encoders.inception_v3_features`` — literally the
+    same wiring function, with the int8 ``basic`` injected."""
+    from show_and_tell_tpu.models.encoders import inception_v3_features
+
+    return inception_v3_features(
+        qparams["qinception"], images.astype(jnp.float32), basic=_qbasic
+    )

@@ -324,3 +324,48 @@ def test_obtain_quantized_shares_calibration(tmp_path):
     # without a path, fresh calibration differs
     q3 = quantize.quantize_vgg16(frozen, _images(seed=9))
     assert float(q3["qconvs"][0]["sx"]) != float(q1["qconvs"][0]["sx"])
+
+
+def test_inception_v3_quantized_features_close():
+    from show_and_tell_tpu.models.encoders import (
+        init_inception_v3,
+        inception_v3_features,
+    )
+
+    frozen = init_inception_v3(jax.random.PRNGKey(0))
+    # 96px: smallest convenient size that survives the VALID stem/reduction
+    # stack; random weights + image-like inputs
+    imgs = _images(n=2, size=96)
+    q = quantize.quantize_inception_v3(frozen, imgs)
+    assert quantize.is_quantized(q) and not quantize.is_quantized(frozen)
+    # stem stays float, every other BasicConv2d node is int8-folded
+    qt = q["qinception"]
+    assert "conv" in qt["Conv2d_1a_3x3"] and "wq" not in qt["Conv2d_1a_3x3"]
+    assert qt["Conv2d_2a_3x3"]["wq"].dtype == jnp.int8
+    assert qt["Mixed_7c"]["branch_pool"]["wq"].dtype == jnp.int8
+    f = np.asarray(inception_v3_features(frozen, imgs))
+    g = np.asarray(quantize.inception_v3_features_q(q, imgs))
+    assert f.shape == g.shape == (2, 2048)
+    cos = quantize.feature_agreement(frozen, q, imgs)
+    assert cos > 0.97, cos
+    # held-out batch: finite + close (calibrated scales generalize)
+    imgs2 = _images(n=2, size=96, seed=3)
+    assert np.isfinite(np.asarray(quantize.inception_v3_features_q(q, imgs2))).all()
+    assert quantize.feature_agreement(frozen, q, imgs2) > 0.96
+
+
+def test_inception_v3_quantized_save_load_roundtrip(tmp_path):
+    from show_and_tell_tpu.models.encoders import init_inception_v3
+
+    frozen = init_inception_v3(jax.random.PRNGKey(1))
+    imgs = _images(n=2, size=96, seed=1)
+    q = quantize.quantize_inception_v3(frozen, imgs)
+    p = str(tmp_path / "q_inc.msgpack")
+    quantize.save_quantized(p, q)
+    q2 = quantize.load_quantized(p)
+    a = np.asarray(quantize.inception_v3_features_q(q, imgs))
+    b = np.asarray(quantize.inception_v3_features_q(q2, imgs))
+    np.testing.assert_array_equal(a, b)
+    # wrong-architecture guard: a vgg model must refuse this tree
+    with pytest.raises(ValueError, match="calibrated for inception_v3"):
+        quantize.obtain_quantized("vgg16", frozen, imgs, path=p)
