@@ -258,6 +258,7 @@ def make_server(
     batch_max_delay_ms: float = 10.0,
     batch_max_size: Optional[int] = None,
     batch_max_queue: Optional[int] = None,
+    warmup: bool = False,
 ) -> HTTPServer:
     """Build (don't start) the HTTP server — tests drive it in a thread.
 
@@ -266,6 +267,13 @@ def make_server(
     carries it as ``server.batcher`` (closed by ``server_close``).
     """
     cap = captioner or Captioner.from_checkpoint(cfg, cfg.load_model_path, vocab)
+    if warmup:
+        # compile (and int8-calibrate, if configured) BEFORE accepting
+        # traffic: a cold TPU compile is 20-60 s — longer than any sane
+        # client timeout, so the first real request must never pay it
+        mode = "greedy" if cfg.beam_size <= 1 else "beam"
+        log.info("warming serving programs (mode=%s)...", mode)
+        log.info("warmup done in %.1f s", cap.warmup(modes=(mode,)))
     batcher = (
         DynamicBatcher(
             cap, max_batch=batch_max_size, max_delay_ms=batch_max_delay_ms,
@@ -328,6 +336,11 @@ def main(argv=None):
         help="queue depth past which requests get 429 "
         "(default: 8x the max batch)",
     )
+    ap.add_argument(
+        "--warmup", action="store_true",
+        help="compile the serving programs (smallest + largest bucket) "
+        "before accepting traffic, so no request pays the TPU compile",
+    )
     http_args, rest = ap.parse_known_args(argv)
     cfg = parse_config(rest)
     setup_logging("serve_http_log.txt")
@@ -338,6 +351,7 @@ def main(argv=None):
         batch_max_delay_ms=http_args.batch_max_delay_ms,
         batch_max_size=http_args.batch_max_size,
         batch_max_queue=http_args.batch_max_queue,
+        warmup=http_args.warmup,
     )
     log.info("serving on %s:%d", http_args.http_host, http_args.http_port)
     try:

@@ -185,6 +185,33 @@ class Captioner:
 
     # ------------------------------------------------------------------
 
+    def warmup(
+        self,
+        modes: Sequence[str] = ("beam",),
+        buckets: Optional[Sequence[int]] = None,
+    ) -> float:
+        """Pre-compile + pre-calibrate the serving programs so the first
+        real request pays none of it (a TPU compile is 20-60 s — far above
+        any sane request timeout). Runs one dummy batch per
+        (bucket, mode); default buckets = smallest + largest (the shapes a
+        single request and a coalesced/bulk batch hit). Returns seconds
+        spent. Also triggers the one-time int8 calibration when
+        ``quantize_backbone`` is on, so that cost moves to startup too."""
+        t0 = time.perf_counter()
+        buckets = (
+            sorted(set(buckets))
+            if buckets
+            else sorted({self.bucket_sizes[0], self.bucket_sizes[-1]})
+        )
+        dummy = np.zeros((buckets[-1], 256, 256, 3), np.uint8)
+        count_before = self._sample_count
+        for mode in modes:
+            for b in buckets:
+                self.caption_images(dummy[:b], mode=mode)
+        # dummy sample calls must not shift the live rng sequence
+        self._sample_count = count_before
+        return time.perf_counter() - t0
+
     def caption_images(
         self, images_u8: np.ndarray, mode: str = "beam", rng_offset: int = 0
     ) -> List[str]:

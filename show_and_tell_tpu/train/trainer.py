@@ -124,7 +124,8 @@ class Trainer:
         first batch, then every train step, periodic eval, and checkpointed
         serving all run the same int8 features. No-op unless
         ``cfg.quantize_backbone`` and the encoder has an int8 recipe
-        (``quantize.QUANTIZABLE_ENCODERS``: VGG16, ResNet-152)."""
+        (``quantize.QUANTIZABLE_ENCODERS``: VGG16, ResNet-152,
+        Inception-v3)."""
         cfg = self.cfg
         from show_and_tell_tpu.models import quantize as quantize_mod
 

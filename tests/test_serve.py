@@ -287,3 +287,26 @@ def test_attention_sheet_rendering(tmp_path):
     const = np.full((H, W, 3), 128, np.uint8)
     ov = attention_overlay(const, alpha)
     assert ov[2, 2].mean() > ov[-2, -2].mean()
+
+
+def test_captioner_warmup_precompiles_buckets():
+    cfg = Config(
+        embed_size=16, hidden_size=32, crop_size=32, max_decode_len=4,
+        beam_size=2,
+    )
+    cap = Captioner.from_checkpoint(cfg, None, _vocab(), bucket_sizes=(2, 4))
+    dt = cap.warmup(modes=("beam", "greedy"))
+    assert dt > 0
+    # smallest + largest buckets compiled for both modes, nothing else
+    assert set(cap._fns) == {
+        (2, "beam"), (4, "beam"), (2, "greedy"), (4, "greedy")
+    }
+    # sample-mode warmup must not consume live rng sequence positions
+    images = (np.random.default_rng(0).random((2, 40, 40, 3)) * 255).astype(
+        np.uint8
+    )
+    live = cap.caption_images(images, mode="sample")
+    cap2 = Captioner.from_checkpoint(cfg, None, _vocab(), bucket_sizes=(2, 4))
+    cap2.warmup(modes=("sample",), buckets=(2,))
+    assert cap2._sample_count == 0
+    assert cap2.caption_images(images, mode="sample") == live
