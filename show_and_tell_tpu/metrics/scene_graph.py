@@ -120,6 +120,12 @@ FRAMING_PARTICIPLES = frozenset(
 ASPECTUAL_VERBS = frozenset(
     "trying tries attempting attempts".split()
 )
+# light verbs: the semantic weight sits in their OBJECT ("does a trick on
+# a skateboard"), so a locative after that object belongs to the agent,
+# not the object ((man, on, skateboard), never (trick, on, skateboard))
+LIGHT_VERBS = frozenset(
+    "do does doing did done perform performs performing performed".split()
+)
 
 
 def _norm(word: str) -> str:
@@ -213,6 +219,10 @@ PARTICIPLE_BASE = {
     # finite have-forms normalize to "have" so "a kitchen has cabinets"
     # and "a kitchen with cabinets"-style have-relations share a lemma
     "has": "have", "had": "have",
+    # irregular 3sg forms Porter mis-stems ("does" -> "doe", "goes" ->
+    # "goe") while the -ing forms stem to the true base — normalize so
+    # "does a trick" and "doing a trick" share a lemma
+    "does": "do", "did": "do", "done": "do", "goes": "go", "went": "go",
 }
 
 
@@ -327,6 +337,22 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
     # after the object re-anchors to a CONTAINER subject ("a plate of food
     # ON a table" -> the plate is on the table)
     last_of_rel = None
+    # APPOSITIVE pair: the NP that closed immediately before the currently
+    # open determiner-NP with NO connective between them ("a man , a
+    # tourist , taking a photo" arrives determiner-to-determiner once
+    # punctuation strips) — the appositive restates the first NP, so verb
+    # agency passes back to it. Cleared by every connective (prep, copula,
+    # conjunction, possessive), so list-like NPs joined by "and" never hit
+    # this path.
+    appos_prev: "_NP | None" = None
+    # Sentence-INITIAL verb-led segment with no subject yet ("SKIING DOWN
+    # THE MOUNTAIN is a man in red"): the verbs and their locative are
+    # stashed, and an inverted copula later binds them to the post-copula
+    # NP ((man, ski), (man, down, mountain)).
+    orphan_verbs: List[str] = []
+    orphan_pending: "str | None" = None
+    orphan_rel: "tuple | None" = None
+    invert_pending = False
 
     def add_subj_tuple(subj_np: "_NP", *rest: str) -> None:
         """Emit a tuple for subj_np and mirror it onto coordinated
@@ -334,6 +360,21 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
         tuples.add((_norm(subj_np.head),) + rest)
         for p in coord_partner.get(id(subj_np), []):
             tuples.add((_norm(p.head),) + rest)
+
+    def invert_emit(subj: "_NP") -> None:
+        """Bind the stashed sentence-initial VP to its inverted-copula
+        subject: the first NP to close after the copula."""
+        nonlocal invert_pending, orphan_rel
+        for v in orphan_verbs:
+            if _attr_ok(v):
+                add_subj_tuple(subj, _norm(PARTICIPLE_BASE.get(v, v)))
+        if orphan_rel is not None:
+            add_subj_tuple(
+                subj, _norm(orphan_rel[0]), _norm(orphan_rel[1].head)
+            )
+        orphan_verbs.clear()
+        orphan_rel = None
+        invert_pending = False
 
     def _attr_ok(v: str) -> bool:
         return (
@@ -370,6 +411,20 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
             return last_loc_rel[0]
         return np_
 
+    def gerund_agent(np_: "_NP", verb: str) -> "_NP":
+        """-ing verbs act on the locative-relation SUBJECT when their
+        nearest NP is a locative object ("a dog ON THE BEACH chasing a
+        ball" -> the dog chases; "a man on a bench reading" -> the man
+        reads). Stative participles keep nearest-NP attachment ("a tree
+        COVERED in snow")."""
+        if (
+            verb.endswith("ing")
+            and last_loc_rel is not None
+            and np_ is last_loc_rel[1]
+        ):
+            return agent_subject(last_loc_rel[0])
+        return agent_subject(np_)
+
     def cancel_dist(np_: "_NP") -> None:
         """np_ became the subject of its own relation: it was a new clause
         subject, not a distributed object/agent. Filter on the VARIED slot
@@ -394,7 +449,7 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
         inverted relation's verb."""
         nonlocal cur, last_np, pending_rel, rel_subj, after_conj, \
             last_loc_rel, last_rel3, last_rel3_slot, conj_prev, \
-            last_of_rel, detached
+            last_of_rel, detached, appos_prev
         entry_conj = after_conj
         after_conj = False
         entry_detached = detached
@@ -449,6 +504,8 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
             if subj_np is not None and obj_np is not None:
                 nps.append(subj_np)
                 nps.append(obj_np)
+                if invert_pending:
+                    invert_emit(subj_np)
                 if entry_detached:
                     # stranded object of a negated VP: it is not the agent
                     # of the following verb ("a man not wearing a HAT
@@ -475,14 +532,21 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                         )
                     else:
                         add_subj_tuple(
-                            rel_subj, _norm(pending_rel), _norm(subj_np.head)
+                            rel_subj, _norm(PARTICIPLE_BASE.get(pending_rel, pending_rel)), _norm(subj_np.head)
                         )
                         if pending_rel in PREPOSITIONS and pending_rel != "of":
                             last_loc_rel = (rel_subj, subj_np)
                         if pending_rel == "of":
                             last_of_rel = (rel_subj, subj_np)
                 base = PARTICIPLE_BASE.get(verb, verb)
-                agent = agent_subject(clause_subject(subj_np))
+                subj_eff = subj_np
+                if appos_prev is not None:
+                    # appositive restates the previous NP: agency passes to
+                    # the first NP ("a man , a tourist , taking a photo" ->
+                    # the MAN takes)
+                    subj_eff = appos_prev
+                    appos_prev = None
+                agent = gerund_agent(clause_subject(subj_eff), verb)
                 add_subj_tuple(agent, _norm(base), _norm(obj_np.head))
                 last_rel3 = (agent, base, obj_np)
                 last_rel3_slot = "obj"
@@ -518,6 +582,8 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                 return []
             return trailing_verbs
         nps.append(np_)
+        if invert_pending:
+            invert_emit(np_)
         if entry_detached:
             negated_np_ids.add(id(np_))
         if pending_rel is not None and rel_subj is not None:
@@ -549,7 +615,7 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                     last_rel3 = (np_, verb, rel_subj)
                     last_rel3_slot = "subj"  # coordination varies the agent
             else:
-                add_subj_tuple(rel_subj, _norm(pending_rel), _norm(np_.head))
+                add_subj_tuple(rel_subj, _norm(PARTICIPLE_BASE.get(pending_rel, pending_rel)), _norm(np_.head))
                 if pending_rel in PREPOSITIONS and pending_rel != "of":
                     last_loc_rel = (rel_subj, np_)
                 if pending_rel == "of":
@@ -584,7 +650,9 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
             return trailing_verbs
         for v in trailing_verbs:
             if _attr_ok(v):
-                add_subj_tuple(np_, _norm(v))
+                # "a cat ON A MAT sleeping" -> the cat sleeps (gerund after
+                # a locative object re-anchors); participles stay local
+                add_subj_tuple(gerund_agent(clause_subject(np_), v), _norm(v))
         return []
 
     def lone_content_segment() -> bool:
@@ -617,18 +685,28 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
             obj = _flush_np(words[k:])
             if obj is not None:
                 nps.append(obj)
+                # the whole verb run is one VP: a gerund head re-anchors it
+                # past a locative object to the clause subject ("a man on a
+                # bench READING a book" -> the man reads)
+                vp_anchor = gerund_agent(
+                    clause_subject(last_np), words[k - 1]
+                )
                 for v in words[: k - 1]:
                     if _attr_ok(v):
-                        add_subj_tuple(anchor, _norm(PARTICIPLE_BASE.get(v, v)))
+                        add_subj_tuple(vp_anchor, _norm(PARTICIPLE_BASE.get(v, v)))
                 base = PARTICIPLE_BASE.get(words[k - 1], words[k - 1])
-                add_subj_tuple(anchor, _norm(base), _norm(obj.head))
-                last_rel3 = (anchor, base, obj)
+                add_subj_tuple(vp_anchor, _norm(base), _norm(obj.head))
+                last_rel3 = (vp_anchor, base, obj)
                 last_rel3_slot = "obj"
                 return
         for c in words:
             if not _attr_ok(c):
                 continue
-            target = anchor if _is_verbish(c) else last_np
+            target = (
+                gerund_agent(clause_subject(last_np), c)
+                if _is_verbish(c)
+                else last_np
+            )
             add_subj_tuple(target, _norm(c))
 
     for ti, w in enumerate(toks):
@@ -666,6 +744,7 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
             # possessive clitic: "a man 's hat" -> (man, have, hat); the
             # copular reading ("the dog 's brown") is rare in caption text
             close_np()
+            appos_prev = None
             if last_np is not None:
                 pending_rel = "have"
                 rel_subj = last_np
@@ -713,6 +792,12 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                 for v in deferred:  # defer without passive: plain attrs
                     if last_np is not None:
                         tuples.add((_norm(last_np.head), _norm(v)))
+                    elif not nps:
+                        # sentence-initial verb run with no subject yet:
+                        # stash for an inverted copula ("SKIING down the
+                        # mountain is a man in red")
+                        orphan_verbs.append(v)
+            appos_prev = None
             if last_np is not None:
                 pending_rel = w
                 rel_subj = last_np
@@ -735,9 +820,29 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                     # "a PLATE of food ON a table": the container carries
                     # the locative (photo/group heads keep the of-object)
                     rel_subj = last_of_rel[0]
+                elif (
+                    w != "of"
+                    and last_rel3 is not None
+                    and last_np is last_rel3[2]
+                    and last_rel3[1] in LIGHT_VERBS
+                ):
+                    # light-verb object: "DOES a trick ON a skateboard" —
+                    # the locative belongs to the agent doing the trick
+                    rel_subj = last_rel3[0]
+            elif not nps and orphan_verbs and orphan_pending is None:
+                orphan_pending = w  # "skiing DOWN ..." awaiting its object
         elif w in COPULAS:
             negate_rel = False
             close_np()
+            appos_prev = None
+            if orphan_pending is not None and last_np is not None:
+                # "skiing down THE MOUNTAIN is ...": the orphan VP's
+                # locative object just closed
+                orphan_rel = (orphan_pending, last_np)
+                orphan_pending = None
+            if orphan_verbs or orphan_rel is not None:
+                # inverted copula: the next NP to close is the VP's subject
+                invert_pending = True
             if (
                 not rel_before_copula
                 and last_loc_rel is not None
@@ -752,6 +857,12 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                 # likewise past the stranded object of a negated VP ("a man
                 # not wearing a hat IS holding a dog" -> man holds)
                 last_np = clause_subject(last_np)
+            else:
+                # the relativizer bound this copula to the object NP ("a
+                # dog THAT IS sleeping" sleeps itself): the locative that
+                # produced the NP no longer defines clause subjecthood, or
+                # the gerund re-anchor would pass the verb back to "man"
+                last_loc_rel = None
             rel_before_copula = False
         elif w in CONJUNCTIONS:
             # attribute coordination stays inside the NP: "black AND white
@@ -773,6 +884,7 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
             negate_vp = False
             negate_rel = False
             close_np()
+            appos_prev = None
             pending_rel = None
             rel_subj = None
             after_conj = True
@@ -874,7 +986,7 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                         if pending_rel is not None and rel_subj is not None \
                                 and not isinstance(pending_rel, tuple):
                             add_subj_tuple(
-                                rel_subj, _norm(pending_rel), _norm(np_.head)
+                                rel_subj, _norm(PARTICIPLE_BASE.get(pending_rel, pending_rel)), _norm(np_.head)
                             )
                             if pending_rel in PREPOSITIONS and pending_rel != "of":
                                 last_loc_rel = (rel_subj, np_)
@@ -882,9 +994,34 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                                 last_of_rel = (rel_subj, np_)
                         last_np = np_
                         pending_rel = verb
-                        rel_subj = agent_subject(clause_subject(np_))
+                        if appos_prev is not None:
+                            # appositive subject: "a man , a tourist ,
+                            # TAKING a photo" — agency passes to the first
+                            # NP of the adjacent pair
+                            rel_subj = agent_subject(
+                                clause_subject(appos_prev)
+                            )
+                            appos_prev = None
+                        else:
+                            # gerund after a locative object acts on the
+                            # clause subject ("a dog ON THE BEACH chasing
+                            # A ball" -> the dog chases)
+                            rel_subj = gerund_agent(
+                                clause_subject(np_), verb
+                            )
                 else:
+                    had_connective = (
+                        pending_rel is not None or after_conj or detached
+                        or negate_vp or negate_rel
+                    )
                     close_np()
+                    # determiner-to-determiner with no connective: the NP
+                    # just closed is the left half of an appositive pair
+                    appos_prev = (
+                        last_np
+                        if not had_connective and last_np is not None
+                        else None
+                    )
             cur.append(w)
         elif w in SKIP:
             pass

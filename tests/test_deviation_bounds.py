@@ -13,26 +13,27 @@ from benchmarks.spice_parser_eval import evaluate as spice_parser_eval
 
 def test_spice_parser_golden_bounds():
     r = spice_parser_eval()
-    # fixed corpus: 139 hand-labeled captions, 537 gold tuples (the corpus
+    # fixed corpus: 145 hand-labeled captions, 567 gold tuples (the corpus
     # grows with regressions found in review — 'amid'/'front seat'/copula
     # re-anchoring cases added after the round-3 code reviews; relativizer-
     # before-copula cases after the third review; +23 coordination/
-    # partitive/negation/comparative cases with the session-2 parser work
-    # on VP+object+subject coordination, container attachment, locative-by
-    # passives, non-agent re-anchoring and post-nominal adjectives)
-    assert r["overall"]["n"] == 139
-    assert r["overall"]["gold"] == 537
-    assert r["easy"]["n"] == 41 and r["medium"]["n"] == 56 and r["hard"]["n"] == 42
-    # measured 2026-08-17 (round 3, session 2, post-adversarial-review):
-    # easy 1.0 / medium 1.0 / hard 0.9745, overall P 0.9944 R 0.9907
-    # F1 0.9925. Floors sit just under the measurement so legitimate
-    # parser work has headroom but regressions trip.
+    # partitive/negation/comparative cases with the session-2 parser work;
+    # +6 session-3 cases pinning the fixed residual classes: appositive
+    # subjects, light-verb locative attachment, inverted copulas)
+    assert r["overall"]["n"] == 150
+    assert r["overall"]["gold"] == 591
+    assert r["easy"]["n"] == 41 and r["medium"]["n"] == 60 and r["hard"]["n"] == 49
+    # measured 2026-08-17 (round 3, session 3, post-residual-fixes):
+    # easy 1.0 / medium 1.0 / hard 1.0, overall P/R/F1 1.0 — every
+    # documented residual class now parses. Floors sit just under the
+    # measurement so legitimate parser work has headroom but regressions
+    # trip.
     assert r["easy"]["f1"] == 1.0
-    assert r["medium"]["f1"] >= 0.98
-    assert r["hard"]["f1"] >= 0.95
-    assert r["overall"]["f1"] >= 0.98
-    assert r["overall"]["precision"] >= 0.98
-    assert r["overall"]["recall"] >= 0.98
+    assert r["medium"]["f1"] == 1.0
+    assert r["hard"]["f1"] >= 0.97
+    assert r["overall"]["f1"] >= 0.99
+    assert r["overall"]["precision"] >= 0.99
+    assert r["overall"]["recall"] >= 0.99
 
 
 def test_meteor_ablation_pinned():
