@@ -533,3 +533,35 @@ def test_spice_parser_coordination_and_framing():
     assert ("close",) not in t and ("plate", "of", "food") in t
     t = parse("a man and a dog")
     assert ("man",) in t and ("dog",) in t
+
+
+def test_scene_graph_parse_fuzz_never_raises():
+    """The parser's clause state machine has many interacting flags
+    (negation, coordination, appositives, inverted copulas): random
+    caption-shaped token soup must never crash it, and every tuple must
+    stay well-formed (1-3 elements)."""
+    import random
+
+    from show_and_tell_tpu.metrics.scene_graph import (
+        CONJUNCTIONS,
+        COPULAS,
+        DETERMINERS,
+        PREPOSITIONS,
+        parse,
+    )
+
+    vocab = (
+        list(DETERMINERS)
+        + [p for p in PREPOSITIONS if p.isalpha()]
+        + list(COPULAS)
+        + list(CONJUNCTIONS)
+        + ["man", "dog", "red", "running", "sitting", "held", "n't",
+           "not", "that", "'s", "doing", "trick", "covered"]
+    )
+    rng = random.Random(0)
+    for _ in range(1500):
+        cap = " ".join(
+            rng.choice(vocab) for _ in range(rng.randint(0, 12))
+        )
+        for t in parse(cap):
+            assert 1 <= len(t) <= 3, (cap, t)
