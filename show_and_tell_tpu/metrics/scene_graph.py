@@ -96,7 +96,11 @@ PLACE_NOUNS = frozenset(
     """beach street field park grass road sidewalk water ocean sea lake
     river pool sky ground floor wall window door fence tree building
     mountain hill shore curb corner roof ceiling kitchen bathroom bedroom
-    room station market harbor dock bridge background foreground""".split()
+    room station market harbor dock bridge background foreground
+    yard garden court stadium zoo forest city town snow air restaurant
+    store garage driveway highway porch balcony
+    table desk counter shelf bench couch sofa chair bed stool mat rug
+    seat""".split()
 )
 
 # container nouns: "a PLATE of food on a table" — a locative after the
@@ -173,10 +177,14 @@ VERBS = frozenset(
     catch catches swing swings hit hits kick kicks lean leans graze grazes
     stare stares gaze gazes rest rests float floats swim swims climb climbs
     pull pulls push pushes serve serves laugh laughs surf surfs ski skis
-    skate skates chase chases sets does""".split()
-# NOT "drinks": as a plural noun ("food and drinks") it outweighs the
-# 3rd-person verb reading in caption text
+    skate skates chase chases sets does
+    feed feeds hide hides cut cuts point points pet pets""".split()
 )
+# s-form verbs whose PLURAL-NOUN reading wins right after a conjunction
+# ("food and DRINKS", "dogs and PETS", "a park with slides and SWINGS"):
+# close_np treats a lone one there as an NP, while the verb reading stays
+# everywhere else ("a man DRINKS coffee", "a woman PETS a dog")
+S_NOUN_AFTER_CONJ = frozenset("drinks pets swings skis skates".split())
 
 # compound prepositions collapsed to one token before chunking
 _COMPOUND_PREPS = (
@@ -412,18 +420,43 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
         return np_
 
     def gerund_agent(np_: "_NP", verb: str) -> "_NP":
-        """-ing verbs act on the locative-relation SUBJECT when their
-        nearest NP is a locative object ("a dog ON THE BEACH chasing a
-        ball" -> the dog chases; "a man on a bench reading" -> the man
-        reads). Stative participles keep nearest-NP attachment ("a tree
-        COVERED in snow")."""
+        """Verbs act on the locative-relation SUBJECT when their nearest
+        NP is a locative object — always for -ing forms ("a dog ON THE
+        BEACH chasing a ball" -> the dog chases; "a man on a bench
+        reading" -> the man reads), and for finite forms when the nearest
+        NP is a PLACE noun, which cannot be a verb agent ("men IN A PARK
+        play frisbee" -> the men play). Stative participles keep
+        nearest-NP attachment ("a tree COVERED in snow")."""
         if (
-            verb.endswith("ing")
-            and last_loc_rel is not None
+            last_loc_rel is not None
             and np_ is last_loc_rel[1]
+            and (
+                verb.endswith("ing")
+                or (np_.head in PLACE_NOUNS and not _is_participle(verb))
+            )
         ):
             return agent_subject(last_loc_rel[0])
         return agent_subject(np_)
+
+    def place_rel_subject(subj: "_NP", prep, obj_np: "_NP") -> "_NP":
+        """A locative whose object is a PLACE noun attaches to the clause
+        subject when the pending subject is itself the object of an active
+        VERB relation ("two men playing frisbee IN A PARK" -> the men are
+        in the park, not the frisbee). Non-place objects keep nearest
+        attachment ("wearing a hat ON HER HEAD" -> the hat is on the
+        head)."""
+        if (
+            isinstance(prep, str)
+            and prep in PREPOSITIONS
+            and prep != "of"
+            and obj_np.head in PLACE_NOUNS
+            and last_rel3 is not None
+            and subj is last_rel3[2]
+            and last_rel3_slot == "obj"
+            and _is_verbish(last_rel3[1])
+        ):
+            return last_rel3[0]
+        return subj
 
     def cancel_dist(np_: "_NP") -> None:
         """np_ became the subject of its own relation: it was a new clause
@@ -467,6 +500,13 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
         all_verbs = pending_rel is None and all(
             _is_verbish(t) for t in words if content_count([t])
         )
+        if (
+            all_verbs
+            and entry_conj
+            and len(words) == 1
+            and words[0] in S_NOUN_AFTER_CONJ
+        ):
+            all_verbs = False  # noun reading: "food and DRINKS"
         while words and _is_verbish(words[-1]) and (
             all_verbs or content_count(words[:-1]) >= 1
         ):
@@ -531,13 +571,14 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                             (_norm(subj_np.head), _norm(pv), _norm(rel_subj.head))
                         )
                     else:
+                        p_subj = place_rel_subject(rel_subj, pending_rel, subj_np)
                         add_subj_tuple(
-                            rel_subj, _norm(PARTICIPLE_BASE.get(pending_rel, pending_rel)), _norm(subj_np.head)
+                            p_subj, _norm(PARTICIPLE_BASE.get(pending_rel, pending_rel)), _norm(subj_np.head)
                         )
                         if pending_rel in PREPOSITIONS and pending_rel != "of":
-                            last_loc_rel = (rel_subj, subj_np)
+                            last_loc_rel = (p_subj, subj_np)
                         if pending_rel == "of":
-                            last_of_rel = (rel_subj, subj_np)
+                            last_of_rel = (p_subj, subj_np)
                 base = PARTICIPLE_BASE.get(verb, verb)
                 subj_eff = subj_np
                 if appos_prev is not None:
@@ -615,12 +656,13 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                     last_rel3 = (np_, verb, rel_subj)
                     last_rel3_slot = "subj"  # coordination varies the agent
             else:
-                add_subj_tuple(rel_subj, _norm(PARTICIPLE_BASE.get(pending_rel, pending_rel)), _norm(np_.head))
+                p_subj = place_rel_subject(rel_subj, pending_rel, np_)
+                add_subj_tuple(p_subj, _norm(PARTICIPLE_BASE.get(pending_rel, pending_rel)), _norm(np_.head))
                 if pending_rel in PREPOSITIONS and pending_rel != "of":
-                    last_loc_rel = (rel_subj, np_)
+                    last_loc_rel = (p_subj, np_)
                 if pending_rel == "of":
-                    last_of_rel = (rel_subj, np_)
-                last_rel3 = (rel_subj, pending_rel, np_)
+                    last_of_rel = (p_subj, np_)
+                last_rel3 = (p_subj, pending_rel, np_)
                 last_rel3_slot = "obj"
         elif (
             entry_conj
@@ -652,7 +694,13 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
             if _attr_ok(v):
                 # "a cat ON A MAT sleeping" -> the cat sleeps (gerund after
                 # a locative object re-anchors); participles stay local
-                add_subj_tuple(gerund_agent(clause_subject(np_), v), _norm(v))
+                subj_v = gerund_agent(clause_subject(np_), v)
+                add_subj_tuple(subj_v, _norm(v))
+                if subj_v is not np_:
+                    # clause subjecthood follows the re-anchor so the next
+                    # locative relates the subject ("... sleeping IN THE
+                    # SUN" -> the cat is in the sun, not the mat)
+                    last_np = subj_v
         return []
 
     def lone_content_segment() -> bool:
@@ -671,7 +719,7 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
         non-verb content is a bare-object relation ("is drinking water"
         after 'the zebra': (zebra, drink, water), extra leading verbs stay
         attributes); otherwise every content token is an attribute."""
-        nonlocal cur, last_rel3, last_rel3_slot
+        nonlocal cur, last_rel3, last_rel3_slot, last_np
         words = [c for c in cur if c not in SKIP]
         cur = []
         # verbs anchor to the agent-capable subject ("a man in a HAT
@@ -708,6 +756,11 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                 else last_np
             )
             add_subj_tuple(target, _norm(c))
+            if _is_verbish(c) and target is not last_np:
+                # the gerund re-anchored ("a man covered in snow SKIING
+                # down a hill"): clause subjecthood follows it, so the
+                # next locative relates the man, not the snow
+                last_np = target
 
     for ti, w in enumerate(toks):
         nxt = toks[ti + 1] if ti + 1 < len(toks) else None
@@ -985,13 +1038,16 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                         # verb's agent re-anchors past NON_AGENT heads
                         if pending_rel is not None and rel_subj is not None \
                                 and not isinstance(pending_rel, tuple):
+                            p_subj = place_rel_subject(
+                                rel_subj, pending_rel, np_
+                            )
                             add_subj_tuple(
-                                rel_subj, _norm(PARTICIPLE_BASE.get(pending_rel, pending_rel)), _norm(np_.head)
+                                p_subj, _norm(PARTICIPLE_BASE.get(pending_rel, pending_rel)), _norm(np_.head)
                             )
                             if pending_rel in PREPOSITIONS and pending_rel != "of":
-                                last_loc_rel = (rel_subj, np_)
+                                last_loc_rel = (p_subj, np_)
                             if pending_rel == "of":
-                                last_of_rel = (rel_subj, np_)
+                                last_of_rel = (p_subj, np_)
                         last_np = np_
                         pending_rel = verb
                         if appos_prev is not None:
