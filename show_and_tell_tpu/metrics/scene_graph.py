@@ -180,6 +180,12 @@ VERBS = frozenset(
     skate skates chase chases sets does
     feed feeds hide hides cut cuts point points pet pets""".split()
 )
+# color words: "a fire hydrant painted RED AND WHITE" — a verb's "object"
+# that is all colors is really a list of subject attributes, never an NP
+COLOR_WORDS = frozenset(
+    """red orange yellow green blue purple pink brown black white gray
+    grey tan beige gold silver maroon navy teal turquoise""".split()
+)
 # s-form verbs whose PLURAL-NOUN reading wins right after a conjunction
 # ("food and DRINKS", "dogs and PETS", "a park with slides and SWINGS"):
 # close_np treats a lone one there as an NP, while the verb reading stays
@@ -531,6 +537,17 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                 split_k = k
                 break
         if split_k >= 0:
+            obj_content = [
+                t for t in words[split_k + 1 :] if content_count([t])
+            ]
+            if obj_content and all(t in COLOR_WORDS for t in obj_content):
+                # "painted RED AND WHITE": the right side is a color list —
+                # attributes of the subject, not an object NP; the verb
+                # joins them as a participle attribute
+                trailing_verbs = [words[split_k]] + obj_content + trailing_verbs
+                words = words[:split_k]
+                split_k = -1
+        if split_k >= 0:
             subj_words, verb = words[:split_k], words[split_k]
             obj_words = words[split_k + 1 :]
             subj_verbs: List[str] = []
@@ -730,6 +747,14 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
         while k < len(words) and _is_verbish(words[k]):
             k += 1
         if 1 <= k < len(words) and not any(_is_verbish(t) for t in words[k:]):
+            if all(t in COLOR_WORDS for t in words[k:]):
+                # "is painted RED AND WHITE" after an NP: color attributes
+                for v in words[:k]:
+                    if _attr_ok(v):
+                        add_subj_tuple(anchor, _norm(PARTICIPLE_BASE.get(v, v)))
+                for c in words[k:]:
+                    add_subj_tuple(last_np, _norm(c))
+                return
             obj = _flush_np(words[k:])
             if obj is not None:
                 nps.append(obj)
