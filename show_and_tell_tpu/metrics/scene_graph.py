@@ -59,9 +59,13 @@ PREPOSITIONS = frozenset(
 COPULAS = frozenset("is are was were be been being 's am".split())
 CONJUNCTIONS = frozenset("and or but".split())
 SKIP = frozenset(
-    """there it he she they i you we who which that as while when where
+    """there it he she they i you we who which that as when where
     very really quite just also not n't up out about than""".split()
 )
+# "while"/"whilst" open a subordinate VP whose subject is the CLAUSE
+# subject ("holding an umbrella WHILE STANDING in the rain" -> the woman
+# stands): handled as a clause boundary in the token loop, not skipped
+SUBORDINATORS = frozenset(("while", "whilst"))
 # "than" is comparative syntax, not scene content: "a cake larger THAN a
 # plate" -> (cake, larger) + separate plate object, no relation tuple
 
@@ -982,6 +986,18 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                 )
             ):
                 conj_prev = last_np
+        elif w in SUBORDINATORS:
+            # subordinate VP boundary: the following verbs belong to the
+            # clause subject, exactly like a coordinated VP — but with no
+            # NP-coordination candidate (while never joins two NPs)
+            negate_vp = False
+            negate_rel = False
+            close_np()
+            appos_prev = None
+            pending_rel = None
+            rel_subj = None
+            after_conj = True
+            conj_prev = None
         elif w in DETERMINERS and w not in NUMBERS:
             if cur:
                 # content words only: determiners never count, or
