@@ -190,6 +190,16 @@ COLOR_WORDS = frozenset(
     """red orange yellow green blue purple pink brown black white gray
     grey tan beige gold silver maroon navy teal turquoise""".split()
 )
+# adjectives that legitimately coordinate INSIDE an NP ("black AND white
+# cat", "a big and small dog"): closed lexicon — a non-adjective before
+# "and" is NP coordination instead ("a bride AND groom" is two objects,
+# not one groom with a bride attribute)
+ADJ_COORD = COLOR_WORDS | POST_ADJS | frozenset(
+    """big large small little old young new tall short long wide narrow
+    bright dark light heavy thin thick soft hard clean dirty wet dry
+    open closed striped spotted fluffy furry shiny rusty broken fresh
+    round square modern vintage colorful plain fuzzy""".split()
+)
 # s-form verbs whose PLURAL-NOUN reading wins right after a conjunction
 # ("food and DRINKS", "dogs and PETS", "a park with slides and SWINGS"):
 # close_np treats a lone one there as an NP, while the verb reading stays
@@ -957,10 +967,22 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                 and nxt not in PREPOSITIONS
                 and nxt not in COPULAS
                 and not _is_verbish(nxt)
-                and not _is_verbish(cur[-1])
-                # a plural before 'and' is NP coordination ("dogs and
-                # cats"), not an adjective chain ("black and white")
-                and not cur[-1].endswith("s")
+                # only a KNOWN adjective coordinates inside the NP ("black
+                # AND white cat"); a noun before "and" is NP coordination
+                # ("a bride AND groom" is two objects, "a knife AND fork"
+                # likewise) — EXCEPT a det-less predicate segment with no
+                # pending relation, which is attributive regardless of
+                # lexicon ("the bananas are RIPE and yellow"; "a bowl of
+                # RICE and beans" has a pending 'of', so it still closes
+                # as an object NP)
+                and (
+                    cur[-1] in ADJ_COORD
+                    or (
+                        pending_rel is None
+                        and lone_content_segment()
+                        and not _is_verbish(cur[-1])
+                    )
+                )
             ):
                 continue
             negate_vp = False
