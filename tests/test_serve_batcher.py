@@ -257,3 +257,69 @@ def test_abandoned_ticket_retry_raises_not_none(captioner):
     with pytest.raises(RuntimeError, match="abandoned"):
         t_dead.result(timeout=5.0)
     b.close()
+
+
+def test_soak_mixed_modes_abandonment_overload(captioner):
+    """Randomized concurrency soak: many client threads submit mixed-mode
+    requests with random pacing, some abandon (tiny timeout), the queue is
+    small enough to trigger 429s — EVERY ticket must resolve exactly once
+    (caption, QueueFull, or timeout; never a hang or a None caption), and
+    the batcher's counters must reconcile with the client-side tally."""
+    import random
+    import time
+
+    b = DynamicBatcher(
+        captioner, max_batch=8, max_delay_ms=2.0, max_queue=16
+    )
+    img = _images(1)[0]
+    results = {"ok": 0, "rejected": 0, "timeout": 0, "error": 0}
+    lock = threading.Lock()
+
+    def client(seed):
+        rng = random.Random(seed)
+        for _ in range(12):
+            mode = rng.choice(["beam", "greedy", "sample"])
+            try:
+                t = b.submit(img, mode=mode)
+            except Exception:
+                with lock:
+                    results["rejected"] += 1
+                continue
+            # ~1 in 4 clients give up almost immediately (abandonment)
+            timeout = 0.001 if rng.random() < 0.25 else 60.0
+            try:
+                cap = t.result(timeout=timeout)
+                assert isinstance(cap, str) and cap is not None
+                with lock:
+                    results["ok"] += 1
+            except TimeoutError:
+                with lock:
+                    results["timeout"] += 1
+                # a retry on an abandoned ticket must raise, not hang or
+                # return None
+                try:
+                    t.result(timeout=10.0)
+                except (TimeoutError, RuntimeError):
+                    pass
+            except RuntimeError:
+                with lock:
+                    results["error"] += 1
+            if rng.random() < 0.3:
+                time.sleep(rng.random() * 0.004)
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+        assert not t.is_alive(), "client thread hung"
+    total = sum(results.values())
+    assert total == 6 * 12, results
+    assert results["ok"] > 0, results  # the soak must do real work
+    s = b.stats()
+    # every accepted request either dispatched in a batch or was dropped as
+    # abandoned; rejected ones never entered the queue
+    assert s["requests"] == total - results["rejected"]
+    assert s["batch_size_sum"] + s["abandoned"] + s["errors"] >= results["ok"]
+    assert s["rejected"] == results["rejected"]
+    b.close()
