@@ -18,7 +18,9 @@ jpg/jpeg/png, non-recursive). Output: one JSON line per image on stdout —
 ``{"image": path, "caption": text}`` — so it pipes cleanly into jq etc.
 Decode mode follows ``--beam_size`` (1 = greedy, >1 = beam); for sampling
 use the :class:`Captioner` API directly (``temperature`` / ``top_k`` /
-``top_p``).
+``top_p``). ``--attention_dir DIR`` additionally writes one
+attention-overlay contact sheet per image (greedy decode — the
+Show-Attend-Tell hallmark figure) and adds its path to the JSON line.
 """
 
 from __future__ import annotations
@@ -98,10 +100,37 @@ def main(argv=None):
     results = []
     captions = cap.caption_paths(paths, mode=mode)
     failed = {i for i, _ in cap.last_errors}
+    sheet_paths = {}
+    if cfg.attention_dir:
+        # the Show-Attend-Tell hallmark figure: greedy decode + one
+        # attention-overlay contact sheet per image (utils/visualize)
+        import numpy as np
+
+        from show_and_tell_tpu.data.pipeline import _load_image_checked
+
+        os.makedirs(cfg.attention_dir, exist_ok=True)
+        loaded = [_load_image_checked(p) for p in paths]
+        ok_idx = [i for i, (_, ok) in enumerate(loaded) if ok]
+        if ok_idx:
+            from show_and_tell_tpu.utils.visualize import attention_sheet
+
+            imgs = np.stack([loaded[i][0] for i in ok_idx])
+            caps_attn, alphas = cap.caption_with_attention(imgs)
+            for j, i in enumerate(ok_idx):
+                out = os.path.join(
+                    cfg.attention_dir,
+                    os.path.splitext(os.path.basename(paths[i]))[0]
+                    + "_attention.png",
+                )
+                words = caps_attn[j].split() or ["<no caption>"]
+                attention_sheet(imgs[j], alphas[j], words).save(out)
+                sheet_paths[i] = out
     for i, (path, caption) in enumerate(zip(paths, captions)):
         rec = {"image": path, "caption": caption}
         if i in failed:
             rec["error"] = "image failed to decode"
+        if i in sheet_paths:
+            rec["attention_sheet"] = sheet_paths[i]
         print(json.dumps(rec))
         results.append(rec)
     if failed:

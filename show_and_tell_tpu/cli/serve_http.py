@@ -13,7 +13,9 @@ zero dependencies (stdlib ``http.server``):
 
 Endpoints:
 - ``POST /caption``       — raw image bytes (any PIL format) -> one caption.
-  Query params: ``mode=beam|greedy|sample`` (default from --beam_size).
+  Query params: ``mode=beam|greedy|sample`` (default from --beam_size);
+  ``attention=1`` returns a greedy caption plus the attention-overlay
+  contact sheet (base64 PNG — the Show-Attend-Tell hallmark figure).
 - ``POST /caption_batch`` — multiple images as a JSON list of base64
   strings -> list of captions (one request = one bucketed device batch).
 - ``GET  /healthz``       — liveness + model/config echo + batcher stats.
@@ -182,11 +184,45 @@ class CaptionHandler(BaseHTTPRequestHandler):
         img = _decode_image(data)
         if img is None:
             return self._send(400, {"error": "image failed to decode"})
+        if self._wants_attention():
+            return self._caption_attention(img)
         if self.batcher is not None:
             caption = self.batcher.caption(img, mode=mode)
         else:
             caption = self.captioner.caption_images(img[None], mode=mode)[0]
         self._send(200, {"caption": caption, "mode": mode})
+
+    def _wants_attention(self) -> bool:
+        from urllib.parse import parse_qs, urlparse
+
+        q = parse_qs(urlparse(self.path).query)
+        return q.get("attention", ["0"])[0] in ("1", "true", "yes")
+
+    def _caption_attention(self, img) -> None:
+        """``POST /caption?attention=1``: greedy caption + the attention
+        contact sheet as base64 PNG (the Show-Attend-Tell figure).
+
+        A demo/debug surface: it bypasses the DynamicBatcher (the
+        attention program is its own jit cache entry and the call pattern
+        is interactive, not throughput-bound); the Captioner calls it uses
+        are dispatch-safe alongside the batcher worker."""
+        import io
+
+        from show_and_tell_tpu.utils.visualize import attention_sheet
+
+        try:
+            caps, alphas = self.captioner.caption_with_attention(img[None])
+        except ValueError as e:  # model without attention (show_tell) -> 400
+            return self._send(400, {"error": str(e)})
+        words = caps[0].split() or ["<no caption>"]
+        sheet = attention_sheet(img, alphas[0], words)
+        buf = io.BytesIO()
+        sheet.save(buf, format="PNG")
+        self._send(200, {
+            "caption": caps[0],
+            "mode": "greedy",
+            "attention_sheet_png_b64": base64.b64encode(buf.getvalue()).decode(),
+        })
 
     def _caption_batch(self, data: bytes, mode: str) -> None:
         try:

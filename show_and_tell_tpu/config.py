@@ -128,6 +128,10 @@ class Config:
     # precomputed encoder features instead of images — decoder-only training
     # and image-free eval (BASELINE config 2's workflow)
     features_path: Optional[str] = None
+    # cli.caption: also write one attention-overlay contact sheet per image
+    # (greedy decode, utils/visualize — the Show-Attend-Tell figure) into
+    # this directory
+    attention_dir: Optional[str] = None
 
     # --- Eval data (reference eval.py:20 hardcodes this path) ---
     ann_file: Optional[str] = None

@@ -18,7 +18,7 @@ import logging
 import threading
 import time
 from collections import deque
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -298,6 +298,58 @@ class Captioner:
                 self.vocab.decode_batch(np.asarray(pending[0])[: pending[1]])
             )
         return out
+
+    def caption_with_attention(
+        self, images_u8: np.ndarray
+    ) -> Tuple[List[str], np.ndarray]:
+        """Greedy captions + per-step attention maps — the
+        Show-Attend-Tell hallmark figure (``utils/visualize`` renders the
+        overlay contact sheets).
+
+        images_u8 [N, 256, 256, 3] -> (captions, alphas [N, T, L]) with
+        T = ``max_decode_len`` and L the patch-grid size (196 for 224px
+        crops). Greedy by definition (the paper's figure); raises for
+        models without attention (ShowTell)."""
+        if not hasattr(self.model, "greedy_with_attention"):
+            raise ValueError(
+                f"model {self.cfg.model!r} exposes no attention maps "
+                "(only show_attend_tell does)"
+            )
+        model, cfg = self.model, self.cfg
+        n = images_u8.shape[0]
+
+        def get_fn(batch: int):
+            key = (batch, "attention")
+            if key not in self._fns:
+
+                @jax.jit
+                def fn(params, frozen, images_u8):
+                    feats = model.backbone_features(
+                        frozen, eval_transform(images_u8, cfg.crop_size)
+                    )
+                    return model.greedy_with_attention(
+                        params, feats, max_len=cfg.max_decode_len
+                    )
+
+                self._fns[key] = fn
+            return self._fns[key]
+
+        caps: List[str] = []
+        alphas: List[np.ndarray] = []
+        i = 0
+        while i < n:
+            b = self._bucket(n - i)
+            chunk = images_u8[i : i + b]
+            live = chunk.shape[0]
+            if live < b:
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], b - live, axis=0)], axis=0
+                )
+            ids_d, alphas_d = get_fn(b)(self.params, self.frozen, chunk)
+            caps.extend(self.vocab.decode_batch(np.asarray(ids_d)[:live]))
+            alphas.append(np.asarray(alphas_d, np.float32)[:live])
+            i += b
+        return caps, np.concatenate(alphas, axis=0)
 
     def caption_paths(self, paths: Sequence[str], mode: str = "beam") -> List[str]:
         """Caption image files. A corrupt/unreadable file never kills the

@@ -86,3 +86,37 @@ def test_caption_cli_no_images():
 
     with _pytest.raises(SystemExit):
         caption_main(["--beam_size", "2"])
+
+
+def test_caption_cli_attention_dir(tmp_path):
+    """--attention_dir writes one contact sheet per image and reports its
+    path in the JSON record."""
+    import numpy as np
+    from PIL import Image
+
+    from show_and_tell_tpu.cli.caption import main as caption_main
+    from show_and_tell_tpu.utils.vocab import Vocabulary
+
+    v = Vocabulary.from_words(["a", "dog", "runs"])
+    vp = str(tmp_path / "vocab.json")
+    v.save(vp)
+    img = tmp_path / "im.png"
+    Image.fromarray(
+        np.random.default_rng(0).integers(0, 255, (40, 50, 3), dtype=np.uint8)
+    ).save(img)
+    outdir = tmp_path / "sheets"
+    results = caption_main(
+        [
+            str(img),
+            "--vocab_path", vp, "--attention_dir", str(outdir),
+            "--embed_size", "8", "--hidden_size", "16", "--crop_size", "32",
+            "--max_decode_len", "4", "--beam_size", "2",
+        ]
+    )
+    assert len(results) == 1
+    sheet = results[0]["attention_sheet"]
+    assert sheet.endswith("im_attention.png")
+    from PIL import Image as PILImage
+
+    rendered = PILImage.open(sheet)
+    assert rendered.width >= 256 and rendered.height >= 256

@@ -310,3 +310,32 @@ def test_captioner_warmup_precompiles_buckets():
     cap2.warmup(modes=("sample",), buckets=(2,))
     assert cap2._sample_count == 0
     assert cap2.caption_images(images, mode="sample") == live
+
+
+def test_caption_with_attention_shapes_and_agreement():
+    import pytest
+
+    cfg = Config(
+        embed_size=16, hidden_size=32, crop_size=32, max_decode_len=4,
+        beam_size=2,
+    )
+    cap = Captioner.from_checkpoint(cfg, None, _vocab(), bucket_sizes=(2,))
+    images = (
+        np.random.default_rng(0).random((3, 256, 256, 3)) * 255
+    ).astype(np.uint8)
+    caps, alphas = cap.caption_with_attention(images)
+    assert len(caps) == 3
+    assert alphas.shape[0] == 3 and alphas.shape[1] == cfg.max_decode_len
+    # alphas are softmax maps over the patch grid
+    np.testing.assert_allclose(alphas.sum(-1), 1.0, atol=1e-3)
+    # greedy captions agree with the plain greedy path
+    assert caps == cap.caption_images(images, mode="greedy")
+
+    # ShowTell exposes no attention: loud error, not garbage maps
+    cfg2 = Config(
+        model="show_tell", encoder="resnet152", embed_size=16,
+        hidden_size=32, crop_size=64, max_decode_len=3,
+    )
+    cap2 = Captioner.from_checkpoint(cfg2, None, _vocab(), bucket_sizes=(1,))
+    with pytest.raises(ValueError, match="no attention"):
+        cap2.caption_with_attention(images[:1])

@@ -150,3 +150,17 @@ def test_bind_failure_closes_batcher():
         assert leaked == []  # the autostarted worker was closed, not leaked
     finally:
         hog.close()
+
+
+def test_caption_attention_endpoint(server):
+    """?attention=1 -> greedy caption + a decodable attention-sheet PNG."""
+    status, body = _post(f"{server}/caption?attention=1", _png_bytes())
+    assert status == 200
+    assert body["mode"] == "greedy"
+    assert isinstance(body["caption"], str)
+    png = base64.b64decode(body["attention_sheet_png_b64"])
+    sheet = Image.open(io.BytesIO(png))
+    # panels: input + one per word, each 256 wide
+    n_words = max(len(body["caption"].split()), 1)
+    assert sheet.width >= 256 * min(1 + n_words, 5) or sheet.width >= 256
+    assert sheet.height >= 256
