@@ -430,13 +430,18 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
 
     def agent_subject(np_: "_NP") -> "_NP":
         """Non-agent heads (clothing/body parts) pass verb agency to the
-        possessor: 'a man with a BEARD holding a phone' -> man holds."""
-        if (
-            np_.head in NON_AGENT
-            and last_loc_rel is not None
-            and np_ is last_loc_rel[1]
-        ):
-            return last_loc_rel[0]
+        possessor/wearer: 'a man with a BEARD holding a phone' -> man
+        holds; 'a child wearing a HELMET rides a bicycle' -> the child
+        rides (the helmet is the object of the last active relation)."""
+        if np_.head in NON_AGENT:
+            if last_loc_rel is not None and np_ is last_loc_rel[1]:
+                return last_loc_rel[0]
+            if (
+                last_rel3 is not None
+                and np_ is last_rel3[2]
+                and last_rel3_slot == "obj"
+            ):
+                return last_rel3[0]
         return np_
 
     def gerund_agent(np_: "_NP", verb: str) -> "_NP":
@@ -610,6 +615,8 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                             last_loc_rel = (p_subj, subj_np)
                         if pending_rel == "of":
                             last_of_rel = (p_subj, subj_np)
+                        last_rel3 = (p_subj, pending_rel, subj_np)
+                        last_rel3_slot = "obj"
                 base = PARTICIPLE_BASE.get(verb, verb)
                 subj_eff = subj_np
                 if appos_prev is not None:
@@ -1111,6 +1118,8 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                                 last_loc_rel = (p_subj, np_)
                             if pending_rel == "of":
                                 last_of_rel = (p_subj, np_)
+                            last_rel3 = (p_subj, pending_rel, np_)
+                            last_rel3_slot = "obj"
                         last_np = np_
                         pending_rel = verb
                         if appos_prev is not None:
