@@ -60,7 +60,8 @@ COPULAS = frozenset("is are was were be been being 's am".split())
 CONJUNCTIONS = frozenset("and or but".split())
 SKIP = frozenset(
     """there it he she they i you we who which that as when where
-    very really quite just also not n't up out about than""".split()
+    very really quite just also not n't up out about than
+    himself herself itself themselves""".split()
 )
 # "while"/"whilst" open a subordinate VP whose subject is the CLAUSE
 # subject ("holding an umbrella WHILE STANDING in the rain" -> the woman
@@ -181,8 +182,14 @@ VERBS = frozenset(
     catch catches swing swings hit hits kick kicks lean leans graze grazes
     stare stares gaze gazes rest rests float floats swim swims climb climbs
     pull pulls push pushes serve serves laugh laughs surf surfs ski skis
-    skate skates chase chases sets does
+    skate skates chase chases sets does take takes
     feed feeds hide hides cut cuts point points pet pets""".split()
+)
+# motion preps: their object is a TARGET, not a holder — a following
+# "with" re-anchors to the clause subject ("cutting INTO a cake WITH a
+# knife" -> the woman has the knife, not the cake)
+MOTION_PREPS = frozenset(
+    "into onto through across toward towards past over down up".split()
 )
 # color words: "a fire hydrant painted RED AND WHITE" — a verb's "object"
 # that is all colors is really a list of subject attributes, never an NP
@@ -905,10 +912,19 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                     w == "with"
                     and last_loc_rel is not None
                     and last_np is last_loc_rel[1]
-                    and last_np.head in PLACE_NOUNS
+                    and (
+                        last_np.head in PLACE_NOUNS
+                        or (
+                            last_rel3 is not None
+                            and last_np is last_rel3[2]
+                            and last_rel3[1] in MOTION_PREPS
+                        )
+                    )
                 ):
                     # "a dog running on the beach WITH a ball": the dog
-                    # has the ball, not the beach
+                    # has the ball, not the beach; likewise a motion
+                    # target never holds the instrument ("cutting into a
+                    # cake WITH a knife" -> the woman has the knife)
                     rel_subj = last_loc_rel[0]
                 elif (
                     w != "of"
@@ -1038,23 +1054,23 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                     if (t not in DETERMINERS or t in NUMBERS) and t not in SKIP
                 ]
                 if (
-                    len(content) == 1
+                    content
+                    and all(_is_verbish(t) for t in content)
                     and pending_rel is None
                     and (
                         lone_content_segment()
-                        or (
-                            after_conj
-                            and _is_verbish(content[0])
-                            and last_np is not None
-                        )
+                        or (after_conj and last_np is not None)
                     )
                 ):
-                    # "...shirt HOLDING an umbrella": lone verb segment —
-                    # relation from the previous NP, not a new object.
-                    # After a conjunction the verb re-anchors to the clause
-                    # subject ("holding a drink AND WEARING a hat" -> the
-                    # man wears, not the drink); NON_AGENT heads pass
-                    # agency to their possessor either way.
+                    # "...shirt HOLDING an umbrella": verb-only segment —
+                    # relation from the previous NP, not a new object. A
+                    # verb CHAIN keeps the LAST verb as the relation and
+                    # the rest as subject attributes through the framing
+                    # filter ("is SEEN riding a horse" -> the man rides,
+                    # 'seen' suppressed). After a conjunction the verb
+                    # re-anchors to the clause subject ("holding a drink
+                    # AND WEARING a hat" -> the man wears, not the drink);
+                    # NON_AGENT heads pass agency to their possessor.
                     subj = clause_subject(last_np)
                     if (
                         after_conj
@@ -1062,8 +1078,13 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                         and last_np is at_rel3_anchor()
                     ):
                         subj = last_rel3[0]
-                    pending_rel = content[0]
                     rel_subj = agent_subject(subj)
+                    for v in content[:-1]:
+                        if _attr_ok(v) and rel_subj is not None:
+                            add_subj_tuple(
+                                rel_subj, _norm(PARTICIPLE_BASE.get(v, v))
+                            )
+                    pending_rel = content[-1]
                     cancel_dist(rel_subj)
                     after_conj = False
                     cur = []
