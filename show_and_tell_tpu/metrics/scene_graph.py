@@ -51,7 +51,7 @@ PREPOSITIONS = frozenset(
     """in on at by of over under above below between among through during
     before after near against into onto upon inside outside behind beside
     along across around atop underneath beneath past beyond within without
-    with to from off down toward towards amid amidst""".split()
+    with to from off down toward towards amid amidst for""".split()
 ) | {_FRONT}
 # compound-prep collapse targets must be members of PREPOSITIONS or the
 # collapsed token derails the whole clause (golden-set finding,

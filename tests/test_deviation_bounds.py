@@ -20,9 +20,9 @@ def test_spice_parser_golden_bounds():
     # partitive/negation/comparative cases with the session-2 parser work;
     # +6 session-3 cases pinning the fixed residual classes: appositive
     # subjects, light-verb locative attachment, inverted copulas)
-    assert r["overall"]["n"] == 173
-    assert r["overall"]["gold"] == 713
-    assert r["easy"]["n"] == 44 and r["medium"]["n"] == 73 and r["hard"]["n"] == 56
+    assert r["overall"]["n"] == 174
+    assert r["overall"]["gold"] == 719
+    assert r["easy"]["n"] == 44 and r["medium"]["n"] == 74 and r["hard"]["n"] == 56
     # measured 2026-08-17 (round 3, session 3, post-residual-fixes):
     # easy 1.0 / medium 1.0 / hard 1.0, overall P/R/F1 1.0 — every
     # documented residual class now parses. Floors sit just under the
