@@ -13,13 +13,13 @@ from benchmarks.spice_parser_eval import evaluate as spice_parser_eval
 
 def test_spice_parser_golden_bounds():
     r = spice_parser_eval()
-    # fixed corpus: 145 hand-labeled captions, 567 gold tuples (the corpus
-    # grows with regressions found in review — 'amid'/'front seat'/copula
-    # re-anchoring cases added after the round-3 code reviews; relativizer-
-    # before-copula cases after the third review; +23 coordination/
-    # partitive/negation/comparative cases with the session-2 parser work;
-    # +6 session-3 cases pinning the fixed residual classes: appositive
-    # subjects, light-verb locative attachment, inverted copulas)
+    # fixed corpus: 174 hand-labeled captions, 719 gold tuples (the corpus
+    # grows with regressions found in review and template sweeps — see the
+    # golden JSON's _comment history; session 3 closed the residual
+    # classes — appositives, light verbs, inverted copulas — then the
+    # template sweeps added gerund/place attachment, color lists,
+    # while-subordination, noun-pair coordination, non-agent finite
+    # verbs, framing chains, instrument-with, and for-PPs)
     assert r["overall"]["n"] == 174
     assert r["overall"]["gold"] == 719
     assert r["easy"]["n"] == 44 and r["medium"]["n"] == 74 and r["hard"]["n"] == 56
