@@ -1,0 +1,141 @@
+"""Serving latency under concurrent load: p50/p95/p99 vs concurrency.
+
+Throughput (bench.py) says how many images a saturated chip captions per
+second; a capacity planner also needs the OTHER axis — what latency a
+single client sees, and how it degrades as concurrent clients share the
+chip through the DynamicBatcher. This benchmark runs closed-loop clients
+(each submits one image, waits for the caption, repeats) against the real
+serving path — uint8 image -> on-device crop/normalize -> VGG16 ->
+Show-Attend-Tell beam-3 — and reports per-request latency percentiles and
+aggregate throughput per concurrency level.
+
+Protocol notes:
+- Random weights: decode runs the fixed 20-step worst case (no early
+  exit), so these are UPPER bounds on trained-model latency; the relative
+  shape (batching amortization vs queueing delay) is weight-independent.
+- Clients measure their own submit->result wall time (the number an HTTP
+  client would see minus network); the batcher's windowed stats()
+  percentiles are printed alongside as a cross-check of the new
+  latency_ms surface.
+- Buckets are capped at 64 (4 compiles) to bound relay compile time; at
+  concurrency <= 64 the batcher never forms a larger batch anyway.
+
+Run: python benchmarks/serving_latency.py  (one JSON line per level)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import threading
+import time
+
+import numpy as np
+
+from show_and_tell_tpu.config import Config
+from show_and_tell_tpu.serve import Captioner, DynamicBatcher
+from show_and_tell_tpu.utils.vocab import Vocabulary
+
+BUCKETS = (1, 8, 32, 64)
+LEVELS = (1, 4, 16, 32, 64)
+MEASURE_S = 10.0
+WARMUP_S = 3.0
+VOCAB = 10000
+
+
+def build_captioner() -> Captioner:
+    cfg = Config(
+        model="show_attend_tell", encoder="vgg16",
+        embed_size=512, hidden_size=1024, beam_size=3,
+        dtype="bfloat16",  # the production serving precision (bench.py)
+    )
+    words = [f"w{i}" for i in range(VOCAB - 4)]
+    vocab = Vocabulary.from_words(words)
+    return Captioner.from_checkpoint(cfg, None, vocab, bucket_sizes=BUCKETS)
+
+
+def run_level(batcher: DynamicBatcher, concurrency: int) -> dict:
+    """Closed-loop clients; returns latency percentiles + throughput."""
+    rng = np.random.default_rng(0)
+    img = (rng.random((256, 256, 3)) * 255).astype(np.uint8)
+    stop = threading.Event()
+    measuring = threading.Event()
+    lats: list = []  # floats, appended under the GIL (list.append is atomic)
+    done = [0]
+    lock = threading.Lock()
+
+    def client():
+        while not stop.is_set():
+            t0 = time.perf_counter()
+            try:
+                batcher.caption(img, mode="beam", timeout=120.0)
+            except Exception:
+                continue  # overload shedding: retry
+            if measuring.is_set():
+                dt = time.perf_counter() - t0
+                with lock:
+                    lats.append(dt)
+                    done[0] += 1
+
+    threads = [threading.Thread(target=client, daemon=True) for _ in range(concurrency)]
+    for t in threads:
+        t.start()
+    time.sleep(WARMUP_S)
+    measuring.set()
+    t_meas = time.perf_counter()
+    time.sleep(MEASURE_S)
+    measuring.clear()
+    elapsed = time.perf_counter() - t_meas
+    stop.set()
+    for t in threads:
+        t.join(timeout=130.0)
+    with lock:
+        arr = np.asarray(lats, np.float64)
+        n = done[0]
+    if n == 0:
+        return {"concurrency": concurrency, "error": "no completed requests"}
+    q = np.percentile(arr, [50, 95, 99]) * 1e3
+    return {
+        "concurrency": concurrency,
+        "requests": n,
+        "img_s": round(n / elapsed, 1),
+        "p50_ms": round(float(q[0]), 1),
+        "p95_ms": round(float(q[1]), 1),
+        "p99_ms": round(float(q[2]), 1),
+        "batcher_stats": batcher.stats(),
+    }
+
+
+def main() -> None:
+    cap = build_captioner()
+    t0 = time.perf_counter()
+    cap.warmup(modes=("beam",), buckets=BUCKETS)
+    warmup_s = time.perf_counter() - t0
+
+    # direct-path single-request latency (no batcher): the floor a lone
+    # client can ever see on this config
+    rng = np.random.default_rng(1)
+    one = (rng.random((1, 256, 256, 3)) * 255).astype(np.uint8)
+    times = []
+    for _ in range(20):
+        t0 = time.perf_counter()
+        cap.caption_images(one, mode="beam")
+        times.append(time.perf_counter() - t0)
+    direct_ms = round(float(np.median(times)) * 1e3, 1)
+    print(json.dumps({
+        "metric": "serving_direct_b1_beam3_latency", "value": direct_ms,
+        "unit": "ms", "warmup_compile_s": round(warmup_s, 1),
+    }))
+    sys.stdout.flush()
+
+    for c in LEVELS:
+        # fresh batcher per level so stats()/latency window are per-level
+        b = DynamicBatcher(cap, max_batch=max(BUCKETS), max_delay_ms=5.0)
+        r = run_level(b, c)
+        b.close()
+        print(json.dumps({"metric": "serving_latency_closed_loop", **r}))
+        sys.stdout.flush()
+
+
+if __name__ == "__main__":
+    main()

@@ -142,6 +142,15 @@ class CaptionHandler(BaseHTTPRequestHandler):
             f'sat_requests_by_mode_total{{mode="{m}"}} {n}'
             for m, n in s["requests_by_mode"].items()
         ]
+        lat = s["latency_ms"]
+        if lat["n"]:
+            # windowed percentiles as gauges (a proper histogram would need
+            # fixed buckets; the p50/p95/p99 summary is what dashboards plot)
+            lines.append("# TYPE sat_request_latency_ms gauge")
+            lines += [
+                f'sat_request_latency_ms{{quantile="{q}"}} {lat[q]}'
+                for q in ("p50", "p95", "p99")
+            ]
         body = ("\n".join(lines) + "\n").encode()
         self.send_response(200)
         self.send_header("Content-Type", "text/plain; version=0.0.4")

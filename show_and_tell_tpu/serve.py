@@ -429,8 +429,10 @@ class DynamicBatcher:
       head, then keeps appending queued same-mode requests until
       ``max_batch`` or ``max_delay_ms`` after the pop; a different mode at
       the head closes the batch (dispatched next round — order preserved).
-    - ``stats()`` reports requests/batches/mean batch size/queue wait —
-      the numbers a capacity planner needs.
+    - ``stats()`` reports requests/batches/mean batch size/queue wait,
+      plus end-to-end request latency percentiles (p50/p95/p99 over a
+      sliding window of recent requests) — the numbers a capacity
+      planner needs.
     - All device work happens on the one worker thread, so any number of
       front-end threads may call ``submit``/``caption`` concurrently.
     """
@@ -460,6 +462,10 @@ class DynamicBatcher:
             "queue_wait_s_sum": 0.0, "errors": 0, "rejected": 0,
             "abandoned": 0,
         }
+        # submit->completion seconds for the most recent successfully
+        # served requests; sized so p99 is stable yet the window tracks
+        # load shifts (2048 requests ≈ a few seconds at headline rates)
+        self._latencies: deque = deque(maxlen=2048)
         self._mode_counts = {"beam": 0, "greedy": 0, "sample": 0}
         if autostart:
             self.start()
@@ -526,7 +532,23 @@ class DynamicBatcher:
         s["mean_queue_wait_ms"] = round(
             s["queue_wait_s_sum"] / max(s["batch_size_sum"], 1) * 1e3, 2
         )
+        s["latency_ms"] = self._latency_percentiles()
         return s
+
+    def _latency_percentiles(self) -> dict:
+        """p50/p95/p99 end-to-end (submit -> caption ready) over the
+        sliding window — computed on demand so the hot path only appends."""
+        with self._cv:
+            window = list(self._latencies)
+        if not window:
+            return {"n": 0, "p50": None, "p95": None, "p99": None}
+        q = np.percentile(np.asarray(window, np.float64), [50, 95, 99])
+        return {
+            "n": len(window),
+            "p50": round(float(q[0]) * 1e3, 2),
+            "p95": round(float(q[1]) * 1e3, 2),
+            "p99": round(float(q[2]) * 1e3, 2),
+        }
 
     # -- worker ---------------------------------------------------------
 
@@ -616,11 +638,15 @@ class DynamicBatcher:
                 with self._cv:
                     self._stats["errors"] += len(batch)
             finally:
+                t_done = time.perf_counter()
                 with self._cv:
                     self._stats["batches"] += 1
                     self._stats["batch_size_sum"] += len(batch)
                     self._stats["queue_wait_s_sum"] += sum(
                         t_dispatch - t.t_submit for t in batch
                     )
+                    for t in batch:
+                        if t.error is None:
+                            self._latencies.append(t_done - t.t_submit)
                 for t in batch:
                     t.event.set()

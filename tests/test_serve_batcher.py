@@ -323,3 +323,23 @@ def test_soak_mixed_modes_abandonment_overload(captioner):
     assert s["batch_size_sum"] + s["abandoned"] + s["errors"] >= results["ok"]
     assert s["rejected"] == results["rejected"]
     b.close()
+
+
+def test_latency_percentiles_tracked(captioner):
+    """stats()['latency_ms'] windows successful requests only: n counts
+    them, the quantiles are ordered, and a failed dispatch stays out."""
+    imgs = _images(4, seed=7)
+    b = DynamicBatcher(captioner, max_delay_ms=5.0)
+    assert b.stats()["latency_ms"] == {
+        "n": 0, "p50": None, "p95": None, "p99": None
+    }
+    for i in range(4):
+        b.caption(imgs[i], mode="greedy", timeout=120.0)
+    lat = b.stats()["latency_ms"]
+    assert lat["n"] == 4
+    assert 0 < lat["p50"] <= lat["p95"] <= lat["p99"]
+    bad = np.zeros((16, 16, 3), np.uint8)  # wrong spatial shape -> error
+    with pytest.raises(RuntimeError, match="caption request failed"):
+        b.caption(bad, mode="greedy", timeout=120.0)
+    assert b.stats()["latency_ms"]["n"] == 4
+    b.close()
