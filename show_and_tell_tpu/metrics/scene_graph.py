@@ -737,6 +737,15 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
             return trailing_verbs
         for v in trailing_verbs:
             if _attr_ok(v):
+                if v in COLOR_WORDS:
+                    # colors ride into trailing_verbs only via the
+                    # participle color-list bundle ("a bench PAINTED
+                    # GREEN") — they modify the NP just built, never the
+                    # clause subject (review fix: "a man sitting on a
+                    # bench painted green" re-anchored green to the man
+                    # through gerund_agent's place-noun branch)
+                    add_subj_tuple(np_, _norm(v))
+                    continue
                 # "a cat ON A MAT sleeping" -> the cat sleeps (gerund after
                 # a locative object re-anchors); participles stay local
                 subj_v = gerund_agent(clause_subject(np_), v)
