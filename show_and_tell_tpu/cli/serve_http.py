@@ -40,6 +40,7 @@ from __future__ import annotations
 import base64
 import json
 import logging
+import os
 from http.server import BaseHTTPRequestHandler, HTTPServer, ThreadingHTTPServer
 from typing import Optional
 
@@ -304,6 +305,7 @@ def make_server(
     batch_max_size: Optional[int] = None,
     batch_max_queue: Optional[int] = None,
     warmup: bool = False,
+    warmup_calib_dir: Optional[str] = None,
 ) -> HTTPServer:
     """Build (don't start) the HTTP server — tests drive it in a thread.
 
@@ -315,10 +317,33 @@ def make_server(
     if warmup:
         # compile (and int8-calibrate, if configured) BEFORE accepting
         # traffic: a cold TPU compile is 20-60 s — longer than any sane
-        # client timeout, so the first real request must never pay it
+        # client timeout, so the first real request must never pay it.
+        # int8 calibration needs REAL images (--warmup_calib_dir) or a
+        # persisted quantized_backbone_path; zeros would wreck the scales.
+        calib = None
+        if warmup_calib_dir:
+            import glob as _glob
+
+            from show_and_tell_tpu.data.pipeline import _load_image_checked
+
+            paths = sorted(
+                p for p in _glob.glob(os.path.join(warmup_calib_dir, "*"))
+                if os.path.isfile(p)
+            )[:32]
+            loaded = [_load_image_checked(p) for p in paths]
+            ok = [im for im, good in loaded if good]
+            if not ok:
+                raise SystemExit(
+                    f"--warmup_calib_dir {warmup_calib_dir}: no decodable "
+                    "images found"
+                )
+            calib = np.stack(ok)
         mode = "greedy" if cfg.beam_size <= 1 else "beam"
         log.info("warming serving programs (mode=%s)...", mode)
-        log.info("warmup done in %.1f s", cap.warmup(modes=(mode,)))
+        log.info(
+            "warmup done in %.1f s",
+            cap.warmup(modes=(mode,), calib_images=calib),
+        )
     batcher = (
         DynamicBatcher(
             cap, max_batch=batch_max_size, max_delay_ms=batch_max_delay_ms,
@@ -383,8 +408,14 @@ def main(argv=None):
     )
     ap.add_argument(
         "--warmup", action="store_true",
-        help="compile the serving programs (smallest + largest bucket) "
-        "before accepting traffic, so no request pays the TPU compile",
+        help="compile the serving programs (every bucket) before "
+        "accepting traffic, so no request pays the TPU compile",
+    )
+    ap.add_argument(
+        "--warmup_calib_dir", default=None,
+        help="directory of sample REAL images for int8 calibration during "
+        "--warmup (quantize_backbone only; without it calibration defers "
+        "to the first real batch)",
     )
     http_args, rest = ap.parse_known_args(argv)
     cfg = parse_config(rest)
@@ -397,6 +428,7 @@ def main(argv=None):
         batch_max_size=http_args.batch_max_size,
         batch_max_queue=http_args.batch_max_queue,
         warmup=http_args.warmup,
+        warmup_calib_dir=http_args.warmup_calib_dir,
     )
     log.info("serving on %s:%d", http_args.http_host, http_args.http_port)
     try:

@@ -15,6 +15,7 @@ padded to the bucket size so every request shape hits a cached compilation.
 from __future__ import annotations
 
 import logging
+import os
 import threading
 import time
 from collections import deque
@@ -95,6 +96,15 @@ class Captioner:
         self.top_p = 1.0  # nucleus mass; 1.0 = off
         self._sample_key = jax.random.PRNGKey(cfg.random_seed)
         self._sample_count = 0  # images sampled so far (rng counter)
+        # Serializes the serving entry points (caption_images /
+        # caption_with_attention): the DynamicBatcher worker and the HTTP
+        # attention endpoint's handler threads may hit one Captioner
+        # concurrently, and _fns / frozen / the sample counter are not
+        # otherwise safe to mutate from two threads (review fix: a
+        # quantization _fns.clear() racing get_fn could 500 a request).
+        # RLock because caption_paths calls caption_images.
+        self._lock = threading.RLock()
+        self._quant_deferred = False  # warmup guard: never calibrate on dummies
         #: (index, path) pairs for images the last caption_paths call could
         #: not decode (their captions are ERROR_CAPTION)
         self.last_errors: List = []
@@ -189,28 +199,86 @@ class Captioner:
         self,
         modes: Sequence[str] = ("beam",),
         buckets: Optional[Sequence[int]] = None,
+        calib_images: Optional[np.ndarray] = None,
     ) -> float:
         """Pre-compile + pre-calibrate the serving programs so the first
         real request pays none of it (a TPU compile is 20-60 s — far above
         any sane request timeout). Runs one dummy batch per
-        (bucket, mode); default buckets = smallest + largest (the shapes a
-        single request and a coalesced/bulk batch hit). Returns seconds
-        spent. Also triggers the one-time int8 calibration when
-        ``quantize_backbone`` is on, so that cost moves to startup too."""
+        (bucket, mode); default buckets = ALL serving buckets — under a
+        DynamicBatcher a coalesced batch can hit any of them, and a
+        mid-size cold compile would stall every ticket behind it (review
+        fix: smallest+largest left 8/32/128 cold). Returns seconds spent.
+
+        int8 (``quantize_backbone``): calibration statistics must come
+        from REAL images — calibrating on warmup's zero dummies would clip
+        every real activation (review fix). So warmup calibrates only when
+        it has a trustworthy source: ``calib_images`` ([N,256,256,3] uint8
+        sample of production traffic), or a persisted calibration at
+        ``cfg.quantized_backbone_path``. Otherwise it warns, warms the f32
+        programs, and defers calibration (and the quantized recompile) to
+        the first real batch."""
         t0 = time.perf_counter()
-        buckets = (
-            sorted(set(buckets))
-            if buckets
-            else sorted({self.bucket_sizes[0], self.bucket_sizes[-1]})
-        )
-        dummy = np.zeros((buckets[-1], 256, 256, 3), np.uint8)
-        count_before = self._sample_count
-        for mode in modes:
-            for b in buckets:
-                self.caption_images(dummy[:b], mode=mode)
-        # dummy sample calls must not shift the live rng sequence
-        self._sample_count = count_before
+        buckets = sorted(set(buckets)) if buckets else list(self.bucket_sizes)
+        from show_and_tell_tpu.models import quantize as quantize_mod
+
+        with self._lock:  # warmup mutates frozen/_fns/_quant_deferred too
+            quant_pending = (
+                getattr(self.cfg, "quantize_backbone", False)
+                and self.model.encoder_name in quantize_mod.QUANTIZABLE_ENCODERS
+                and not quantize_mod.is_quantized(self.frozen)
+            )
+            if quant_pending:
+                path = getattr(self.cfg, "quantized_backbone_path", None)
+                if calib_images is not None:
+                    self._ensure_quantized(calib_images)
+                elif not (path and os.path.exists(path)):
+                    log.warning(
+                        "warmup without calib_images and no persisted "
+                        "calibration at quantized_backbone_path: int8 "
+                        "calibration is deferred to the first real batch "
+                        "(which will pay the quantized recompile) — pass "
+                        "calib_images=<sample of real traffic> to move "
+                        "that cost here. Warming the f32 programs only."
+                    )
+                    self._quant_deferred = True
+            dummy = np.zeros((buckets[-1], 256, 256, 3), np.uint8)
+            count_before = self._sample_count
+            try:
+                for mode in modes:
+                    for b in buckets:
+                        self.caption_images(dummy[:b], mode=mode)
+            finally:
+                self._quant_deferred = False
+                # dummy sample calls must not shift the live rng sequence
+                self._sample_count = count_before
         return time.perf_counter() - t0
+
+    def _ensure_quantized(self, images_u8) -> None:
+        """int8 PTQ (models/quantize.py): calibrate activation scales on
+        the given batch (or load a persisted tree), quantize once, and let
+        backbone_features dispatch to the int8 trunk from then on."""
+        from show_and_tell_tpu.models import quantize as quantize_mod
+
+        if not (
+            getattr(self.cfg, "quantize_backbone", False)
+            and self.model.encoder_name in quantize_mod.QUANTIZABLE_ENCODERS
+            and not quantize_mod.is_quantized(self.frozen)
+        ):
+            return
+        calib = eval_transform(
+            jnp.asarray(images_u8[: min(32, images_u8.shape[0])]),
+            self.cfg.crop_size,
+        )
+        frozen_q = quantize_mod.obtain_quantized(
+            self.model.encoder_name, self.frozen, calib,
+            path=getattr(self.cfg, "quantized_backbone_path", None),
+        )
+        if self.mesh is not None:
+            from show_and_tell_tpu.parallel import mesh as mesh_lib
+
+            frozen_q = mesh_lib.replicate(self.mesh, frozen_q)
+        self.frozen = frozen_q
+        self._fns.clear()  # cached programs closed over the f32 tree type
 
     def caption_images(
         self, images_u8: np.ndarray, mode: str = "beam", rng_offset: int = 0
@@ -236,30 +304,17 @@ class Captioner:
         wants to continue a global sequence; on a live Captioner the
         counter already advances, so passing an offset on top would
         double-count."""
+        with self._lock:
+            return self._caption_images(images_u8, mode, rng_offset)
+
+    def _caption_images(
+        self, images_u8: np.ndarray, mode: str, rng_offset: int
+    ) -> List[str]:
         n = images_u8.shape[0]
-        from show_and_tell_tpu.models import quantize as quantize_mod
-
-        if (
-            getattr(self.cfg, "quantize_backbone", False)
-            and self.model.encoder_name in quantize_mod.QUANTIZABLE_ENCODERS
-            and not quantize_mod.is_quantized(self.frozen)
-        ):
-            # int8 PTQ (models/quantize.py): calibrate activation scales on
-            # the first batch this Captioner sees, quantize once, and let
-            # backbone_features dispatch to the int8 trunk from then on.
-            calib = eval_transform(
-                jnp.asarray(images_u8[: min(32, n)]), self.cfg.crop_size
-            )
-            frozen_q = quantize_mod.obtain_quantized(
-                self.model.encoder_name, self.frozen, calib,
-                path=getattr(self.cfg, "quantized_backbone_path", None),
-            )
-            if self.mesh is not None:
-                from show_and_tell_tpu.parallel import mesh as mesh_lib
-
-                frozen_q = mesh_lib.replicate(self.mesh, frozen_q)
-            self.frozen = frozen_q
-            self._fns.clear()  # cached programs closed over the f32 tree type
+        if not self._quant_deferred:
+            # calibrate-on-first-batch (or load the persisted tree); during
+            # warmup's dummy batches the guard defers this to real traffic
+            self._ensure_quantized(images_u8)
         out: List[str] = []
         # One-batch-lag pipeline: dispatch chunk i, then fetch + id->string
         # decode chunk i-1 while the device works on i (the double-buffered
@@ -310,6 +365,12 @@ class Captioner:
         T = ``max_decode_len`` and L the patch-grid size (196 for 224px
         crops). Greedy by definition (the paper's figure); raises for
         models without attention (ShowTell)."""
+        with self._lock:
+            return self._caption_with_attention(images_u8)
+
+    def _caption_with_attention(
+        self, images_u8: np.ndarray
+    ) -> Tuple[List[str], np.ndarray]:
         if not hasattr(self.model, "greedy_with_attention"):
             raise ValueError(
                 f"model {self.cfg.model!r} exposes no attention maps "

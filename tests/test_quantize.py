@@ -369,3 +369,30 @@ def test_inception_v3_quantized_save_load_roundtrip(tmp_path):
     # wrong-architecture guard: a vgg model must refuse this tree
     with pytest.raises(ValueError, match="calibrated for inception_v3"):
         quantize.obtain_quantized("vgg16", frozen, imgs, path=p)
+
+
+def test_warmup_never_calibrates_on_dummies():
+    """warmup() with quantize_backbone on and no calibration source must
+    NOT calibrate int8 scales from its zero dummy batches (constant
+    images produce absmax scales that clip every real activation);
+    calibration defers to the first real batch. With calib_images,
+    warmup calibrates from them at startup."""
+    from show_and_tell_tpu.serve import Captioner
+    from show_and_tell_tpu.utils.vocab import Vocabulary
+
+    vocab = Vocabulary.from_words(["a", "ball"])
+    cfg = Config(
+        embed_size=16, hidden_size=24, crop_size=32, max_decode_len=3,
+        beam_size=2, quantize_backbone=True,
+    )
+    cap = Captioner.from_checkpoint(cfg, None, vocab, bucket_sizes=(2,))
+    cap.warmup(modes=("greedy",))
+    assert not quantize.is_quantized(cap.frozen)  # zeros never calibrate
+    rng = np.random.default_rng(0)
+    imgs = (rng.random((2, 256, 256, 3)) * 255).astype(np.uint8)
+    cap.caption_images(imgs, mode="greedy")  # first real batch calibrates
+    assert quantize.is_quantized(cap.frozen)
+
+    cap2 = Captioner.from_checkpoint(cfg, None, vocab, bucket_sizes=(2,))
+    cap2.warmup(modes=("greedy",), calib_images=imgs)
+    assert quantize.is_quantized(cap2.frozen)  # calibrated at startup
