@@ -96,6 +96,13 @@ def main(argv=None):
     # (Captioner.from_checkpoint warns if load_model_path is set without
     # encoder_weights — the random-frozen-encoder footgun.)
     cap = Captioner.from_checkpoint(cfg, cfg.load_model_path, vocab)
+    if cfg.attention_dir and not hasattr(cap.model, "greedy_with_attention"):
+        # fail BEFORE any device work: discovering this after captioning
+        # every image threw the whole run away (review fix)
+        raise SystemExit(
+            f"--attention_dir requires an attention model; {cfg.model!r} "
+            "exposes no attention maps (only show_attend_tell does)"
+        )
     mode = "greedy" if cfg.beam_size <= 1 else "beam"
     results = []
     captions = cap.caption_paths(paths, mode=mode)
@@ -103,28 +110,41 @@ def main(argv=None):
     sheet_paths = {}
     if cfg.attention_dir:
         # the Show-Attend-Tell hallmark figure: greedy decode + one
-        # attention-overlay contact sheet per image (utils/visualize)
+        # attention-overlay contact sheet per image (utils/visualize).
+        # Chunked like caption_paths: never materialize the whole input
+        # set (or all [N, T, L] alpha maps) in host RAM (review fix). The
+        # files are decoded a second time here — a bounded CPU cost,
+        # unlike the unbounded memory of one up-front pass.
         import numpy as np
 
         from show_and_tell_tpu.data.pipeline import _load_image_checked
+        from show_and_tell_tpu.utils.visualize import attention_sheet, model_view
 
         os.makedirs(cfg.attention_dir, exist_ok=True)
-        loaded = [_load_image_checked(p) for p in paths]
-        ok_idx = [i for i, (_, ok) in enumerate(loaded) if ok]
-        if ok_idx:
-            from show_and_tell_tpu.utils.visualize import attention_sheet
-
+        used_names = set()
+        chunk = max(cap.bucket_sizes)
+        for s in range(0, len(paths), chunk):
+            loaded = [_load_image_checked(p) for p in paths[s : s + chunk]]
+            ok_idx = [i for i, (_, ok) in enumerate(loaded) if ok]
+            if not ok_idx:
+                continue
             imgs = np.stack([loaded[i][0] for i in ok_idx])
             caps_attn, alphas = cap.caption_with_attention(imgs)
             for j, i in enumerate(ok_idx):
-                out = os.path.join(
-                    cfg.attention_dir,
-                    os.path.splitext(os.path.basename(paths[i]))[0]
-                    + "_attention.png",
-                )
+                gi = s + i
+                base = os.path.splitext(os.path.basename(paths[gi]))[0]
+                name = base + "_attention.png"
+                if name in used_names:
+                    # same-basename inputs (dirA/img.jpg + dirB/img.jpg)
+                    # must not overwrite each other's sheets (review fix)
+                    name = f"{base}_{gi}_attention.png"
+                used_names.add(name)
+                out = os.path.join(cfg.attention_dir, name)
                 words = caps_attn[j].split() or ["<no caption>"]
-                attention_sheet(imgs[j], alphas[j], words).save(out)
-                sheet_paths[i] = out
+                # render on the center crop the model attended over
+                view = model_view(imgs[j], cfg.crop_size)
+                attention_sheet(view, alphas[j], words).save(out)
+                sheet_paths[gi] = out
     for i, (path, caption) in enumerate(zip(paths, captions)):
         rec = {"image": path, "caption": caption}
         if i in failed:

@@ -214,18 +214,23 @@ class CaptionHandler(BaseHTTPRequestHandler):
 
         A demo/debug surface: it bypasses the DynamicBatcher (the
         attention program is its own jit cache entry and the call pattern
-        is interactive, not throughput-bound); the Captioner calls it uses
-        are dispatch-safe alongside the batcher worker."""
+        is interactive, not throughput-bound); the Captioner's internal
+        lock serializes these calls against the batcher worker (review
+        fix: handler threads used to race the worker's _fns mutations)."""
         import io
 
-        from show_and_tell_tpu.utils.visualize import attention_sheet
+        from show_and_tell_tpu.utils.visualize import attention_sheet, model_view
 
         try:
             caps, alphas = self.captioner.caption_with_attention(img[None])
         except ValueError as e:  # model without attention (show_tell) -> 400
             return self._send(400, {"error": str(e)})
         words = caps[0].split() or ["<no caption>"]
-        sheet = attention_sheet(img, alphas[0], words)
+        # render on the center crop the model attended over (review fix:
+        # the heatmap grid covers crop_size pixels, not the full frame)
+        sheet = attention_sheet(
+            model_view(img, self.captioner.cfg.crop_size), alphas[0], words
+        )
         buf = io.BytesIO()
         sheet.save(buf, format="PNG")
         self._send(200, {

@@ -15,6 +15,20 @@ from typing import List, Optional, Sequence
 import numpy as np
 
 
+def model_view(image_u8: np.ndarray, crop: int) -> np.ndarray:
+    """Host-side mirror of ``transforms.center_crop`` for one image: the
+    region the model actually attended over. Attention grids cover the
+    ``crop_size`` center crop, not the full frame — overlaying on the
+    uncropped image stretches the heatmap by H/crop and shifts it by the
+    crop border (review fix: every sheet was geometrically off by the
+    16px border at 256->224). Render sheets on this view."""
+    H, W = image_u8.shape[:2]
+    if crop >= H and crop >= W:
+        return image_u8
+    top, left = max((H - crop) // 2, 0), max((W - crop) // 2, 0)
+    return image_u8[top : top + crop, left : left + crop]
+
+
 def attention_overlay(
     image_u8: np.ndarray, alpha: np.ndarray, gamma: float = 0.6
 ) -> np.ndarray:

@@ -119,4 +119,49 @@ def test_caption_cli_attention_dir(tmp_path):
     from PIL import Image as PILImage
 
     rendered = PILImage.open(sheet)
-    assert rendered.width >= 256 and rendered.height >= 256
+    # panels are crop_size (32) squares: the sheet renders the model's
+    # center-cropped view, not the full frame (geometry review fix)
+    assert rendered.width % 32 == 0 and rendered.width >= 64
+    assert rendered.height % (32 + 14) == 0  # rows of crop + label strip
+
+
+def test_caption_cli_attention_fail_fast_and_collisions(tmp_path):
+    """--attention_dir (a) fails BEFORE captioning when the model has no
+    attention maps, and (b) never lets same-basename inputs overwrite each
+    other's sheets."""
+    import os
+
+    import numpy as np
+    from PIL import Image
+
+    from show_and_tell_tpu.cli.caption import main as caption_main
+    from show_and_tell_tpu.utils.vocab import Vocabulary
+
+    v = Vocabulary.from_words(["a", "dog", "runs"])
+    vp = str(tmp_path / "vocab.json")
+    v.save(vp)
+    rng = np.random.default_rng(0)
+    d1, d2 = tmp_path / "d1", tmp_path / "d2"
+    d1.mkdir(), d2.mkdir()
+    for d in (d1, d2):
+        Image.fromarray(
+            rng.integers(0, 255, (40, 50, 3), dtype=np.uint8)
+        ).save(d / "im.png")
+    outdir = tmp_path / "sheets"
+    tiny = [
+        "--vocab_path", vp, "--attention_dir", str(outdir),
+        "--embed_size", "8", "--hidden_size", "16", "--crop_size", "32",
+        "--max_decode_len", "4", "--beam_size", "2",
+    ]
+    with pytest.raises(SystemExit, match="attention"):
+        caption_main(
+            [str(d1 / "im.png")] + tiny + ["--model", "show_tell",
+                                           "--encoder", "resnet152"]
+        )
+    assert not outdir.exists() or not list(outdir.iterdir())  # no device work
+
+    results = caption_main([str(d1 / "im.png"), str(d2 / "im.png")] + tiny)
+    sheets = {r["attention_sheet"] for r in results}
+    assert len(sheets) == 2  # distinct files despite identical basenames
+    for s in sheets:
+        assert os.path.getsize(s) > 0

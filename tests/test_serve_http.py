@@ -160,7 +160,8 @@ def test_caption_attention_endpoint(server):
     assert isinstance(body["caption"], str)
     png = base64.b64decode(body["attention_sheet_png_b64"])
     sheet = Image.open(io.BytesIO(png))
-    # panels: input + one per word, each 256 wide
+    # panels: input + one per word, each a crop_size (32) square — the
+    # sheet renders the model's center-cropped view (geometry review fix)
     n_words = max(len(body["caption"].split()), 1)
-    assert sheet.width >= 256 * min(1 + n_words, 5) or sheet.width >= 256
-    assert sheet.height >= 256
+    assert sheet.width == 32 * min(1 + n_words, 5)
+    assert sheet.height % (32 + 14) == 0
