@@ -15,7 +15,8 @@ Endpoints:
 - ``POST /caption``       — raw image bytes (any PIL format) -> one caption.
   Query params: ``mode=beam|greedy|sample`` (default from --beam_size);
   ``attention=1`` returns a greedy caption plus the attention-overlay
-  contact sheet (base64 PNG — the Show-Attend-Tell hallmark figure).
+  contact sheet (base64 PNG — the Show-Attend-Tell hallmark figure);
+  ``nbest=1`` returns the full beam n-best list (caption + score each).
 - ``POST /caption_batch`` — multiple images as a JSON list of base64
   strings -> list of captions (one request = one bucketed device batch).
 - ``GET  /healthz``       — liveness + model/config echo + batcher stats.
@@ -196,6 +197,17 @@ class CaptionHandler(BaseHTTPRequestHandler):
             return self._send(400, {"error": "image failed to decode"})
         if self._wants_attention():
             return self._caption_attention(img)
+        if self._qflag("nbest"):
+            # beam n-best: like the attention endpoint, an interactive
+            # surface that bypasses the batcher (the Captioner's internal
+            # lock keeps it safe alongside the worker)
+            nbest = self.captioner.caption_nbest(img[None])[0]
+            return self._send(200, {
+                "caption": nbest[0][0], "mode": "beam",
+                "nbest": [
+                    {"caption": c, "score": round(s, 4)} for c, s in nbest
+                ],
+            })
         if self.batcher is not None:
             caption = self.batcher.caption(img, mode=mode)
         else:
@@ -203,10 +215,13 @@ class CaptionHandler(BaseHTTPRequestHandler):
         self._send(200, {"caption": caption, "mode": mode})
 
     def _wants_attention(self) -> bool:
+        return self._qflag("attention")
+
+    def _qflag(self, name: str) -> bool:
         from urllib.parse import parse_qs, urlparse
 
         q = parse_qs(urlparse(self.path).query)
-        return q.get("attention", ["0"])[0] in ("1", "true", "yes")
+        return q.get(name, ["0"])[0] in ("1", "true", "yes")
 
     def _caption_attention(self, img) -> None:
         """``POST /caption?attention=1``: greedy caption + the attention

@@ -354,6 +354,68 @@ class Captioner:
             )
         return out
 
+    def caption_nbest(
+        self, images_u8: np.ndarray
+    ) -> List[List[Tuple[str, float]]]:
+        """Beam n-best: per image, ``beam_size`` (caption, score) pairs
+        sorted best-first (score = length-normalized log-prob, the beam
+        ranking key). The decode stack always computes the full beam set
+        (decode/beam.py ``return_all``); this surfaces it — rerankers and
+        "show alternatives" UIs need more than the argmax caption."""
+        with self._lock:
+            return self._caption_nbest(images_u8)
+
+    def _caption_nbest(self, images_u8: np.ndarray):
+        self._ensure_quantized(images_u8)
+        model, cfg = self.model, self.cfg
+        n = images_u8.shape[0]
+
+        def get_fn(batch: int):
+            key = (batch, "nbest")
+            if key not in self._fns:
+                from show_and_tell_tpu.decode.beam import beam_search
+
+                @jax.jit
+                def fn(params, batch_stats, frozen, images_u8):
+                    feats = model.backbone_features(
+                        frozen, eval_transform(images_u8, cfg.crop_size)
+                    )
+                    step_fn, carry, first, tile = model.decode_state(
+                        params, batch_stats, feats, beam_size=cfg.beam_size
+                    )
+                    return beam_search(
+                        step_fn, carry, feats.shape[0],
+                        beam_size=cfg.beam_size, max_len=cfg.max_decode_len,
+                        first_logits=first, tile=tile,
+                        length_penalty=cfg.length_penalty, return_all=True,
+                    )
+
+                self._fns[key] = fn
+            return self._fns[key]
+
+        out: List[List[Tuple[str, float]]] = []
+        i = 0
+        while i < n:
+            b = self._bucket(n - i)
+            chunk = images_u8[i : i + b]
+            live = chunk.shape[0]
+            if live < b:
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], b - live, axis=0)], axis=0
+                )
+            ids_d, scores_d = get_fn(b)(
+                self.params, self.batch_stats, self.frozen, chunk
+            )
+            ids = np.asarray(ids_d)[:live]  # [live, k, T]
+            scores = np.asarray(scores_d, np.float32)[:live]  # [live, k]
+            for r in range(live):
+                caps = self.vocab.decode_batch(ids[r])
+                out.append(
+                    [(c, float(s)) for c, s in zip(caps, scores[r])]
+                )
+            i += b
+        return out
+
     def caption_with_attention(
         self, images_u8: np.ndarray
     ) -> Tuple[List[str], np.ndarray]:

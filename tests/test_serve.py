@@ -339,3 +339,24 @@ def test_caption_with_attention_shapes_and_agreement():
     cap2 = Captioner.from_checkpoint(cfg2, None, _vocab(), bucket_sizes=(1,))
     with pytest.raises(ValueError, match="no attention"):
         cap2.caption_with_attention(images[:1])
+
+
+def test_caption_nbest_surfaces_full_beam():
+    cfg = Config(
+        embed_size=16, hidden_size=32, crop_size=32, max_decode_len=4,
+        beam_size=3,
+    )
+    cap = Captioner.from_checkpoint(cfg, None, _vocab(), bucket_sizes=(2,))
+    images = (
+        np.random.default_rng(0).random((3, 256, 256, 3)) * 255
+    ).astype(np.uint8)
+    nbest = cap.caption_nbest(images)
+    assert len(nbest) == 3
+    for alts in nbest:
+        assert len(alts) == cfg.beam_size
+        scores = [s for _, s in alts]
+        assert scores == sorted(scores, reverse=True)  # best-first
+        assert all(isinstance(c, str) for c, _ in alts)
+    # the n-best head agrees with the single-best beam path
+    best = cap.caption_images(images, mode="beam")
+    assert [alts[0][0] for alts in nbest] == best

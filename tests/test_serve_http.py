@@ -165,3 +165,15 @@ def test_caption_attention_endpoint(server):
     n_words = max(len(body["caption"].split()), 1)
     assert sheet.width == 32 * min(1 + n_words, 5)
     assert sheet.height % (32 + 14) == 0
+
+
+def test_caption_nbest_endpoint(server):
+    """?nbest=1 -> best caption + the full scored beam list."""
+    status, body = _post(f"{server}/caption?nbest=1", _png_bytes())
+    assert status == 200
+    assert body["mode"] == "beam"
+    alts = body["nbest"]
+    assert len(alts) >= 2  # beam_size=2 in the fixture config
+    assert body["caption"] == alts[0]["caption"]
+    scores = [a["score"] for a in alts]
+    assert scores == sorted(scores, reverse=True)
