@@ -7,10 +7,11 @@ scenes. This benchmark runs the whole story at once, as close to the real
 workload as a zero-egress image allows:
 
 - **Scenes**: two drawn objects (filled circle / square / triangle, 6
-  colors, position-jittered, noise background) — 324 (color x shape)^2
-  scene types; 24 types are HELD OUT of training so the eval measures
-  composition (binding each color/shape word to the right region), not
-  caption memorization.
+  colors, position-jittered, noise background) — 306 ordered scene types
+  (18 x 17 distinct (color, shape) pairs; same-type-twice scenes are
+  excluded so every caption names two distinguishable objects); 24 types
+  are HELD OUT of training so the eval measures composition (binding
+  each color/shape word to the right region), not caption memorization.
 - **Captions**: 5 reference templates per scene ("a red circle above a
   blue square", "there is ...", "a blue square below a red circle", ...);
   each TRAINING record carries ONE randomly-drawn template (one record

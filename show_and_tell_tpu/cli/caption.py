@@ -133,11 +133,15 @@ def main(argv=None):
             for j, i in enumerate(ok_idx):
                 gi = s + i
                 base = os.path.splitext(os.path.basename(paths[gi]))[0]
+                # same-basename inputs (dirA/img.jpg + dirB/img.jpg) must
+                # not overwrite each other's sheets, and the fallback must
+                # itself be re-checked — an input literally named
+                # img_1.jpg can occupy the first fallback slot (review fix)
                 name = base + "_attention.png"
-                if name in used_names:
-                    # same-basename inputs (dirA/img.jpg + dirB/img.jpg)
-                    # must not overwrite each other's sheets (review fix)
-                    name = f"{base}_{gi}_attention.png"
+                j = 0
+                while name in used_names:
+                    j += 1
+                    name = f"{base}_{j}_attention.png"
                 used_names.add(name)
                 out = os.path.join(cfg.attention_dir, name)
                 words = caps_attn[j].split() or ["<no caption>"]

@@ -37,12 +37,28 @@ log = logging.getLogger(__name__)
 
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
-    # --export_path is CLI-local (not a Config knob): peel it off first
+    # --export_path is CLI-local (not a Config knob): peel it off first,
+    # accepting both "--export_path OUT" and "--export_path=OUT" (review
+    # fix: the = form reached parse_config as an unknown flag, and a
+    # trailing bare flag raised IndexError instead of a usage error)
     out_path = None
-    if "--export_path" in argv:
-        i = argv.index("--export_path")
-        out_path = argv[i + 1]
-        del argv[i : i + 2]
+    rest = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--export_path":
+            if i + 1 >= len(argv):
+                raise SystemExit("--export_path requires a value")
+            out_path = argv[i + 1]
+            i += 2
+            continue
+        if a.startswith("--export_path="):
+            out_path = a.split("=", 1)[1]
+            i += 1
+            continue
+        rest.append(a)
+        i += 1
+    argv = rest
     if not out_path:
         raise SystemExit("--export_path OUT.pth is required")
     cfg = parse_config(argv)

@@ -326,6 +326,7 @@ def make_server(
     batch_max_queue: Optional[int] = None,
     warmup: bool = False,
     warmup_calib_dir: Optional[str] = None,
+    warmup_surfaces: Optional[str] = None,
 ) -> HTTPServer:
     """Build (don't start) the HTTP server — tests drive it in a thread.
 
@@ -349,20 +350,29 @@ def make_server(
             paths = sorted(
                 p for p in _glob.glob(os.path.join(warmup_calib_dir, "*"))
                 if os.path.isfile(p)
-            )[:32]
-            loaded = [_load_image_checked(p) for p in paths]
-            ok = [im for im, good in loaded if good]
+            )
+            ok = []
+            # filter AFTER decoding: sidecar files (labels/.json) sorting
+            # early must not crowd real images out of the calibration
+            # sample (review fix)
+            for p in paths:
+                im, good = _load_image_checked(p)
+                if good:
+                    ok.append(im)
+                if len(ok) == 32:
+                    break
             if not ok:
                 raise SystemExit(
                     f"--warmup_calib_dir {warmup_calib_dir}: no decodable "
                     "images found"
                 )
             calib = np.stack(ok)
-        mode = "greedy" if cfg.beam_size <= 1 else "beam"
-        log.info("warming serving programs (mode=%s)...", mode)
+        modes = ["greedy" if cfg.beam_size <= 1 else "beam"]
+        modes += [s for s in (warmup_surfaces or "").split(",") if s]
+        log.info("warming serving programs (modes=%s)...", modes)
         log.info(
             "warmup done in %.1f s",
-            cap.warmup(modes=(mode,), calib_images=calib),
+            cap.warmup(modes=modes, calib_images=calib),
         )
     batcher = (
         DynamicBatcher(
@@ -437,6 +447,13 @@ def main(argv=None):
         "--warmup (quantize_backbone only; without it calibration defers "
         "to the first real batch)",
     )
+    ap.add_argument(
+        "--warmup_surfaces", default=None,
+        help="extra surfaces to pre-compile with --warmup, comma-separated "
+        "from {nbest,attention,greedy,beam,sample} — otherwise the first "
+        "?nbest=1 / ?attention=1 request compiles while holding the "
+        "Captioner lock, stalling the batcher behind it",
+    )
     http_args, rest = ap.parse_known_args(argv)
     cfg = parse_config(rest)
     setup_logging("serve_http_log.txt")
@@ -449,6 +466,7 @@ def main(argv=None):
         batch_max_queue=http_args.batch_max_queue,
         warmup=http_args.warmup,
         warmup_calib_dir=http_args.warmup_calib_dir,
+        warmup_surfaces=http_args.warmup_surfaces,
     )
     log.info("serving on %s:%d", http_args.http_host, http_args.http_port)
     try:

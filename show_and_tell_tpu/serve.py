@@ -207,7 +207,12 @@ class Captioner:
         (bucket, mode); default buckets = ALL serving buckets — under a
         DynamicBatcher a coalesced batch can hit any of them, and a
         mid-size cold compile would stall every ticket behind it (review
-        fix: smallest+largest left 8/32/128 cold). Returns seconds spent.
+        fix: smallest+largest left 8/32/128 cold). Besides the decode
+        modes ("beam"/"greedy"/"sample"), ``modes`` accepts the
+        interactive surfaces ``"nbest"`` and ``"attention"`` — otherwise
+        their first request cold-compiles while HOLDING the Captioner
+        lock, stalling every batched request behind it (review fix).
+        Returns seconds spent.
 
         int8 (``quantize_backbone``): calibration statistics must come
         from REAL images — calibrating on warmup's zero dummies would clip
@@ -246,7 +251,12 @@ class Captioner:
             try:
                 for mode in modes:
                     for b in buckets:
-                        self.caption_images(dummy[:b], mode=mode)
+                        if mode == "nbest":
+                            self.caption_nbest(dummy[:b])
+                        elif mode == "attention":
+                            self.caption_with_attention(dummy[:b])
+                        else:
+                            self.caption_images(dummy[:b], mode=mode)
             finally:
                 self._quant_deferred = False
                 # dummy sample calls must not shift the live rng sequence
@@ -256,9 +266,14 @@ class Captioner:
     def _ensure_quantized(self, images_u8) -> None:
         """int8 PTQ (models/quantize.py): calibrate activation scales on
         the given batch (or load a persisted tree), quantize once, and let
-        backbone_features dispatch to the int8 trunk from then on."""
+        backbone_features dispatch to the int8 trunk from then on. During
+        warmup's dummy batches ``_quant_deferred`` defers this to real
+        traffic — the guard lives HERE so every serving surface
+        (caption_images / caption_nbest) honors it."""
         from show_and_tell_tpu.models import quantize as quantize_mod
 
+        if self._quant_deferred:
+            return
         if not (
             getattr(self.cfg, "quantize_backbone", False)
             and self.model.encoder_name in quantize_mod.QUANTIZABLE_ENCODERS
@@ -311,10 +326,7 @@ class Captioner:
         self, images_u8: np.ndarray, mode: str, rng_offset: int
     ) -> List[str]:
         n = images_u8.shape[0]
-        if not self._quant_deferred:
-            # calibrate-on-first-batch (or load the persisted tree); during
-            # warmup's dummy batches the guard defers this to real traffic
-            self._ensure_quantized(images_u8)
+        self._ensure_quantized(images_u8)
         out: List[str] = []
         # One-batch-lag pipeline: dispatch chunk i, then fetch + id->string
         # decode chunk i-1 while the device works on i (the double-buffered
@@ -403,6 +415,10 @@ class Captioner:
                 chunk = np.concatenate(
                     [chunk, np.repeat(chunk[-1:], b - live, axis=0)], axis=0
                 )
+            if self.mesh is not None:  # SPMD serving: shard the data axis
+                from show_and_tell_tpu.parallel import mesh as mesh_lib
+
+                chunk = mesh_lib.shard_batch(self.mesh, {"images": chunk})["images"]
             ids_d, scores_d = get_fn(b)(
                 self.params, self.batch_stats, self.frozen, chunk
             )
@@ -468,6 +484,10 @@ class Captioner:
                 chunk = np.concatenate(
                     [chunk, np.repeat(chunk[-1:], b - live, axis=0)], axis=0
                 )
+            if self.mesh is not None:  # SPMD serving: shard the data axis
+                from show_and_tell_tpu.parallel import mesh as mesh_lib
+
+                chunk = mesh_lib.shard_batch(self.mesh, {"images": chunk})["images"]
             ids_d, alphas_d = get_fn(b)(self.params, self.frozen, chunk)
             caps.extend(self.vocab.decode_batch(np.asarray(ids_d)[:live]))
             alphas.append(np.asarray(alphas_d, np.float32)[:live])

@@ -141,12 +141,17 @@ def test_caption_cli_attention_fail_fast_and_collisions(tmp_path):
     vp = str(tmp_path / "vocab.json")
     v.save(vp)
     rng = np.random.default_rng(0)
-    d1, d2 = tmp_path / "d1", tmp_path / "d2"
-    d1.mkdir(), d2.mkdir()
-    for d in (d1, d2):
+    d1, d2, d3 = tmp_path / "d1", tmp_path / "d2", tmp_path / "d3"
+    d1.mkdir(), d2.mkdir(), d3.mkdir()
+    for d in (d1, d2, d3):
         Image.fromarray(
             rng.integers(0, 255, (40, 50, 3), dtype=np.uint8)
         ).save(d / "im.png")
+    # occupies the first fallback slot (im_1): the de-collision loop must
+    # re-check its candidates, not assume the fallback name is free
+    Image.fromarray(
+        rng.integers(0, 255, (40, 50, 3), dtype=np.uint8)
+    ).save(d1 / "im_1.png")
     outdir = tmp_path / "sheets"
     tiny = [
         "--vocab_path", vp, "--attention_dir", str(outdir),
@@ -160,8 +165,11 @@ def test_caption_cli_attention_fail_fast_and_collisions(tmp_path):
         )
     assert not outdir.exists() or not list(outdir.iterdir())  # no device work
 
-    results = caption_main([str(d1 / "im.png"), str(d2 / "im.png")] + tiny)
+    results = caption_main(
+        [str(d1 / "im.png"), str(d1 / "im_1.png"), str(d2 / "im.png"),
+         str(d3 / "im.png")] + tiny
+    )
     sheets = {r["attention_sheet"] for r in results}
-    assert len(sheets) == 2  # distinct files despite identical basenames
+    assert len(sheets) == 4  # distinct files despite identical basenames
     for s in sheets:
         assert os.path.getsize(s) > 0

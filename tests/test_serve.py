@@ -310,6 +310,11 @@ def test_captioner_warmup_precompiles_buckets():
     cap2.warmup(modes=("sample",), buckets=(2,))
     assert cap2._sample_count == 0
     assert cap2.caption_images(images, mode="sample") == live
+    # the interactive surfaces warm too (review fix: their first request
+    # used to cold-compile while holding the Captioner lock)
+    cap3 = Captioner.from_checkpoint(cfg, None, _vocab(), bucket_sizes=(2,))
+    cap3.warmup(modes=("nbest", "attention"), buckets=(2,))
+    assert (2, "nbest") in cap3._fns and (2, "attention") in cap3._fns
 
 
 def test_caption_with_attention_shapes_and_agreement():

@@ -201,11 +201,13 @@ def test_export_cli_round_trips_through_torch_checkpoint(tmp_path):
     ckpt_mod.save_best(expr, params, None, {"best_val_score": 1.0})
 
     out = str(tmp_path / "model-best.pth")
+    with pytest.raises(SystemExit, match="requires a value"):
+        export_main(["--vocab_path", vp, "--export_path"])
     exported = export_main([
         "--vocab_path", vp, "--load_model_path", expr,
         "--embed_size", "512", "--hidden_size", "1024",
         "--crop_size", "64", "--max_decode_len", "4", "--beam_size", "2",
-        "--dtype", "float32", "--export_path", out,
+        "--dtype", "float32", f"--export_path={out}",  # = form (review fix)
     ])
     assert exported == out
 
