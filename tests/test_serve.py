@@ -47,6 +47,19 @@ def test_captioner_multichip_mesh_matches_single_device():
     a = single.caption_images(images, mode="beam")
     b = sharded.caption_images(images, mode="beam")
     assert a == b
+    # the interactive surfaces shard over the mesh too (review fix: nbest/
+    # attention chunks used to dispatch unsharded). Captions identical;
+    # scores agree to float tolerance (sharded layout changes reduction
+    # order by a few ulps)
+    nb_s, nb_1 = sharded.caption_nbest(images), single.caption_nbest(images)
+    assert [[c for c, _ in alts] for alts in nb_s] == [
+        [c for c, _ in alts] for alts in nb_1
+    ]
+    np.testing.assert_allclose(
+        [[s for _, s in alts] for alts in nb_s],
+        [[s for _, s in alts] for alts in nb_1],
+        rtol=1e-5,
+    )
     # EXPLICIT bucket sizes must divide the data axis
     try:
         Captioner.from_checkpoint(cfg, None, vocab, bucket_sizes=(3,), mesh=mesh)
