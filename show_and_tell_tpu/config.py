@@ -77,6 +77,11 @@ class Config:
     # >1 = average gradients over k microbatches, one Adam update per k
     # steps (optax.MultiSteps): k x effective batch at the same peak memory
     grad_accum_steps: int = 1
+    # >0 = maintain a Polyak/EMA average of the trainable params
+    # (ema = d*ema + (1-d)*params each step, typical d 0.999); evaluation
+    # and best-checkpoint gating then use the AVERAGED weights — the
+    # standard production smoothing the reference lacks. 0 = off.
+    ema_decay: float = 0.0
     max_epochs: int = 20
     learning_rate_decay_start: int = 1  # epoch; -1 = no decay
     learning_rate_decay_every: int = 3

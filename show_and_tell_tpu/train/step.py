@@ -34,6 +34,10 @@ class TrainState:
     opt_state: Any
     batch_stats: Any  # ShowTell encoder BN running stats (None for SAT)
     step: jax.Array  # int32 scalar
+    # Polyak/EMA average of params (cfg.ema_decay > 0), else None. Lives in
+    # the train state so resume carries it bit-continuously like the Adam
+    # moments.
+    ema_params: Any = None
 
 
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
@@ -62,6 +66,14 @@ def make_train_state(cfg: Config, params: Any, batch_stats: Any = None) -> Train
         opt_state=tx.init(params),
         batch_stats=batch_stats,
         step=jnp.zeros((), jnp.int32),
+        # seeded with a COPY of the initial params so the average is
+        # well-defined from step 1 (jnp.copy, not asarray: aliased buffers
+        # would be donated twice by the jitted step and crash Execute())
+        ema_params=(
+            jax.tree.map(jnp.copy, params)
+            if getattr(cfg, "ema_decay", 0.0) > 0
+            else None
+        ),
     )
 
 
@@ -109,6 +121,11 @@ def place_train_state(mesh, cfg: Config, state: TrainState) -> TrainState:
         opt_state=opt_state,
         batch_stats=batch_stats,
         step=jax.device_put(state.step, replicated),
+        ema_params=(
+            mesh_lib.place_params(mesh, state.ema_params)
+            if state.ema_params is not None
+            else None
+        ),
     )
 
 
@@ -172,13 +189,13 @@ def make_train_step(
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         updates = jax.tree.map(lambda u: u * lr, updates)
         params = optax.apply_updates(state.params, updates)
+        finite = jnp.isfinite(grad_norm)
         if cfg.skip_nonfinite:
             # Failure detection (absent from the reference, SURVEY.md §5):
             # a non-finite gradient anywhere drops this step's update —
             # params, optimizer state, AND batch stats are carried forward
             # unchanged (a NaN batch would otherwise permanently poison the
             # ShowTell encoder's BN running stats through the EMA).
-            finite = jnp.isfinite(grad_norm)
             params = jax.tree.map(
                 lambda new, old: jnp.where(finite, new, old), params, state.params
             )
@@ -193,11 +210,25 @@ def make_train_step(
                     new_stats,
                     state.batch_stats,
                 )
+        ema_params = state.ema_params
+        if state.ema_params is not None and getattr(cfg, "ema_decay", 0.0) > 0:
+            d = cfg.ema_decay
+            ema_params = jax.tree.map(
+                lambda e, p: e * d + p * (1.0 - d), state.ema_params, params
+            )
+            if cfg.skip_nonfinite:
+                # a skipped step must not move the average either
+                ema_params = jax.tree.map(
+                    lambda new, old: jnp.where(finite, new, old),
+                    ema_params,
+                    state.ema_params,
+                )
         new_state = TrainState(
             params=params,
             opt_state=opt_state,
             batch_stats=new_stats,
             step=state.step + 1,
+            ema_params=ema_params,
         )
         metrics = {
             "loss": loss,

@@ -118,6 +118,14 @@ class Trainer:
 
     # ------------------------------------------------------------------
 
+    def eval_params(self):
+        """The weights evaluation and best-checkpointing use: the Polyak/EMA
+        average when ``cfg.ema_decay > 0`` (the averaged model is the one a
+        user deploys), else the live params."""
+        if getattr(self.state, "ema_params", None) is not None:
+            return self.state.ema_params
+        return self.state.params
+
     def _maybe_quantize_backbone(self, batch) -> None:
         """int8 PTQ of the FROZEN trunk for training too (it is behind
         stop_gradient either way — models/quantize.py): calibrate on the
@@ -430,7 +438,7 @@ class Trainer:
         val_loss, predictions, lang_stats = None, [], {}
         if self.eval_fn is not None:
             val_loss, predictions, lang_stats = self.eval_fn(
-                self.state.params, self.state.batch_stats, self.frozen
+                self.eval_params(), self.state.batch_stats, self.frozen
             )
         val_result_history[str(total_iteration)] = {
             "loss": val_loss,
@@ -462,7 +470,7 @@ class Trainer:
         if best_flag and jax.process_index() == 0:
             ckpt.save_best(
                 cfg.expr_dir,
-                jax.device_get(self.state.params),
+                jax.device_get(self.eval_params()),
                 jax.device_get(self.state.batch_stats),
                 infos,
             )

@@ -364,3 +364,102 @@ def test_place_train_state_restores_tp_sharding(tmp_path):
     frozen_r = mesh_lib.replicate(mesh, frozen)
     state2, m = step(placed, frozen_r, batch, 1e-3, 0.0, jax.random.PRNGKey(1))
     assert np.isfinite(float(m["loss"]))
+
+
+def test_ema_polyak_average_tracked_and_checkpointed(tmp_path):
+    """cfg.ema_decay > 0: the train state carries ema = d*ema + (1-d)*params
+    (seeded at init), the recursion matches a hand computation, and
+    save/load_train_state round-trips it bit-exactly."""
+    from show_and_tell_tpu.train.step import make_train_state, make_train_step
+    from show_and_tell_tpu.utils.vocab import Vocabulary
+
+    vocab = Vocabulary.from_words(["a", "dog", "runs", "ball"])
+    d = 0.5
+    cfg = Config(embed_size=16, hidden_size=24, max_decode_len=6, ema_decay=d)
+    model = build_model(cfg, len(vocab))
+    params, frozen = model.init(jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(0)
+    B, L, T = 4, 5, 6
+    batch = {
+        "features": jnp.asarray(rng.standard_normal((B, L, 512)), jnp.float32),
+    }
+    caps, lens = vocab.encode_batch([["a", "dog", "runs", "ball"]] * B, T)
+    batch["captions"], batch["lengths"] = jnp.asarray(caps), jnp.asarray(lens)
+
+    state = make_train_state(cfg, params)
+    jax.tree.map(  # seeded with the initial params
+        lambda e, p: np.testing.assert_array_equal(np.asarray(e), np.asarray(p)),
+        state.ema_params, params,
+    )
+    step = make_train_step(model, cfg, donate=False)
+    key = jax.random.PRNGKey(1)
+    s1, _ = step(state, frozen, batch, 1e-2, 0.0, key)
+    expect1 = jax.tree.map(lambda p0, p1: d * p0 + (1 - d) * p1, params, s1.params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6
+        ),
+        s1.ema_params, expect1,
+    )
+    s2, _ = step(s1, frozen, batch, 1e-2, 0.0, key)
+    expect2 = jax.tree.map(
+        lambda e1, p2: d * e1 + (1 - d) * p2, expect1, s2.params
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6
+        ),
+        s2.ema_params, expect2,
+    )
+    # the average lags the live params (they differ after two updates)
+    assert not np.allclose(
+        np.asarray(s2.ema_params["embed"]), np.asarray(s2.params["embed"])
+    )
+
+    # resume round trip carries the EMA tree bit-continuously
+    expr = str(tmp_path / "expr")
+    ckpt.save_train_state(expr, jax.device_get(s2))
+    template = make_train_state(cfg, params)
+    restored = ckpt.load_train_state(expr, template)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        restored.ema_params, s2.ema_params,
+    )
+
+    # default (ema_decay=0) states carry None and serialize as before
+    s_off = make_train_state(Config(embed_size=16, hidden_size=24), params)
+    assert s_off.ema_params is None
+
+
+def test_trainer_checkpoints_ema_weights(tmp_path):
+    """With ema_decay on, the Trainer evaluates AND saves the averaged
+    weights: the restored best checkpoint equals state.ema_params (which
+    lags the live params)."""
+    cfg = small_cfg(tmp_path, ema_decay=0.9)
+    model = build_model(cfg, V)
+    seen = []
+
+    def eval_fn(params, batch_stats, frozen):
+        seen.append(jax.device_get(params))
+        return 2.0, [], {}
+
+    t = Trainer(cfg, model, _loader(), eval_fn=eval_fn)
+    t.train()
+    assert t.state.ema_params is not None
+    # eval_fn received the EMA tree, not the live params
+    np.testing.assert_array_equal(
+        seen[-1]["embed"], np.asarray(t.state.ema_params["embed"])
+    )
+    assert not np.allclose(
+        seen[-1]["embed"], np.asarray(t.state.params["embed"])
+    )
+    # and the persisted best params are the averaged ones from the gate's
+    # winning eval (the FIRST here: the constant eval score never improves,
+    # so later checkpoints don't overwrite it)
+    base_params, _ = model.init(jax.random.PRNGKey(0))
+    restored = ckpt.load_best_params(cfg.expr_dir, base_params, None)
+    assert restored is not None
+    np.testing.assert_allclose(
+        np.asarray(restored[0]["embed"]), seen[0]["embed"], atol=1e-6
+    )
