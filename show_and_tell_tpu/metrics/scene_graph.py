@@ -183,7 +183,9 @@ VERBS = frozenset(
     stare stares gaze gazes rest rests float floats swim swims climb climbs
     pull pulls push pushes serve serves laugh laughs surf surfs ski skis
     skate skates chase chases sets does take takes
-    feed feeds hide hides cut cuts point points pet pets""".split()
+    feed feeds hide hides cut cuts point points pet pets
+    cross crosses bend bends lick licks grab grabs reach reaches
+    see sees""".split()
 )
 # motion preps: their object is a TARGET, not a holder — a following
 # "with" re-anchors to the clause subject ("cutting INTO a cake WITH a
@@ -866,6 +868,16 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                 cancel_dist(last_np)
             continue
         if w in PREPOSITIONS:
+            if (
+                w in ("down", "up", "over", "around")
+                and nxt == "to"
+                and ti + 2 < len(toks)
+                and _is_verbish(toks[ti + 2])
+            ):
+                # directional particle before an infinitive ("bending DOWN
+                # to eat grass"): part of the verb, not a locative — the
+                # infinitive's object must not become this prep's object
+                continue
             if negate_vp or negate_rel:
                 # negated relation: close the segment, emit no tuple; the
                 # prep's object becomes a standalone NP
