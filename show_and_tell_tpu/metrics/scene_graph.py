@@ -261,6 +261,9 @@ PARTICIPLE_BASE = {
     # "does a trick" and "doing a trick" share a lemma
     "does": "do", "did": "do", "done": "do", "goes": "go", "went": "go",
 }
+# PARTICIPLE_BASE entries that are FINITE verb forms, not premodifying
+# participles — excluded from the compound-participle-NP rule
+FINITE_NOT_PARTICIPLE = frozenset("has had does did goes went".split())
 
 
 def _is_verbish(w: str) -> bool:
@@ -575,6 +578,21 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                 trailing_verbs = [words[split_k]] + obj_content + trailing_verbs
                 words = words[:split_k]
                 split_k = -1
+        if (
+            split_k >= 0
+            and _is_participle(words[split_k])
+            # PARTICIPLE_BASE doubles as the irregular-3sg lemma map:
+            # finite forms there ("a kitchen HAS wooden cabinets") are
+            # real clause splits, never compound modifiers
+            and words[split_k] not in FINITE_NOT_PARTICIPLE
+        ):
+            # compound participle NP ("a HORSE DRAWN carriage", "a HALF
+            # EATEN sandwich"): noun/adverb + past participle + bare head
+            # inside ONE determiner phrase — modifiers of the final head,
+            # not a subject-verb-object clause. -ing splits stay clauses
+            # ("a giraffe eating leaves"); a determinered object already
+            # took the determiner branch.
+            split_k = -1
         if split_k >= 0:
             subj_words, verb = words[:split_k], words[split_k]
             obj_words = words[split_k + 1 :]
