@@ -26,11 +26,14 @@ Run: python benchmarks/serving_latency.py  (one JSON line per level)
 from __future__ import annotations
 
 import json
+import os
 import sys
 import threading
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from show_and_tell_tpu.config import Config
 from show_and_tell_tpu.serve import Captioner, DynamicBatcher
