@@ -60,7 +60,7 @@ COPULAS = frozenset("is are was were be been being 's am".split())
 CONJUNCTIONS = frozenset("and or but".split())
 SKIP = frozenset(
     """there it he she they i you we who which that as when where
-    very really quite just also not n't up out about than
+    very really quite just also not n't up out about than together
     himself herself itself themselves""".split()
 )
 # "while"/"whilst" open a subordinate VP whose subject is the CLAUSE
@@ -223,6 +223,12 @@ _COMPOUND_PREPS = (
     (("in", "the", "center", "of"), "amid"),
     (("in", "the", "centre", "of"), "amid"),
     (("in", "the", "midst", "of"), "amid"),
+    # reciprocal/adverbial idioms: no scene tuple ("standing next to each
+    # other", "running side by side") — must precede the ("next","to")
+    # collapse so the 4-gram wins
+    (("next", "to", "each", "other"), None),
+    (("next", "to", "one", "another"), None),
+    (("side", "by", "side"), None),
     (("next", "to"), "near"),
     (("close", "to"), "near"),
     # photographic framing prefix, not scene content: drop it so
@@ -252,6 +258,9 @@ PARTICIPLE_BASE = {
     "flown": "fly", "grown": "grow", "built": "build", "made": "make",
     "caught": "catch", "led": "lead", "fed": "feed", "lit": "light",
     "torn": "tear", "swung": "swing", "hidden": "hide", "broken": "break",
+    "written": "write", "stolen": "steal", "frozen": "freeze",
+    "fallen": "fall", "beaten": "beat", "woven": "weave", "risen": "rise",
+    "lost": "lose", "found": "find",
     "cut": "cut",  # zero-marker participle ("a sandwich cut in half")
     # finite have-forms normalize to "have" so "a kitchen has cabinets"
     # and "a kitchen with cabinets"-style have-relations share a lemma
