@@ -118,4 +118,24 @@ def load_train_state(expr_dir: str, state_template: Any) -> Optional[Any]:
     if not os.path.exists(path):
         return None
     with open(path, "rb") as f:
-        return serialization.from_bytes(state_template, f.read())
+        blob = f.read()
+    # EMA cross-version/cross-config compatibility (review fix: flax
+    # from_bytes matches fields strictly, so the ema_params field added to
+    # TrainState made every pre-EMA checkpoint unresumable):
+    # - old blob without "ema_params" + template WITH an EMA tree: seed the
+    #   average with the restored params (EMA = current weights at resume);
+    # - old blob + template ema None: insert the missing None field;
+    # - blob WITH a saved EMA + template ema None (run resumed with
+    #   ema_decay=0): DROP the stale average — the step never updates it,
+    #   and eval_params() would otherwise serve frozen step-N weights
+    #   forever.
+    state_dict = serialization.msgpack_restore(blob)
+    tmpl_dict = serialization.to_state_dict(state_template)
+    if "ema_params" in tmpl_dict or "ema_params" in state_dict:
+        tmpl_ema = tmpl_dict.get("ema_params")
+        blob_ema = state_dict.get("ema_params")
+        if tmpl_ema is not None and blob_ema is None:
+            state_dict["ema_params"] = state_dict["params"]
+        elif tmpl_ema is None:
+            state_dict["ema_params"] = None
+    return serialization.from_state_dict(state_template, state_dict)

@@ -169,7 +169,7 @@ def _flush_np(words: List[str]) -> _NP | None:
 
 ING_NOUNS = frozenset(
     """building painting ceiling clothing wedding railing awning icing
-    frosting lightning crossing landing drawing evening morning spring
+    frosting lightning landing drawing evening morning spring
     string ring wing thing king living dining""".split()
 )
 ED_NOUNS = frozenset("speed breed seaweed tweed shed bed".split())
@@ -273,6 +273,20 @@ PARTICIPLE_BASE = {
 # PARTICIPLE_BASE entries that are FINITE verb forms, not premodifying
 # participles — excluded from the compound-participle-NP rule
 FINITE_NOT_PARTICIPLE = frozenset("has had does did goes went".split())
+# participle forms that CANNOT be a finite preterite ("drawn" is only ever
+# a participle; "held"/"made"/regular -ed double as past tense) — the only
+# forms that license a compound NP on their own ("a horse DRAWN carriage")
+STRICT_PARTICIPLES = frozenset(
+    """drawn eaten written woven ridden driven given taken thrown flown
+    grown broken torn hidden stolen frozen fallen beaten risen shown
+    seen done""".split()
+)
+# premodifier nouns/adverbs that mark an AMBIGUOUS participle as a
+# compound modifier rather than a clause verb: "a HAND painted sign",
+# "a HALF finished meal" — vs "a WOMAN carried bags" (a clause)
+COMPOUND_PREMODIFIERS = frozenset(
+    "hand half home machine sun freshly newly brightly custom".split()
+)
 
 
 def _is_verbish(w: str) -> bool:
@@ -587,20 +601,27 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                 trailing_verbs = [words[split_k]] + obj_content + trailing_verbs
                 words = words[:split_k]
                 split_k = -1
-        if (
-            split_k >= 0
-            and _is_participle(words[split_k])
-            # PARTICIPLE_BASE doubles as the irregular-3sg lemma map:
-            # finite forms there ("a kitchen HAS wooden cabinets") are
-            # real clause splits, never compound modifiers
-            and words[split_k] not in FINITE_NOT_PARTICIPLE
+        if split_k >= 0 and (
+            words[split_k] in STRICT_PARTICIPLES
+            or (
+                _is_participle(words[split_k])
+                and words[split_k] not in FINITE_NOT_PARTICIPLE
+                and all(
+                    t in COMPOUND_PREMODIFIERS
+                    for t in words[:split_k]
+                    if content_count([t])
+                )
+            )
         ):
             # compound participle NP ("a HORSE DRAWN carriage", "a HALF
-            # EATEN sandwich"): noun/adverb + past participle + bare head
-            # inside ONE determiner phrase — modifiers of the final head,
-            # not a subject-verb-object clause. -ing splits stay clauses
-            # ("a giraffe eating leaves"); a determinered object already
-            # took the determiner branch.
+            # EATEN sandwich", "a HAND painted sign"): modifier + past
+            # participle + bare head inside ONE determiner phrase —
+            # modifiers of the final head, not a subject-verb-object
+            # clause. Licensed only by a participle-ONLY form (drawn/
+            # eaten/...) or a compound premodifier: ambiguous preterites
+            # with a real subject stay clauses ("a woman CARRIED bags" ->
+            # (woman, carry, bag), review fix). -ing splits stay clauses
+            # ("a giraffe eating leaves").
             split_k = -1
         if split_k >= 0:
             subj_words, verb = words[:split_k], words[split_k]
@@ -896,7 +917,9 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
             continue
         if w in PREPOSITIONS:
             if (
-                w in ("down", "up", "over", "around")
+                # "up" never reaches this branch (it is in SKIP, not
+                # PREPOSITIONS) — listed here would be dead code
+                w in ("down", "over", "around")
                 and nxt == "to"
                 and ti + 2 < len(toks)
                 and _is_verbish(toks[ti + 2])

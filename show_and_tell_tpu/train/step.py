@@ -213,16 +213,20 @@ def make_train_step(
         ema_params = state.ema_params
         if state.ema_params is not None and getattr(cfg, "ema_decay", 0.0) > 0:
             d = cfg.ema_decay
-            ema_params = jax.tree.map(
-                lambda e, p: e * d + p * (1.0 - d), state.ema_params, params
+            # one EMA tick per REAL optimizer update: under gradient
+            # accumulation MultiSteps only applies every k-th micro-step,
+            # and ticking each micro-step would compound the decay to d^k
+            # (review fix). Micro-step counters align: both start at 0.
+            k = getattr(cfg, "grad_accum_steps", 1)
+            moved = jnp.logical_and(
+                finite if cfg.skip_nonfinite else True,
+                ((state.step + 1) % k == 0) if k > 1 else True,
             )
-            if cfg.skip_nonfinite:
-                # a skipped step must not move the average either
-                ema_params = jax.tree.map(
-                    lambda new, old: jnp.where(finite, new, old),
-                    ema_params,
-                    state.ema_params,
-                )
+            ema_params = jax.tree.map(
+                lambda e, p: jnp.where(moved, e * d + p * (1.0 - d), e),
+                state.ema_params,
+                params,
+            )
         new_state = TrainState(
             params=params,
             opt_state=opt_state,

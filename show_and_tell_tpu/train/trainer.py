@@ -212,11 +212,23 @@ class Trainer:
                         cfg.start_from, self.state.params, self.state.batch_stats
                     )
                     if restored is not None:
+                        import jax.numpy as jnp
+
                         self.state = place_train_state(
                             self.mesh,
                             cfg,
                             self.state.replace(
-                                params=restored[0], batch_stats=restored[1]
+                                params=restored[0],
+                                batch_stats=restored[1],
+                                # re-seed the EMA from the RESTORED weights
+                                # (review fix: it otherwise kept the random
+                                # __init__ copy and blended garbage into
+                                # ~1/(1-d) evals)
+                                ema_params=(
+                                    jax.tree.map(jnp.copy, restored[0])
+                                    if self.state.ema_params is not None
+                                    else None
+                                ),
                             ),
                         )
                 log.info("resuming from %s", cfg.start_from)

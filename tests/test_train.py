@@ -463,3 +463,91 @@ def test_trainer_checkpoints_ema_weights(tmp_path):
     np.testing.assert_allclose(
         np.asarray(restored[0]["embed"]), seen[0]["embed"], atol=1e-6
     )
+
+
+def test_ema_checkpoint_compatibility_matrix(tmp_path):
+    """load_train_state bridges EMA across versions/configs (review fix:
+    the new TrainState field made pre-EMA checkpoints unresumable):
+    (a) a pre-EMA blob (no ema field) resumes with ema enabled — the
+    average re-seeds from the restored params; (b) the same blob resumes
+    with ema off; (c) a blob SAVED with an EMA resumes with ema_decay=0 —
+    the stale average is dropped, not served forever."""
+    from flax import serialization
+
+    from show_and_tell_tpu.train.step import make_train_state
+
+    cfg_off = Config(embed_size=16, hidden_size=24)
+    cfg_on = cfg_off.replace(ema_decay=0.9)
+    model = build_model(cfg_off, V)
+    params, _ = model.init(jax.random.PRNGKey(0))
+
+    # (a)+(b): fabricate a pre-EMA-era blob — the field absent entirely
+    state_off = jax.device_get(make_train_state(cfg_off, params))
+    legacy = serialization.to_state_dict(state_off)
+    legacy.pop("ema_params")
+    expr = str(tmp_path / "legacy")
+    os.makedirs(expr, exist_ok=True)
+    with open(os.path.join(expr, "state-last.msgpack"), "wb") as f:
+        f.write(serialization.msgpack_serialize(legacy))
+
+    tmpl_on = make_train_state(cfg_on, params)
+    restored = ckpt.load_train_state(expr, tmpl_on)
+    assert restored is not None and restored.ema_params is not None
+    np.testing.assert_array_equal(
+        np.asarray(restored.ema_params["embed"]), np.asarray(restored.params["embed"])
+    )
+    tmpl_off = make_train_state(cfg_off, params)
+    restored_off = ckpt.load_train_state(expr, tmpl_off)
+    assert restored_off is not None and restored_off.ema_params is None
+
+    # (c): EMA-era blob, resumed with ema off -> stale average dropped
+    state_on = jax.device_get(make_train_state(cfg_on, params))
+    expr2 = str(tmp_path / "emaera")
+    ckpt.save_train_state(expr2, state_on)
+    restored2 = ckpt.load_train_state(expr2, make_train_state(cfg_off, params))
+    assert restored2.ema_params is None
+    # and resumed with ema ON it round-trips intact
+    restored3 = ckpt.load_train_state(expr2, make_train_state(cfg_on, params))
+    assert restored3.ema_params is not None
+
+
+def test_ema_ticks_once_per_optimizer_update_under_accumulation():
+    """grad_accum_steps=k: the EMA moves only on the k-th micro-step, so
+    the per-UPDATE decay stays d (review fix: ticking every micro-step
+    compounded it to d^k)."""
+    from show_and_tell_tpu.train.step import make_train_state, make_train_step
+    from show_and_tell_tpu.utils.vocab import Vocabulary
+
+    vocab = Vocabulary.from_words(["a", "dog", "runs", "ball"])
+    d, k = 0.5, 2
+    cfg = Config(
+        embed_size=16, hidden_size=24, max_decode_len=6,
+        ema_decay=d, grad_accum_steps=k,
+    )
+    model = build_model(cfg, len(vocab))
+    params, frozen = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    B, L, T = 4, 5, 6
+    caps, lens = vocab.encode_batch([["a", "dog", "runs", "ball"]] * B, T)
+    batch = {
+        "features": jnp.asarray(rng.standard_normal((B, L, 512)), jnp.float32),
+        "captions": jnp.asarray(caps),
+        "lengths": jnp.asarray(lens),
+    }
+    state = make_train_state(cfg, params)
+    step = make_train_step(model, cfg, donate=False)
+    key = jax.random.PRNGKey(1)
+    s1, _ = step(state, frozen, batch, 1e-2, 0.0, key)
+    # micro-step 1 of 2: no optimizer update, no EMA tick
+    np.testing.assert_array_equal(
+        np.asarray(s1.ema_params["embed"]), np.asarray(params["embed"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(s1.params["embed"]), np.asarray(params["embed"])
+    )
+    s2, _ = step(s1, frozen, batch, 1e-2, 0.0, key)
+    # micro-step 2: real update; EMA ticks exactly once with decay d
+    expect = jax.tree.map(lambda p0, p2: d * p0 + (1 - d) * p2, params, s2.params)
+    np.testing.assert_allclose(
+        np.asarray(s2.ema_params["embed"]), np.asarray(expect["embed"]), atol=1e-6
+    )
