@@ -496,6 +496,17 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
             )
         ):
             return agent_subject(last_loc_rel[0])
+        if (
+            last_of_rel is not None
+            and np_ is last_of_rel[1]
+            and verb.endswith("ing")
+            and last_of_rel[0].head in CONTAINER_NOUNS
+        ):
+            # partitive container: "a CUP of coffee SITTING next to a
+            # laptop" -> the cup sits (the container is the located
+            # thing, matching the container locative rule above);
+            # group/photo heads keep the of-object's agency
+            return agent_subject(last_of_rel[0])
         return agent_subject(np_)
 
     def place_rel_subject(subj: "_NP", prep, obj_np: "_NP") -> "_NP":
@@ -998,6 +1009,19 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                     # cake WITH a knife" -> the woman has the knife)
                     rel_subj = last_loc_rel[0]
                 elif (
+                    w == "with"
+                    and nxt in ("his", "her", "its", "their")
+                    and last_rel3 is not None
+                    and last_np is last_rel3[2]
+                    and isinstance(last_rel3[1], str)
+                    and _is_verbish(last_rel3[1])
+                ):
+                    # possessive instrument after an active object:
+                    # "spraying water WITH ITS trunk" — the possessive
+                    # marks the instrument as the AGENT's, so the relation
+                    # re-anchors past the object (the water has no trunk)
+                    rel_subj = agent_subject(last_rel3[0])
+                elif (
                     w != "of"
                     and last_of_rel is not None
                     and last_np is last_of_rel[1]
@@ -1183,7 +1207,33 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                             # the agent of the following verb
                             negated_np_ids.add(id(np_))
                             detached = False
-                        if after_conj and conj_prev is not None:
+                        coord_prep_obj = (
+                            after_conj
+                            and last_rel3 is not None
+                            and last_rel3_slot == "obj"
+                            and last_np is last_rel3[2]
+                            and isinstance(last_rel3[1], str)
+                            and last_rel3[1] in PREPOSITIONS
+                            and not any(
+                                t in DETERMINERS and t not in NUMBERS
+                                for t in subj_words
+                            )
+                        )
+                        if coord_prep_obj:
+                            # det-less NP coordinated onto a prep OBJECT,
+                            # then a gerund: "in a blue shirt and JEANS
+                            # riding a bike" — the NP joins the prep
+                            # relation ((man, in, jeans)) instead of
+                            # becoming the gerund's subject; the clause
+                            # subject owns the new locative, so the verb
+                            # re-anchor below lands on the man
+                            add_subj_tuple(
+                                last_rel3[0], _norm(last_rel3[1]), _norm(np_.head)
+                            )
+                            if last_rel3[1] != "of":
+                                last_loc_rel = (last_rel3[0], np_)
+                            conj_prev = None
+                        elif after_conj and conj_prev is not None:
                             # "a man and A WOMAN HOLDING an umbrella"
                             coord_partner[id(np_)] = [conj_prev] + \
                                 coord_partner.get(id(conj_prev), [])
