@@ -78,7 +78,7 @@ Tuple3 = Tuple[str, ...]
 # noun
 POST_ADJS = frozenset(
     """full empty half larger smaller bigger taller longer shorter higher
-    lower older younger wider deeper darker lighter brighter""".split()
+    lower older younger wider deeper darker lighter brighter high""".split()
 )
 
 # nouns that cannot be the agent of a verb relation (body parts, clothing,
@@ -103,6 +103,7 @@ PLACE_NOUNS = frozenset(
     mountain hill shore curb corner roof ceiling kitchen bathroom bedroom
     room station market harbor dock bridge background foreground
     yard garden court stadium zoo forest city town snow air restaurant
+    rain sunshine shade dark distance
     store garage driveway highway porch balcony
     table desk counter shelf bench couch sofa chair bed stool mat rug
     seat""".split()
