@@ -57,10 +57,79 @@ def build_captioner() -> Captioner:
     return Captioner.from_checkpoint(cfg, None, vocab, bucket_sizes=BUCKETS)
 
 
-def run_level(batcher: DynamicBatcher, concurrency: int) -> dict:
-    """Closed-loop clients; returns latency percentiles + throughput."""
+def train_decoder(cap: Captioner, steps: int = 200, lr: float = 3e-3) -> float:
+    """Train the decoder in-bench (the bench.py recipe at latency scale):
+    6 color classes -> fixed 13-token id sequences ending in <end>, so
+    decode hits the early-exit while_loop at a COCO-like length and the
+    reported latency reflects a model that actually captions. Returns the
+    final loss."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from show_and_tell_tpu.data.transforms import eval_transform
+    from show_and_tell_tpu.train.losses import masked_cross_entropy
+
+    model, cfg = cap.model, cap.cfg
     rng = np.random.default_rng(0)
-    img = (rng.random((256, 256, 3)) * 255).astype(np.uint8)
+    colors = [
+        (200, 30, 30), (30, 200, 30), (30, 30, 200),
+        (220, 220, 30), (160, 30, 200), (230, 230, 230),
+    ]
+    B, T = 96, cfg.max_decode_len
+    arr = np.empty((B, 256, 256, 3), np.uint8)
+    caps = np.zeros((B, T), np.int32)
+    lens = np.full((B,), 13, np.int32)  # <start> + 11 tokens + <end>
+    for i in range(B):
+        c = i % len(colors)
+        arr[i] = np.clip(
+            np.asarray(colors[c], np.float32)[None, None]
+            + rng.normal(0, 12, (256, 256, 3)),
+            0, 255,
+        ).astype(np.uint8)
+        ids = [1, 4 + c] + [10 + j for j in range(10)] + [2]
+        caps[i, : len(ids)] = ids
+    feats = jax.jit(
+        lambda f, x: model.backbone_features(f, eval_transform(x, cfg.crop_size))
+    )(cap.frozen, jnp.asarray(arr))
+    captions, lengths = jnp.asarray(caps), jnp.asarray(lens)
+    params = cap.params
+    opt = optax.adam(lr)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def update(p, s):
+        def loss_fn(p):
+            logits, mask, _ = model.decode_train(p, feats, captions, lengths)
+            loss, _ = masked_cross_entropy(logits, captions[:, 1:], mask)
+            return loss
+
+        loss, g = jax.value_and_grad(loss_fn)(p)
+        u, s = opt.update(g, s)
+        return optax.apply_updates(p, u), s, loss
+
+    loss = None
+    for _ in range(steps):
+        params, opt_state, loss = update(params, opt_state)
+    cap.params = params  # params are jit ARGUMENTS: no recompile needed
+    return float(loss)
+
+
+def bench_image(trained: bool) -> np.ndarray:
+    """Random noise (the 20-step worst case) or a trained-class color
+    image (decode emits <end> at ~12 steps -> early-exit latency)."""
+    rng = np.random.default_rng(0)
+    if not trained:
+        return (rng.random((256, 256, 3)) * 255).astype(np.uint8)
+    return np.clip(
+        np.asarray((200, 30, 30), np.float32)[None, None]
+        + rng.normal(0, 12, (256, 256, 3)),
+        0, 255,
+    ).astype(np.uint8)
+
+
+def run_level(batcher: DynamicBatcher, concurrency: int, img: np.ndarray) -> dict:
+    """Closed-loop clients; returns latency percentiles + throughput."""
     stop = threading.Event()
     measuring = threading.Event()
     lats: list = []  # floats, appended under the GIL (list.append is atomic)
@@ -109,36 +178,51 @@ def run_level(batcher: DynamicBatcher, concurrency: int) -> dict:
     }
 
 
-def main() -> None:
+def main(trained: bool = False) -> None:
     cap = build_captioner()
+    regime = "trained_early_exit" if trained else "random_20step_worst_case"
+    train_loss = None
+    if trained:
+        train_loss = train_decoder(cap)
     t0 = time.perf_counter()
     cap.warmup(modes=("beam",), buckets=BUCKETS)
     warmup_s = time.perf_counter() - t0
 
+    img = bench_image(trained)
+    if trained:
+        # confirm the early exit is real: the trained caption ends well
+        # short of the 20-step budget
+        words = cap.caption_images(img[None], mode="beam")[0].split()
+        print(json.dumps({
+            "metric": "serving_latency_trained_check",
+            "emitted_len": len(words), "train_loss": round(train_loss, 4),
+        }))
+
     # direct-path single-request latency (no batcher): the floor a lone
     # client can ever see on this config
-    rng = np.random.default_rng(1)
-    one = (rng.random((1, 256, 256, 3)) * 255).astype(np.uint8)
     times = []
     for _ in range(20):
         t0 = time.perf_counter()
-        cap.caption_images(one, mode="beam")
+        cap.caption_images(img[None], mode="beam")
         times.append(time.perf_counter() - t0)
     direct_ms = round(float(np.median(times)) * 1e3, 1)
     print(json.dumps({
         "metric": "serving_direct_b1_beam3_latency", "value": direct_ms,
-        "unit": "ms", "warmup_compile_s": round(warmup_s, 1),
+        "unit": "ms", "regime": regime,
+        "warmup_compile_s": round(warmup_s, 1),
     }))
     sys.stdout.flush()
 
     for c in LEVELS:
         # fresh batcher per level so stats()/latency window are per-level
         b = DynamicBatcher(cap, max_batch=max(BUCKETS), max_delay_ms=5.0)
-        r = run_level(b, c)
+        r = run_level(b, c, img)
         b.close()
-        print(json.dumps({"metric": "serving_latency_closed_loop", **r}))
+        print(json.dumps({
+            "metric": "serving_latency_closed_loop", "regime": regime, **r
+        }))
         sys.stdout.flush()
 
 
 if __name__ == "__main__":
-    main()
+    main(trained="--trained" in sys.argv)
