@@ -200,6 +200,10 @@ COLOR_WORDS = frozenset(
     """red orange yellow green blue purple pink brown black white gray
     grey tan beige gold silver maroon navy teal turquoise""".split()
 )
+# predicate adjectives that can follow a verb bare ("a cat curled up
+# ASLEEP on a sofa"): subject attributes, never an object NP — grouped
+# with the color-list intercept below
+PRED_ADJS = frozenset("asleep awake alone".split())
 # adjectives that legitimately coordinate INSIDE an NP ("black AND white
 # cat", "a big and small dog"): closed lexicon — a non-adjective before
 # "and" is NP coordination instead ("a bride AND groom" is two objects,
@@ -606,8 +610,11 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
             obj_content = [
                 t for t in words[split_k + 1 :] if content_count([t])
             ]
-            if obj_content and all(t in COLOR_WORDS for t in obj_content):
-                # "painted RED AND WHITE": the right side is a color list —
+            if obj_content and all(
+                t in COLOR_WORDS or t in PRED_ADJS for t in obj_content
+            ):
+                # "painted RED AND WHITE" / "curled up ASLEEP": the right
+                # side is a color list or predicate adjective —
                 # attributes of the subject, not an object NP; the verb
                 # joins them as a participle attribute
                 trailing_verbs = [words[split_k]] + obj_content + trailing_verbs
@@ -1021,6 +1028,18 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                     # "spraying water WITH ITS trunk" — the possessive
                     # marks the instrument as the AGENT's, so the relation
                     # re-anchors past the object (the water has no trunk)
+                    rel_subj = agent_subject(last_rel3[0])
+                elif (
+                    w in MOTION_PREPS
+                    and last_rel3 is not None
+                    and last_np is last_rel3[2]
+                    and isinstance(last_rel3[1], str)
+                    and _is_verbish(last_rel3[1])
+                ):
+                    # motion prep after an active verb's object: "riding a
+                    # skateboard DOWN a ramp" — the path belongs to the
+                    # AGENT (the dependency parse attaches the PP to the
+                    # verb), not the vehicle/object
                     rel_subj = agent_subject(last_rel3[0])
                 elif (
                     w != "of"
