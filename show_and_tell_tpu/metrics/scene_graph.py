@@ -626,7 +626,9 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                 _is_participle(words[split_k])
                 and words[split_k] not in FINITE_NOT_PARTICIPLE
                 and all(
-                    t in COMPOUND_PREMODIFIERS
+                    # an adjective can never be a clause SUBJECT, so it
+                    # licenses the compound too ("an OLD fashioned clock")
+                    t in COMPOUND_PREMODIFIERS or t in ADJ_COORD
                     for t in words[:split_k]
                     if content_count([t])
                 )
