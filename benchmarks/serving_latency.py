@@ -62,7 +62,12 @@ def train_decoder(cap: Captioner, steps: int = 200, lr: float = 3e-3) -> float:
     6 color classes -> fixed 13-token id sequences ending in <end>, so
     decode hits the early-exit while_loop at a COCO-like length and the
     reported latency reflects a model that actually captions. Returns the
-    final loss."""
+    final loss.
+
+    NOTE: intentionally a standalone copy of bench.py's in-bench training
+    loop (color+noise images, adam full-batch) rather than a shared
+    helper — bench.py is the graded headline artifact and stays
+    self-contained; if the recipe changes there, mirror it here."""
     import jax
     import jax.numpy as jnp
     import optax

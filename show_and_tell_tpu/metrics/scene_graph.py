@@ -204,6 +204,19 @@ COLOR_WORDS = frozenset(
 # ASLEEP on a sofa"): subject attributes, never an object NP — grouped
 # with the color-list intercept below
 PRED_ADJS = frozenset("asleep awake alone".split())
+
+# animate nouns — plausible POSSESSORS for the possessive-instrument rule
+# below ("photographing a woman with HER dog": the woman can own the dog,
+# so the phrase keeps nearest attachment; "spraying water with ITS trunk"
+# has an inanimate object, so the possessive must refer to the agent)
+ANIMATE_NOUNS = frozenset(
+    """man men woman women boy boys girl girls child children kid kids
+    person people lady ladies guy guys baby babies couple player players
+    rider surfer skier skater chef cook officer worker crowd family
+    dog dogs cat cats horse horses elephant elephants giraffe giraffes
+    zebra zebras bear bears bird birds cow cows sheep monkey monkeys
+    animal animals""".split()
+)
 # adjectives that legitimately coordinate INSIDE an NP ("black AND white
 # cat", "a big and small dog"): closed lexicon — a non-adjective before
 # "and" is NP coordination instead ("a bride AND groom" is two objects,
@@ -1025,10 +1038,16 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                     and last_np is last_rel3[2]
                     and isinstance(last_rel3[1], str)
                     and _is_verbish(last_rel3[1])
+                    # an ANIMATE object can be the possessor itself
+                    # ("photographing a WOMAN with her dog" — the dog is
+                    # the woman's): keep nearest attachment there (review
+                    # fix); only an inanimate object forces the agent
+                    # reading
+                    and last_np.head not in ANIMATE_NOUNS
                 ):
-                    # possessive instrument after an active object:
-                    # "spraying water WITH ITS trunk" — the possessive
-                    # marks the instrument as the AGENT's, so the relation
+                    # possessive instrument after an active INANIMATE
+                    # object: "spraying water WITH ITS trunk" — the
+                    # possessive must refer to the AGENT, so the relation
                     # re-anchors past the object (the water has no trunk)
                     rel_subj = agent_subject(last_rel3[0])
                 elif (
@@ -1236,6 +1255,12 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                             and last_np is last_rel3[2]
                             and isinstance(last_rel3[1], str)
                             and last_rel3[1] in PREPOSITIONS
+                            # only NON_AGENT heads (garments/accessories)
+                            # join the prep relation: a coordinated
+                            # animate/quantified NP ("a man in a hat and
+                            # TWO DOGS chasing a ball") is a NEW clause
+                            # subject (review fix)
+                            and np_.head in NON_AGENT
                             and not any(
                                 t in DETERMINERS and t not in NUMBERS
                                 for t in subj_words
