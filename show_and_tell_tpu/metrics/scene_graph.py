@@ -200,6 +200,14 @@ COLOR_WORDS = frozenset(
     """red orange yellow green blue purple pink brown black white gray
     grey tan beige gold silver maroon navy teal turquoise""".split()
 )
+# size adjectives — the SPICE "Size" subcategory filter: the Java scorer's
+# -subset report buckets attribute tuples into Color/Cardinality/Size, and
+# the reference wrapper surfaces those per-image score sets verbatim
+# (pycocoevalcap/spice/spice.py:66,78-91)
+SIZE_WORDS = frozenset(
+    """big small large little tiny huge giant enormous massive tall short
+    long wide narrow thick thin miniature oversized""".split()
+)
 # predicate adjectives that can follow a verb bare ("a cat curled up
 # ASLEEP on a sofa"): subject attributes, never an object NP — grouped
 # with the color-list intercept below
@@ -1389,16 +1397,14 @@ def _tuple_match(t1: Tuple3, t2: Tuple3) -> bool:
     return len(t1) == len(t2) and all(_elems_match(a, b) for a, b in zip(t1, t2))
 
 
-def spice_f(cand: Set[Tuple3], ref: Set[Tuple3]) -> float:
-    """SPICE F1 between a candidate tuple set and the union reference set."""
-    if not cand or not ref:
-        return 0.0
-    # One-to-one assignment via maximum bipartite matching (augmenting
-    # paths). Greedy iteration over raw sets would make the count depend on
-    # hash-seed iteration order (synonym matches are many-to-many); maximum
-    # matching is both order-independent and maximal, so a candidate tuple
-    # never loses its only partner to one that had alternatives.
-    cl, rl = sorted(cand), sorted(ref)
+def _max_matching(cl: List[Tuple3], rl: List[Tuple3]) -> int:
+    """Maximum bipartite matching size between sorted tuple lists.
+
+    One-to-one assignment via augmenting paths. Greedy iteration over raw
+    sets would make the count depend on hash-seed iteration order (synonym
+    matches are many-to-many); maximum matching is both order-independent
+    and maximal, so a candidate tuple never loses its only partner to one
+    that had alternatives."""
     adj = [[j for j, r in enumerate(rl) if _tuple_match(t, r)] for t in cl]
     owner = [-1] * len(rl)  # ref index -> matched cand index
 
@@ -1411,17 +1417,79 @@ def spice_f(cand: Set[Tuple3], ref: Set[Tuple3]) -> float:
                     return True
         return False
 
-    matched = sum(_augment(i, [False] * len(rl)) for i in range(len(cl)))
+    return sum(_augment(i, [False] * len(rl)) for i in range(len(cl)))
+
+
+def spice_f(cand: Set[Tuple3], ref: Set[Tuple3]) -> float:
+    """SPICE F1 between a candidate tuple set and the union reference set."""
+    if not cand or not ref:
+        return 0.0
+    matched = _max_matching(sorted(cand), sorted(ref))
     p = matched / len(cand)
     r = matched / len(ref)
     return 0.0 if p + r == 0 else 2 * p * r / (p + r)
 
 
-def spice_backend(gts: Dict, res: Dict):
-    """``compute_score``-shaped backend: per-image SPICE F1 + corpus mean.
+def _category_filters():
+    """The Java scorer's -subset tuple buckets (spice.py:66). Lexicon
+    membership is tested in normalized (stemmed) space because tuples carry
+    ``_norm``-ed elements ("large" -> "larg")."""
+    colors = frozenset(_norm(w) for w in COLOR_WORDS)
+    sizes = frozenset(_norm(w) for w in SIZE_WORDS)
+    counts = frozenset(_norm(w) for w in NUMBERS)
+    return (
+        ("All", lambda t: True),
+        ("Object", lambda t: len(t) == 1),
+        ("Attribute", lambda t: len(t) == 2),
+        ("Relation", lambda t: len(t) == 3),
+        ("Color", lambda t: len(t) == 2 and t[1] in colors),
+        (
+            "Cardinality",
+            lambda t: len(t) == 2 and (t[1] in counts or t[1].isdigit()),
+        ),
+        ("Size", lambda t: len(t) == 2 and t[1] in sizes),
+    )
 
-    Mirrors the reference wrapper's aggregation (spice.py:80-91: mean of
-    per-image F-scores)."""
+
+_CATEGORY_FILTERS = _category_filters()
+
+
+def spice_score_set(
+    cand: Set[Tuple3], ref: Set[Tuple3]
+) -> Dict[str, Dict[str, float]]:
+    """Per-category ``{"f", "pr", "re"}`` dicts — the reference wrapper's
+    per-image score shape (spice.py:78-91: each image maps category ->
+    score tuple, with the jar's JSON ``null`` for undefined categories
+    converted to NaN by ``float_convert``)."""
+    out: Dict[str, Dict[str, float]] = {}
+    nan = float("nan")
+    for name, keep in _CATEGORY_FILTERS:
+        c = sorted(t for t in cand if keep(t))
+        r = sorted(t for t in ref if keep(t))
+        if not c and not r:
+            out[name] = {"f": nan, "pr": nan, "re": nan}
+            continue
+        m = _max_matching(c, r)
+        p = m / len(c) if c else nan
+        rc = m / len(r) if r else nan
+        # f mirrors spice_f: 0.0 when either side is empty or nothing
+        # matched, so the All column stays bit-identical to spice_f and the
+        # corpus mean stays finite
+        if not c or not r or m == 0:
+            f = 0.0
+        else:
+            f = 2 * p * rc / (p + rc)
+        out[name] = {"f": f, "pr": p, "re": rc}
+    return out
+
+
+def spice_backend(gts: Dict, res: Dict):
+    """``compute_score``-shaped backend: corpus mean of per-image All
+    F-scores + per-image subcategory score sets.
+
+    Matches the reference wrapper's exact return shape (spice.py:78-91:
+    ``scores[i]`` is a dict category -> {f, pr, re}; the corpus average is
+    the mean of ``scores[i]['All']['f']``)."""
     assert sorted(gts.keys()) == sorted(res.keys())
     scores = []
     for img_id in sorted(gts.keys()):
@@ -1429,5 +1497,7 @@ def spice_backend(gts: Dict, res: Dict):
         ref_union: Set[Tuple3] = set()
         for r in gts[img_id]:
             ref_union |= parse(r)
-        scores.append(spice_f(cand, ref_union))
-    return float(np.mean(scores)) if scores else 0.0, scores
+        scores.append(spice_score_set(cand, ref_union))
+    if not scores:
+        return 0.0, scores
+    return float(np.mean([s["All"]["f"] for s in scores])), scores

@@ -74,6 +74,12 @@ def cached_backend(fn: Callable, cache_path: str) -> Callable:
         blob = hypo + "\x00" + "\x00".join(sorted(refs))
         return hashlib.sha256(blob.encode()).hexdigest()
 
+    def all_f(s) -> float:
+        # builtin-backend scores are per-category dicts (the reference
+        # wrapper's shape, spice.py:78-91); custom backends may return bare
+        # floats — average works for both
+        return float(s["All"]["f"]) if isinstance(s, dict) else float(s)
+
     def wrapped(gts, res):
         cache = load()
         ids = sorted(gts.keys())
@@ -84,13 +90,14 @@ def cached_backend(fn: Callable, cache_path: str) -> Callable:
             sub_res = {i: res[i] for i in missing}
             _, scores = fn(sub_gts, sub_res)
             for i, s in zip(sorted(missing), scores):
-                cache[keys[i]] = float(s)
+                cache[keys[i]] = s if isinstance(s, dict) else float(s)
             tmp = cache_path + ".tmp"
             with open(tmp, "w") as f:
                 json.dump(cache, f)
             os.replace(tmp, cache_path)
         per_image = [cache[keys[i]] for i in ids]
-        return float(sum(per_image) / max(len(per_image), 1)), per_image
+        mean = sum(all_f(s) for s in per_image) / max(len(per_image), 1)
+        return float(mean), per_image
 
     return wrapped
 

@@ -342,6 +342,64 @@ def test_spice_builtin_backend_default():
     assert s0 == 0.0
 
 
+def test_spice_subcategory_score_sets():
+    """Per-image scores carry the reference wrapper's subcategory shape
+    (pycocoevalcap/spice/spice.py:78-91): category -> {f, pr, re} with the
+    jar's -subset buckets, NaN for categories absent from both sides."""
+    from show_and_tell_tpu.metrics.scene_graph import parse, spice_backend, spice_f
+
+    score, scores = spice_backend(
+        {1: ["two red dogs sitting on a large mat"]},
+        {1: ["three red dogs on a large mat"]},
+    )
+    (s,) = scores
+    assert set(s) == {
+        "All", "Object", "Attribute", "Relation", "Color", "Cardinality", "Size",
+    }
+    assert all(set(v) == {"f", "pr", "re"} for v in s.values())
+    assert s["Object"] == {"f": 1.0, "pr": 1.0, "re": 1.0}  # dog, mat
+    assert s["Relation"]["f"] == 1.0  # (dog, on, mat)
+    assert s["Color"]["f"] == 1.0  # red
+    assert s["Size"]["f"] == 1.0  # large
+    assert s["Cardinality"] == {"f": 0.0, "pr": 0.0, "re": 0.0}  # three vs two
+    # attributes: {three, red, larg} vs {two, red, sit, larg} -> m=2
+    assert s["Attribute"]["pr"] == pytest.approx(2 / 3)
+    assert s["Attribute"]["re"] == pytest.approx(2 / 4)
+    # the All column stays bit-identical to the flat spice_f, and the corpus
+    # mean averages All f (spice.py:82)
+    assert s["All"]["f"] == spice_f(
+        parse("three red dogs on a large mat"),
+        parse("two red dogs sitting on a large mat"),
+    )
+    assert score == s["All"]["f"]
+
+    # categories absent from BOTH sides are NaN (the wrapper's None->NaN
+    # float_convert, spice.py:86-90); one-sided absence scores f=0
+    _, (s2,) = spice_backend({2: ["a dog"]}, {2: ["a dog"]})
+    assert s2["Object"]["f"] == 1.0
+    for cat in ("Relation", "Attribute", "Color", "Cardinality", "Size"):
+        assert math.isnan(s2[cat]["f"]) and math.isnan(s2[cat]["pr"])
+    _, (s3,) = spice_backend({3: ["a red dog"]}, {3: ["a dog"]})
+    assert s3["Color"]["f"] == 0.0 and math.isnan(s3["Color"]["pr"])
+    assert s3["Color"]["re"] == 0.0
+
+
+def test_spice_cached_backend_score_sets(tmp_path):
+    """The persistent cache round-trips subcategory dicts (incl. NaN)."""
+    from show_and_tell_tpu.metrics.scene_graph import spice_backend
+    from show_and_tell_tpu.metrics.spice import cached_backend
+
+    cache = str(tmp_path / "c.json")
+    fn = cached_backend(spice_backend, cache)
+    gts = {1: ["a man rides a horse"]}
+    res = {1: ["a man riding a horse"]}
+    s1, per1 = fn(gts, res)
+    s2, per2 = fn(gts, res)  # fully cached second call
+    assert s1 == pytest.approx(1.0) and s2 == pytest.approx(1.0)
+    assert per2[0]["All"]["f"] == pytest.approx(1.0)
+    assert math.isnan(per2[0]["Color"]["f"])
+
+
 def test_spice_disabled_contract():
     """set_backend(None) reproduces the reference's de-facto broken SPICE."""
     from show_and_tell_tpu.metrics import spice as spice_mod
