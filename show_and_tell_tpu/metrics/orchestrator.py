@@ -17,6 +17,7 @@ behavior where the SPICE jar is missing.
 from __future__ import annotations
 
 import logging
+import math
 from dataclasses import dataclass, field
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
@@ -28,6 +29,11 @@ from show_and_tell_tpu.metrics.spice import Spice
 from show_and_tell_tpu.metrics.tokenizer import PTBTokenizer
 
 log = logging.getLogger(__name__)
+
+
+def _nanmean(vals) -> float:
+    vals = [v for v in vals if not math.isnan(v)]
+    return sum(vals) / len(vals) if vals else float("nan")
 
 
 @dataclass(frozen=True)
@@ -124,6 +130,19 @@ class COCOEvalCap:
             for name, c, p in zip(spec.names, corpus, per_image):
                 self._record(name, c, p, ordered_ids)
                 log.info("%s: %0.3f", name, c)
+                if name == "SPICE" and p and isinstance(p[0], dict):
+                    # the Java scorer's -subset breakdown (spice.py:66):
+                    # corpus mean f per category over images where the
+                    # category is defined (NaN = absent from both graphs)
+                    log.info(
+                        "SPICE subcategories: %s",
+                        ", ".join(
+                            "%s %.3f"
+                            % (cat, _nanmean(si[cat]["f"] for si in p))
+                            for cat in p[0]
+                            if cat != "All"
+                        ),
+                    )
 
         self.evalImgs = [self.imgToEval[i] for i in sorted(self.imgToEval)]
         return self.eval
