@@ -33,6 +33,7 @@ from typing import List
 
 from show_and_tell_tpu.config import parse_config
 from show_and_tell_tpu.serve import Captioner
+from show_and_tell_tpu.utils.compile_cache import enable as enable_compile_cache
 from show_and_tell_tpu.utils.logging import setup_logging
 from show_and_tell_tpu.utils.vocab import Vocabulary
 
@@ -86,6 +87,7 @@ def main(argv=None):
     image_args, flag_args = _split_args(argv)
     cfg = parse_config(flag_args)
     setup_logging("caption_log.txt")
+    enable_compile_cache()
     missing = [p for p in image_args if not os.path.exists(p)]
     if missing:
         raise SystemExit(f"no such file or directory: {missing}")

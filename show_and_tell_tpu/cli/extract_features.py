@@ -29,6 +29,7 @@ from show_and_tell_tpu.data.dataset import CocoCaptionDataset
 from show_and_tell_tpu.data.pipeline import Loader
 from show_and_tell_tpu.data.transforms import eval_transform
 from show_and_tell_tpu.models.registry import build_model
+from show_and_tell_tpu.utils.compile_cache import enable as enable_compile_cache
 from show_and_tell_tpu.utils.logging import setup_logging
 from show_and_tell_tpu.utils.rng import KeyChain
 from show_and_tell_tpu.utils.vocab import Vocabulary
@@ -84,6 +85,7 @@ def extract(cfg, splits=("train", "val")) -> str:
 def main(argv=None):
     cfg = parse_config(argv if argv is not None else sys.argv[1:])
     setup_logging("extract_log.txt")
+    enable_compile_cache()
     return extract(cfg)
 
 

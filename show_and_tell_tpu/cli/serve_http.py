@@ -54,6 +54,7 @@ from show_and_tell_tpu.serve import (
     ERROR_CAPTION,
     QueueFull,
 )
+from show_and_tell_tpu.utils.compile_cache import enable as enable_compile_cache
 from show_and_tell_tpu.utils.logging import setup_logging
 from show_and_tell_tpu.utils.vocab import Vocabulary
 
@@ -457,6 +458,9 @@ def main(argv=None):
     http_args, rest = ap.parse_known_args(argv)
     cfg = parse_config(rest)
     setup_logging("serve_http_log.txt")
+    # persistent XLA cache: restarted servers skip the 20-60s bucket
+    # compiles (--warmup then only replays cached executables)
+    enable_compile_cache()
     vocab = Vocabulary.load(cfg.vocab_path)
     server = make_server(
         cfg, vocab, http_args.http_host, http_args.http_port,
