@@ -29,6 +29,7 @@ import json
 import logging
 import os
 from collections import Counter
+from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, List, Tuple
 
 import numpy as np
@@ -119,14 +120,42 @@ def preprocess(cfg: Config, resize_images: bool = False, data_root: str = "data"
         cfg.caption_json, cfg.word_count_threshold, cfg.print_stats
     )
 
+    resized_ok: Dict[str, bool] = {}
+    if resize_images:
+        # Resize on a thread pool: PIL decode/resize/JPEG-encode release the
+        # GIL, so the 123k-image COCO pass scales ~linearly with cores
+        # instead of taking hours serially (the reference loop,
+        # preprocess.py:109-123, is single-threaded). Records are still
+        # assembled in the original sequential order below, so data.json is
+        # byte-identical to the serial pass.
+        jobs: List[Tuple[str, str]] = []
+        for img in imgs:
+            src = os.path.join(
+                cfg.images_root, img.get("filepath", ""), img["filename"]
+            )
+            if src not in resized_ok:
+                resized_ok[src] = False  # placeholder; keeps jobs deduped
+                jobs.append(
+                    (src, os.path.join(data_root, img.get("filepath", ""), img["filename"]))
+                )
+        for d in {os.path.dirname(p) for _, p in jobs}:
+            os.makedirs(d or ".", exist_ok=True)
+        workers = max(1, int(getattr(cfg, "num_workers", 8)))
+        done = 0
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            for (src, _), ok in zip(jobs, ex.map(lambda j: resize_image(*j), jobs)):
+                resized_ok[src] = ok
+                done += 1
+                if done % 10000 == 0:
+                    log.info("resized %d/%d images", done, len(jobs))
+
     out: List[dict] = []
     resize_failures: List[str] = []
     for i, img in enumerate(imgs):
         save_path = os.path.join(data_root, img.get("filepath", ""), img["filename"])
         if resize_images:
             src = os.path.join(cfg.images_root, img.get("filepath", ""), img["filename"])
-            os.makedirs(os.path.dirname(save_path), exist_ok=True)
-            if not resize_image(src, save_path):
+            if not resized_ok[src]:
                 # swallow-and-report (the reference's contract,
                 # preprocess.py:89-92): one odd file hours into a 123k-image
                 # pass must not abort the run and discard completed work
