@@ -42,6 +42,11 @@ DETERMINERS = frozenset(
 NUMBERS = frozenset(
     "one two three four five six seven eight nine ten".split()
 )
+# digit -> word normalization so numeral and spelled-out counts match
+_DIGIT_WORDS = {
+    "1": "one", "2": "two", "3": "three", "4": "four", "5": "five",
+    "6": "six", "7": "seven", "8": "eight", "9": "nine", "10": "ten",
+}
 # sentinel for the "in front of" collapse: non-alpha so it can NEVER
 # collide with the ordinary noun/adjective uses of "front" ("front seat",
 # "front wheel" — common in captions); emitted in tuples as "front"
@@ -350,10 +355,13 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
     """
     # "n't" survives the filter: PTB splits "isn't" -> "is n't" and the
     # metric pipeline's punctuation strip does not remove it, so contracted
-    # negation must reach the negation handler below
+    # negation must reach the negation handler below. Digit tokens are
+    # count attributes (SPICE keeps cardinality): 1-10 normalize to their
+    # word forms so "2 dogs" and "two dogs" build the SAME tuple; larger
+    # numerals stay as-is and become plain count attributes
     toks = [
-        t for t in caption.split()
-        if t.isalpha() or t in COPULAS or t == "n't"
+        _DIGIT_WORDS.get(t, t) for t in caption.split()
+        if t.isalpha() or t.isdigit() or t in COPULAS or t == "n't"
     ]
     # collapse compound prepositions ("on top of" -> "on")
     out: List[str] = []
