@@ -109,6 +109,8 @@ PLACE_NOUNS = frozenset(
     room station market harbor dock bridge background foreground
     yard garden court stadium zoo forest city town snow air restaurant
     rain sunshine shade dark distance
+    game games party parade festival fair wedding match event show
+    concert ceremony carnival rodeo race rally tournament competition
     store garage driveway highway porch balcony
     table desk counter shelf bench couch sofa chair bed stool mat rug
     seat""".split()

@@ -23,9 +23,9 @@ def test_spice_parser_golden_bounds():
     # pinned locative-object color lists after the review regression,
     # then control infinitives + directional particles + compound
     # participle NPs + reciprocal idioms + irregular participles)
-    assert r["overall"]["n"] == 224
-    assert r["overall"]["gold"] == 968
-    assert r["easy"]["n"] == 50 and r["medium"]["n"] == 100 and r["hard"]["n"] == 74
+    assert r["overall"]["n"] == 232
+    assert r["overall"]["gold"] == 1016
+    assert r["easy"]["n"] == 51 and r["medium"]["n"] == 106 and r["hard"]["n"] == 75
     # measured 2026-08-17 (round 3, session 3, post-residual-fixes):
     # easy 1.0 / medium 1.0 / hard 1.0, overall P/R/F1 1.0 — every
     # documented residual class now parses. Floors sit just under the
