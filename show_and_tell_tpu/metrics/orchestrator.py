@@ -133,12 +133,15 @@ class COCOEvalCap:
                 if name == "SPICE" and p and isinstance(p[0], dict):
                     # the Java scorer's -subset breakdown (spice.py:66):
                     # corpus mean f per category over images where the
-                    # category is defined (NaN = absent from both graphs)
+                    # category is defined (NaN = absent from both graphs).
+                    # Non-dict entries can appear when a cached_backend
+                    # file predates the subcategory shape — skip them.
+                    dicts = [si for si in p if isinstance(si, dict)]
                     log.info(
                         "SPICE subcategories: %s",
                         ", ".join(
                             "%s %.3f"
-                            % (cat, _nanmean(si[cat]["f"] for si in p))
+                            % (cat, _nanmean(si[cat]["f"] for si in dicts))
                             for cat in p[0]
                             if cat != "All"
                         ),
