@@ -1477,7 +1477,12 @@ def spice_score_set(
         c = sorted(t for t in cand if keep(t))
         r = sorted(t for t in ref if keep(t))
         if not c and not r:
-            out[name] = {"f": nan, "pr": nan, "re": nan}
+            # All keeps the flat spice_f convention (0.0, so the corpus
+            # mean stays finite even for degenerate empty-graph images);
+            # subcategories absent from both sides are NaN (the wrapper's
+            # None->NaN float_convert)
+            f0 = 0.0 if name == "All" else nan
+            out[name] = {"f": f0, "pr": nan, "re": nan}
             continue
         m = _max_matching(c, r)
         p = m / len(c) if c else nan

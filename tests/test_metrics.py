@@ -384,6 +384,28 @@ def test_spice_subcategory_score_sets():
     assert s3["Color"]["re"] == 0.0
 
 
+def test_spice_all_column_equals_flat_f1():
+    """The All column is bit-identical to the flat spice_f on random tuple
+    sets — including BOTH-EMPTY graphs, where All stays 0.0 so a degenerate
+    caption cannot NaN the corpus mean (subcategories go NaN instead)."""
+    import random
+
+    from show_and_tell_tpu.metrics.scene_graph import spice_f, spice_score_set
+
+    rng = random.Random(0)
+    vocab = "dog cat man red two larg on in sit run mat tabl".split()
+
+    def rand_tuples(n):
+        return {
+            tuple(rng.choice(vocab) for _ in range(rng.choice([1, 2, 3])))
+            for _ in range(n)
+        }
+
+    for _ in range(500):
+        c, r = rand_tuples(rng.randint(0, 6)), rand_tuples(rng.randint(0, 6))
+        assert spice_score_set(c, r)["All"]["f"] == spice_f(c, r)
+
+
 def test_spice_cached_backend_score_sets(tmp_path):
     """The persistent cache round-trips subcategory dicts (incl. NaN)."""
     from show_and_tell_tpu.metrics.scene_graph import spice_backend
