@@ -59,6 +59,11 @@ V5E_PEAK_BF16_FLOPS = 197e12
 BATCH = 256
 N_WARMUP = 2
 N_ITERS = 8
+# best-of-N timing windows: the relay tunnel occasionally degrades a whole
+# window 2-3x (observed in the serving-latency benchmark, docs/STATUS.md);
+# max-throughput / min-latency over 3 windows reports the hardware, not the
+# tunnel's worst moment
+N_REPEATS = 3
 
 # Wall-clock budget: relay remote-compiles are not cached across processes
 # and each big program costs 30-120 s, so optional sections (currently the
@@ -203,15 +208,18 @@ def main() -> None:
         # ids are fetched.
         for _ in range(N_WARMUP):
             np.asarray(fn(p, fr, images))
-        t0 = time.perf_counter()
-        prev = None
-        for _ in range(N_ITERS):
-            cur = fn(p, fr, images)
-            if prev is not None:
-                np.asarray(prev)
-            prev = cur
-        np.asarray(prev)
-        return BATCH * N_ITERS / (time.perf_counter() - t0)
+        best = 0.0
+        for _ in range(N_REPEATS):
+            t0 = time.perf_counter()
+            prev = None
+            for _ in range(N_ITERS):
+                cur = fn(p, fr, images)
+                if prev is not None:
+                    np.asarray(prev)
+                prev = cur
+            np.asarray(prev)
+            best = max(best, BATCH * N_ITERS / (time.perf_counter() - t0))
+        return best
 
     beam_fn, greedy_fn = make_fn("beam"), make_fn("greedy")
     beam_img_s = measure(beam_fn, params)
@@ -270,10 +278,13 @@ def main() -> None:
     def measure_decode_ms(p) -> float:
         for _ in range(N_WARMUP):
             np.asarray(beam_decode_only(p, feats))
-        t0 = time.perf_counter()
-        for _ in range(N_ITERS):
-            np.asarray(beam_decode_only(p, feats))
-        return (time.perf_counter() - t0) / N_ITERS * 1e3
+        best = float("inf")
+        for _ in range(N_REPEATS):
+            t0 = time.perf_counter()
+            for _ in range(N_ITERS):
+                np.asarray(beam_decode_only(p, feats))
+            best = min(best, (time.perf_counter() - t0) / N_ITERS * 1e3)
+        return best
 
     decode_ms_random = measure_decode_ms(params)
     decode_ms_trained = measure_decode_ms(trained)
