@@ -47,6 +47,19 @@ _DIGIT_WORDS = {
     "1": "one", "2": "two", "3": "three", "4": "four", "5": "five",
     "6": "six", "7": "seven", "8": "eight", "9": "nine", "10": "ten",
 }
+# modal auxiliaries carry no scene content; dropped ONLY when immediately
+# followed by (optionally negated) "be" — "a clock CAN BE seen on the
+# wall" reduces to the plain passive the framing filter already handles.
+# The noun readings ("a trash CAN", "a CAN of soda") never precede "be",
+# so the guard keeps them intact.
+_MODALS = frozenset("can could may might will would must shall".split())
+# raising verbs pass their semantics through ("a man APPEARS TO be
+# talking on his phone" -> the man talks): the "<raise> to" bigram is
+# dropped so the embedded VP binds to the subject directly. Without a
+# following "to" these stay ordinary tokens ("appears in the doorway").
+_RAISING_VERBS = frozenset(
+    "appears appear appeared seems seem seemed appearing seeming".split()
+)
 # sentinel for the "in front of" collapse: non-alpha so it can NEVER
 # collide with the ordinary noun/adjective uses of "front" ("front seat",
 # "front wheel" — common in captions); emitted in tuples as "front"
@@ -145,10 +158,27 @@ LIGHT_VERBS = frozenset(
 )
 
 
+# irregular plurals the Porter stemmer cannot reduce — the lemma step
+# CoreNLP applies before SPICE's WordNet lookup (Anderson et al. parse on
+# lemmas, so "two feet" and "two foot" build the SAME tuple). Suppletive
+# forms (men/women/children) are instead linked in metrics/synonyms.py;
+# this map covers the inflectional classes: vowel-change plurals and the
+# f->ves class. "leaves"/"halves" also have (rare in captions) finite-verb
+# readings that now normalize to the noun lemma — accepted, documented in
+# docs/PARITY.md.
+_IRREGULAR_NOUNS = {
+    "feet": "foot", "teeth": "tooth", "geese": "goose", "mice": "mouse",
+    "oxen": "ox", "knives": "knife", "leaves": "leaf", "shelves": "shelf",
+    "wolves": "wolf", "calves": "calf", "scarves": "scarf",
+    "loaves": "loaf", "halves": "half", "thieves": "thief",
+    "wives": "wife", "hooves": "hoof",
+}
+
+
 def _norm(word: str) -> str:
     if word == _FRONT:  # sentinel -> surface relation word in tuples
         return "front"
-    return porter_stem(word)
+    return porter_stem(_IRREGULAR_NOUNS.get(word, word))
 
 
 class _NP:
@@ -193,7 +223,7 @@ VERBS = frozenset(
     skate skates chase chases sets does take takes
     feed feeds hide hides cut cuts point points pet pets
     cross crosses bend bends lick licks grab grabs reach reaches
-    see sees""".split()
+    see sees appear appears""".split()
 )
 # motion preps: their object is a TARGET, not a holder — a following
 # "with" re-anchors to the clause subject ("cutting INTO a cake WITH a
@@ -378,6 +408,31 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
         else:
             out.append(toks[i])
             i += 1
+    toks = out
+
+    # drop modal auxiliaries before (optionally negated) "be" and
+    # raising-verb "to" bigrams — see _MODALS / _RAISING_VERBS above
+    out = []
+    i = 0
+    while i < len(toks):
+        w = toks[i]
+        nxt = toks[i + 1] if i + 1 < len(toks) else None
+        nxt2 = toks[i + 2] if i + 2 < len(toks) else None
+        if w in _MODALS and nxt == "be":
+            i += 1  # "be" flows through
+            continue
+        if w in _MODALS and nxt in ("not", "n't") and nxt2 == "be":
+            # reorder to the finite surface form the negation handler
+            # models ("can not be seen" -> "be not seen", like "is not
+            # seen") so negated modal passives suppress the VP too
+            out.extend(["be", nxt])
+            i += 3
+            continue
+        if w in _RAISING_VERBS and nxt == "to":
+            i += 2
+            continue
+        out.append(w)
+        i += 1
     toks = out
 
     tuples: Set[Tuple3] = set()
