@@ -178,6 +178,12 @@ _IRREGULAR_NOUNS = {
 def _norm(word: str) -> str:
     if word == _FRONT:  # sentinel -> surface relation word in tuples
         return "front"
+    if word in ("one", "ones"):
+        # Porter stems "one" -> "on", colliding with the preposition, and
+        # "ones" -> "one", splitting the two forms apart; pin both to the
+        # lemma (anaphoric heads — "a smaller ONE" — and count attributes
+        # share it)
+        return "one"
     return porter_stem(_IRREGULAR_NOUNS.get(word, word))
 
 
@@ -309,6 +315,19 @@ _COMPOUND_PREPS = (
     # "cut IN HALF" is a state of the cut object, not a location: drop the
     # phrase so a following locative attaches to the object itself
     (("in", "half"), None),
+    # additive connective == NP coordination ("a woman AS WELL AS a child
+    # sitting on a bench" distributes like "and"); must collapse before
+    # the SKIP filter eats the "as" tokens and strands "well"
+    (("as", "well", "as"), "and"),
+    # "getting ready to X" / "preparing to X" are preparatory aspect: the
+    # scene content is X itself ("a boy GETTING READY TO hit a baseball"
+    # -> the boy hits), parallel to the ASPECTUAL_VERBS "trying to" drop
+    (("getting", "ready", "to"), None),
+    (("gets", "ready", "to"), None),
+    (("get", "ready", "to"), None),
+    (("preparing", "to"), None),
+    (("prepares", "to"), None),
+    (("prepare", "to"), None),
 )
 
 # irregular past participles (no -ing/-ed surface marker) -> base verb, so
