@@ -60,6 +60,14 @@ _MODALS = frozenset("can could may might will would must shall".split())
 _RAISING_VERBS = frozenset(
     "appears appear appeared seems seem seemed appearing seeming".split()
 )
+# phrasal verbs whose "on"/"off" is a particle, not a locative: "putting
+# ON a helmet" -> (woman, put, helmet), never (woman, on, helmet). Only
+# the particle directly after the verb is dropped — "putting a bowl ON
+# the table" keeps its real locative.
+_PHRASAL_VERBS = frozenset(
+    """put puts putting take takes taking took try tries trying
+    turn turns turning turned""".split()
+)
 # sentinel for the "in front of" collapse: non-alpha so it can NEVER
 # collide with the ordinary noun/adjective uses of "front" ("front seat",
 # "front wheel" — common in captions); emitted in tuples as "front"
@@ -172,6 +180,15 @@ _IRREGULAR_NOUNS = {
     "wolves": "wolf", "calves": "calf", "scarves": "scarf",
     "loaves": "loaf", "halves": "half", "thieves": "thief",
     "wives": "wife", "hooves": "hoof",
+    # short -ie verbs fragment under Porter (tie/ties/tied/tying ->
+    # tie/ti/ti/ty; lie/lies/lying -> lie/li/ly), so "a dog LYING on a
+    # bed" and "a dog LIES on the bed" would never match — pin each
+    # family to its lemma. "laid" similarly rejoins the lay family
+    # (lay/lays/laying all stem to "lai" already).
+    "ties": "tie", "tied": "tie", "tying": "tie",
+    "lies": "lie", "lying": "lie",
+    "dies": "die", "dying": "die",
+    "laid": "lay",
 }
 
 
@@ -216,7 +233,12 @@ ING_NOUNS = frozenset(
     frosting lightning landing drawing evening morning spring
     string ring wing thing king living dining""".split()
 )
-ED_NOUNS = frozenset("speed breed seaweed tweed shed bed".split())
+# -ed words that are NOT verb forms. The morphological tests below accept
+# length-4 forms ("tied", "iced") but exclude the -eed noun class
+# (seed/reed/weed/...) wholesale plus these listed exceptions ("used" is
+# kept nominal: "a USED car" is attributive in caption text, never the
+# verb "use")
+ED_NOUNS = frozenset("speed breed seaweed tweed shed bed sled used".split())
 # common caption verbs whose base/-s forms carry no -ing/-ed marker
 VERBS = frozenset(
     """sit sits stand stands walk walks run runs ride rides hold holds
@@ -229,7 +251,8 @@ VERBS = frozenset(
     skate skates chase chases sets does take takes
     feed feeds hide hides cut cuts point points pet pets
     cross crosses bend bends lick licks grab grabs reach reaches
-    see sees appear appears""".split()
+    see sees appear appears board boards tie ties put puts
+    lie lies lay lays""".split()
 )
 # motion preps: their object is a TARGET, not a holder — a following
 # "with" re-anchors to the clause subject ("cutting INTO a cake WITH a
@@ -278,11 +301,14 @@ ADJ_COORD = COLOR_WORDS | POST_ADJS | frozenset(
     open closed striped spotted fluffy furry shiny rusty broken fresh
     round square modern vintage colorful plain fuzzy""".split()
 )
-# s-form verbs whose PLURAL-NOUN reading wins right after a conjunction
-# ("food and DRINKS", "dogs and PETS", "a park with slides and SWINGS"):
-# close_np treats a lone one there as an NP, while the verb reading stays
-# everywhere else ("a man DRINKS coffee", "a woman PETS a dog")
-S_NOUN_AFTER_CONJ = frozenset("drinks pets swings skis skates".split())
+# verbs whose NOUN reading wins right after a conjunction ("food and
+# DRINKS", "dogs and PETS", "a park with slides and SWINGS", "a suit and
+# TIE"): close_np treats a lone one there as an NP, while the verb
+# reading stays everywhere else ("a man DRINKS coffee", "a woman PETS a
+# dog", "a man TIES his shoe")
+S_NOUN_AFTER_CONJ = frozenset(
+    "drinks pets swings skis skates tie ties board boards".split()
+)
 
 # compound prepositions collapsed to one token before chunking
 _COMPOUND_PREPS = (
@@ -371,10 +397,22 @@ COMPOUND_PREMODIFIERS = frozenset(
 )
 
 
+def _ed_verb(w: str) -> bool:
+    """Morphological -ed verb test. Length 4 admits "tied"/"iced"-class
+    participles; the -eed noun family (seed/reed/weed/...) and the
+    ED_NOUNS exceptions stay nominal."""
+    return (
+        len(w) > 3
+        and w.endswith("ed")
+        and not w.endswith("eed")
+        and w not in ED_NOUNS
+    )
+
+
 def _is_verbish(w: str) -> bool:
     if len(w) > 4 and w.endswith("ing") and w not in ING_NOUNS:
         return True
-    if len(w) > 4 and w.endswith("ed") and w not in ED_NOUNS:
+    if _ed_verb(w):
         return True
     return w in VERBS or w in PARTICIPLE_BASE
 
@@ -383,9 +421,7 @@ def _is_participle(w: str) -> bool:
     """Past participles only — the forms that make a 'by'-phrase passive.
     A gerund before 'by' is locative ("a dog sitting BY the door"), never
     inverted."""
-    if w in PARTICIPLE_BASE:
-        return True
-    return len(w) > 4 and w.endswith("ed") and w not in ED_NOUNS
+    return w in PARTICIPLE_BASE or _ed_verb(w)
 
 
 @functools.lru_cache(maxsize=1 << 15)
@@ -448,6 +484,10 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
             i += 3
             continue
         if w in _RAISING_VERBS and nxt == "to":
+            i += 2
+            continue
+        if w in _PHRASAL_VERBS and nxt in ("on", "off"):
+            out.append(w)  # keep the verb, drop its particle
             i += 2
             continue
         out.append(w)
