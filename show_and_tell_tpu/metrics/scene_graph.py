@@ -63,11 +63,17 @@ _RAISING_VERBS = frozenset(
 # phrasal verbs whose "on"/"off" is a particle, not a locative: "putting
 # ON a helmet" -> (woman, put, helmet), never (woman, on, helmet). Only
 # the particle directly after the verb is dropped — "putting a bowl ON
-# the table" keeps its real locative.
+# the table" keeps its real locative. Unambiguously ACTIVE forms
+# (-ing/-s plus the preterites took/turned/tried) always drop; the bare
+# forms are split off below because in caption text they are usually
+# reduced-relative participles whose "on" is a true locative ("food PUT
+# ON a plate" -> (food, on, plate)) — they drop the particle only right
+# after infinitival "to" ("ready to put ON a coat").
 _PHRASAL_VERBS = frozenset(
-    """put puts putting take takes taking took try tries trying
-    turn turns turning turned""".split()
+    """puts putting takes taking took tries trying tried
+    turns turning turned""".split()
 )
+_PHRASAL_BARE = frozenset("put take try turn".split())
 # sentinel for the "in front of" collapse: non-alpha so it can NEVER
 # collide with the ordinary noun/adjective uses of "front" ("front seat",
 # "front wheel" — common in captions); emitted in tuples as "front"
@@ -189,6 +195,9 @@ _IRREGULAR_NOUNS = {
     "lies": "lie", "lying": "lie",
     "dies": "die", "dying": "die",
     "laid": "lay",
+    # irregular preterite with no shared stem ("took a picture" must
+    # match "taking a picture"; Porter leaves "took" untouched)
+    "took": "take",
 }
 
 
@@ -252,7 +261,7 @@ VERBS = frozenset(
     feed feeds hide hides cut cuts point points pet pets
     cross crosses bend bends lick licks grab grabs reach reaches
     see sees appear appears board boards tie ties put puts
-    lie lies lay lays""".split()
+    lie lies lay lays turn turns try tries took""".split()
 )
 # motion preps: their object is a TARGET, not a holder — a following
 # "with" re-anchors to the clause subject ("cutting INTO a cake WITH a
@@ -347,14 +356,19 @@ _COMPOUND_PREPS = (
     (("as", "well", "as"), "and"),
     # "getting ready to X" / "preparing to X" are preparatory aspect: the
     # scene content is X itself ("a boy GETTING READY TO hit a baseball"
-    # -> the boy hits), parallel to the ASPECTUAL_VERBS "trying to" drop
-    (("getting", "ready", "to"), None),
-    (("gets", "ready", "to"), None),
-    (("get", "ready", "to"), None),
-    (("preparing", "to"), None),
-    (("prepares", "to"), None),
-    (("prepare", "to"), None),
+    # -> the boy hits), parallel to the ASPECTUAL_VERBS "trying to" drop.
+    # They collapse to the _INF_TO sentinel (dropped in the next pass)
+    # rather than nothing, so the phrasal-verb bare-form guard can still
+    # see the infinitival context ("getting ready to put ON a coat")
+    (("getting", "ready", "to"), "__inf_to__"),
+    (("gets", "ready", "to"), "__inf_to__"),
+    (("get", "ready", "to"), "__inf_to__"),
+    (("preparing", "to"), "__inf_to__"),
+    (("prepares", "to"), "__inf_to__"),
+    (("prepare", "to"), "__inf_to__"),
 )
+# sentinel for a consumed infinitival "to" (see preparatory aspect above)
+_INF_TO = "__inf_to__"
 
 # irregular past participles (no -ing/-ed surface marker) -> base verb, so
 # "a horse ridden by a man" aligns with "a man riding a horse" after the
@@ -370,6 +384,7 @@ PARTICIPLE_BASE = {
     "fallen": "fall", "beaten": "beat", "woven": "weave", "risen": "rise",
     "lost": "lose", "found": "find",
     "cut": "cut",  # zero-marker participle ("a sandwich cut in half")
+    "put": "put",  # zero-marker participle ("food put on a plate")
     # finite have-forms normalize to "have" so "a kitchen has cabinets"
     # and "a kitchen with cabinets"-style have-relations share a lemma
     "has": "have", "had": "have",
@@ -486,9 +501,24 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
         if w in _RAISING_VERBS and nxt == "to":
             i += 2
             continue
-        if w in _PHRASAL_VERBS and nxt in ("on", "off"):
+        # the bare-form guard reads the stream BEFORE this pass's own
+        # drops (toks[i-1], which may be the _INF_TO sentinel left by the
+        # preparatory-aspect collapse): an infinitive is active voice, so
+        # "ready to put ON a coat" drops its particle while the reduced
+        # relative "food put ON a plate" keeps its locative
+        if nxt in ("on", "off") and (
+            w in _PHRASAL_VERBS
+            or (
+                w in _PHRASAL_BARE
+                and i > 0
+                and toks[i - 1] in ("to", _INF_TO)
+            )
+        ):
             out.append(w)  # keep the verb, drop its particle
             i += 2
+            continue
+        if w == _INF_TO:
+            i += 1
             continue
         out.append(w)
         i += 1
