@@ -74,6 +74,19 @@ _PHRASAL_VERBS = frozenset(
     turns turning turned""".split()
 )
 _PHRASAL_BARE = frozenset("put take try turn".split())
+# object pronouns after a preposition: the phrase is anaphoric ("in it",
+# "around them") and adds no scene content — dropped in the pre-pass
+_ANAPHORS = frozenset("it them him her".split())
+# -ing verbs that do not need an animate agent: after "with" they stay on
+# the with-object even when it is inanimate ("a table with candles
+# BURNING" -> the candles burn; "a wall with pictures HANGING")
+_EVENT_ING = frozenset(
+    """burning hanging flying floating glowing growing shining melting
+    boiling steaming waving spinning blooming dripping""".split()
+)
+# determiners that can open an item of an asyndetic list ("a stove a sink
+# and a refrigerator" — PTB strips the commas)
+_LIST_DETS = frozenset("a an the".split()) | NUMBERS
 # sentinel for the "in front of" collapse: non-alpha so it can NEVER
 # collide with the ordinary noun/adjective uses of "front" ("front seat",
 # "front wheel" — common in captions); emitted in tuples as "front"
@@ -439,6 +452,21 @@ def _is_participle(w: str) -> bool:
     return w in PARTICIPLE_BASE or _ed_verb(w)
 
 
+def _nounish(w: str) -> bool:
+    """Token that can end an NP — used by the asyndetic-list rewrite to
+    recognize a determiner-to-determiner juncture."""
+    return (
+        w.isalpha()
+        and w not in PREPOSITIONS
+        and w not in CONJUNCTIONS
+        and w not in COPULAS
+        and w not in DETERMINERS
+        and w not in SKIP
+        and w not in SUBORDINATORS
+        and not _is_verbish(w)
+    )
+
+
 @functools.lru_cache(maxsize=1 << 15)
 def parse(caption: str) -> FrozenSet[Tuple3]:
     """PTB-tokenized lowercase caption -> frozenset of scene-graph tuples.
@@ -520,6 +548,36 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
         if w == _INF_TO:
             i += 1
             continue
+        # anaphoric prep phrases restate structure already in the graph
+        # ("a bathroom with a toilet and a sink IN IT" — the sink is in
+        # the bathroom): drop prep+pronoun so the dangling prep cannot
+        # cancel a pending object distribution. Guard: "her"/"him" double
+        # as possessive determiners, so the drop needs the pronoun to END
+        # the phrase ("on her HEAD" keeps its locative)
+        if w in PREPOSITIONS and nxt in _ANAPHORS and (
+            nxt2 is None or not _nounish(nxt2)
+        ):
+            i += 2
+            continue
+        # asyndetic lists: PTB strips the commas from "a stove, a sink
+        # and a refrigerator", leaving determiner-to-determiner junctures
+        # that would otherwise read as appositives. A juncture whose
+        # lookahead reaches a conjunction BEFORE any verb/prep/copula is
+        # a list item — rewrite it as explicit coordination. True
+        # appositives ("a man a tourist TAKING a photo") hit the verb
+        # first and stay appositive.
+        if w in _LIST_DETS and out and _nounish(out[-1]):
+            j = i + 1
+            while j < len(toks) and not (
+                toks[j] in CONJUNCTIONS
+                or toks[j] in PREPOSITIONS
+                or toks[j] in COPULAS
+                or toks[j] in SUBORDINATORS
+                or _is_verbish(toks[j])
+            ):
+                j += 1
+            if j < len(toks) and toks[j] in ("and", "or"):
+                out.append("and")
         out.append(w)
         i += 1
     toks = out
@@ -535,6 +593,10 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
     # following copula predicates the SUBJECT ("the man on the left IS
     # smiling" -> (man, smile), not (left, smile))
     last_loc_rel = None
+    # the preposition that built last_loc_rel: "with" accompaniment flips
+    # the gerund re-anchor below when its object is animate ("a bench
+    # WITH A MAN sleeping" -> the man sleeps, not the bench)
+    last_loc_prep: "str | None" = None
     after_conj = False  # the segment after an NP-coordination close forms
     # its own NP even without a determiner ("dogs and CATS SITTING ...")
     # a relativizer immediately before a copula binds the copula to the
@@ -666,10 +728,18 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
         reading" -> the man reads), and for finite forms when the nearest
         NP is a PLACE noun, which cannot be a verb agent ("men IN A PARK
         play frisbee" -> the men play). Stative participles keep
-        nearest-NP attachment ("a tree COVERED in snow")."""
+        nearest-NP attachment ("a tree COVERED in snow"). Exception: an
+        ANIMATE object of "with" keeps the verb itself ("a bench with a
+        MAN sleeping" -> the man sleeps; "a train station with PEOPLE
+        waiting" -> the people wait) — the accompaniment object is the
+        nearest plausible agent, matching dependency-parse attachment."""
         if (
             last_loc_rel is not None
             and np_ is last_loc_rel[1]
+            and not (
+                last_loc_prep == "with"
+                and (np_.head in ANIMATE_NOUNS or verb in _EVENT_ING)
+            )
             and (
                 verb.endswith("ing")
                 or (np_.head in PLACE_NOUNS and not _is_participle(verb))
@@ -732,8 +802,8 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
         emitted as attributes — the 'by'-passive caller turns them into the
         inverted relation's verb."""
         nonlocal cur, last_np, pending_rel, rel_subj, after_conj, \
-            last_loc_rel, last_rel3, last_rel3_slot, conj_prev, \
-            last_of_rel, detached, appos_prev
+            last_loc_rel, last_loc_prep, last_rel3, last_rel3_slot, \
+            conj_prev, last_of_rel, detached, appos_prev
         entry_conj = after_conj
         after_conj = False
         entry_detached = detached
@@ -866,6 +936,7 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                         )
                         if pending_rel in PREPOSITIONS and pending_rel != "of":
                             last_loc_rel = (p_subj, subj_np)
+                            last_loc_prep = pending_rel
                         if pending_rel == "of":
                             last_of_rel = (p_subj, subj_np)
                         last_rel3 = (p_subj, pending_rel, subj_np)
@@ -934,6 +1005,7 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                         )
                     add_subj_tuple(rel_subj, "by", _norm(np_.head))
                     last_loc_rel = (rel_subj, np_)
+                    last_loc_prep = "by"
                     last_rel3 = (rel_subj, "by", np_)
                     last_rel3_slot = "obj"
                 else:
@@ -951,6 +1023,7 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                 add_subj_tuple(p_subj, _norm(PARTICIPLE_BASE.get(pending_rel, pending_rel)), _norm(np_.head))
                 if pending_rel in PREPOSITIONS and pending_rel != "of":
                     last_loc_rel = (p_subj, np_)
+                    last_loc_prep = pending_rel
                 if pending_rel == "of":
                     last_of_rel = (p_subj, np_)
                 last_rel3 = (p_subj, pending_rel, np_)
@@ -960,7 +1033,14 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
             and not entry_detached
             and last_rel3 is not None
             and not trailing_verbs
-            and last_np is at_rel3_anchor()
+            and (
+                last_np is at_rel3_anchor()
+                # chains: "with a stove and a sink AND A REFRIGERATOR" —
+                # the NP before this conjunction is itself a deferred
+                # distribution candidate, so the relation extends to the
+                # next conjunct too
+                or (dist_pending and last_np is dist_pending[-1][3])
+            )
         ):
             # coordinated object/agent: "wearing a dress AND A HAT" ->
             # (woman, wear, hat). Deferred: cancelled if this NP turns out
@@ -1276,6 +1356,7 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                 # produced the NP no longer defines clause subjecthood, or
                 # the gerund re-anchor would pass the verb back to "man"
                 last_loc_rel = None
+                last_loc_prep = None
             rel_before_copula = False
         elif w in CONJUNCTIONS:
             # attribute coordination stays inside the NP: "black AND white
@@ -1441,6 +1522,7 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                             )
                             if last_rel3[1] != "of":
                                 last_loc_rel = (last_rel3[0], np_)
+                                last_loc_prep = last_rel3[1]
                             conj_prev = None
                         elif after_conj and conj_prev is not None:
                             # "a man and A WOMAN HOLDING an umbrella"
@@ -1467,6 +1549,7 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                             )
                             if pending_rel in PREPOSITIONS and pending_rel != "of":
                                 last_loc_rel = (p_subj, np_)
+                                last_loc_prep = pending_rel
                             if pending_rel == "of":
                                 last_of_rel = (p_subj, np_)
                             last_rel3 = (p_subj, pending_rel, np_)
