@@ -257,10 +257,12 @@ ING_NOUNS = frozenset(
 )
 # -ed words that are NOT verb forms. The morphological tests below accept
 # length-4 forms ("tied", "iced") but exclude the -eed noun class
-# (seed/reed/weed/...) wholesale plus these listed exceptions ("used" is
-# kept nominal: "a USED car" is attributive in caption text, never the
-# verb "use")
-ED_NOUNS = frozenset("speed breed seaweed tweed shed bed sled used".split())
+# (seed/reed/weed/...) wholesale plus these listed exceptions. "used"
+# stays VERBISH: the compound-premodifier path already reads prenominal
+# "a USED car" as an attribute, while the reduced relative "a knife USED
+# to cut vegetables" needs the participle reading (an ED_NOUNS entry made
+# "used" a noun HEAD there, demoting the knife to its attribute)
+ED_NOUNS = frozenset("speed breed seaweed tweed shed bed sled".split())
 # common caption verbs whose base/-s forms carry no -ing/-ed marker
 VERBS = frozenset(
     """sit sits stand stands walk walks run runs ride rides hold holds
