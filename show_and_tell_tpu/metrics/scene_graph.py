@@ -96,8 +96,12 @@ PREPOSITIONS = frozenset(
     """in on at by of over under above below between among through during
     before after near against into onto upon inside outside behind beside
     along across around atop underneath beneath past beyond within without
-    with to from off down toward towards amid amidst for""".split()
+    with to from off down toward towards amid amidst for out""".split()
 ) | {_FRONT}
+# "out" is a preposition ONLY via the "out of" collapse or right after a
+# look-type verb ("looking OUT the window"); bare "out" anywhere else is
+# a verb particle or adverb and is dropped in the pre-pass ("sticking OUT
+# its tongue", "blowing OUT candles", "a man working OUT at the gym")
 # compound-prep collapse targets must be members of PREPOSITIONS or the
 # collapsed token derails the whole clause (golden-set finding,
 # benchmarks/spice_parser_eval — the original "front" bug)
@@ -105,7 +109,7 @@ COPULAS = frozenset("is are was were be been being 's am".split())
 CONJUNCTIONS = frozenset("and or but".split())
 SKIP = frozenset(
     """there it he she they i you we who which that as when where
-    very really quite just also not n't up out about than together
+    very really quite just also not n't up about than together
     himself herself itself themselves""".split()
 )
 # "while"/"whilst" open a subordinate VP whose subject is the CLAUSE
@@ -208,9 +212,10 @@ _IRREGULAR_NOUNS = {
     "lies": "lie", "lying": "lie",
     "dies": "die", "dying": "die",
     "laid": "lay",
-    # irregular preterite with no shared stem ("took a picture" must
-    # match "taking a picture"; Porter leaves "took" untouched)
+    # irregular preterites with no shared stem ("took a picture" must
+    # match "taking a picture"; Porter leaves both untouched)
     "took": "take",
+    "blew": "blow",
 }
 
 
@@ -276,7 +281,8 @@ VERBS = frozenset(
     feed feeds hide hides cut cuts point points pet pets
     cross crosses bend bends lick licks grab grabs reach reaches
     see sees appear appears board boards tie ties put puts
-    lie lies lay lays turn turns try tries took""".split()
+    lie lies lay lays turn turns try tries took
+    blow blows blew stick sticks lean leans""".split()
 )
 # motion preps: their object is a TARGET, not a holder — a following
 # "with" re-anchors to the clause subject ("cutting INTO a cake WITH a
@@ -381,9 +387,23 @@ _COMPOUND_PREPS = (
     (("preparing", "to"), "__inf_to__"),
     (("prepares", "to"), "__inf_to__"),
     (("prepare", "to"), "__inf_to__"),
+    # "out of" is always prepositional ("a cat jumping OUT OF a box");
+    # collapses to a sentinel so the pre-pass can tell it apart from bare
+    # particle "out" (which only survives after a look-type verb)
+    (("out", "of"), "__out_of__"),
 )
 # sentinel for a consumed infinitival "to" (see preparatory aspect above)
 _INF_TO = "__inf_to__"
+# sentinel for collapsed "out of" (see above)
+_OUT_OF = "__out_of__"
+# verbs whose bare "out" is PREPOSITIONAL ("looking OUT the window",
+# "leaning OUT a car window") — for every other verb a bare "out" before
+# an NP is a particle ("sticking OUT its tongue" -> (dog, stick, tongue))
+_LOOK_VERBS = frozenset(
+    """look looks looking looked stare stares staring stared
+    peer peers peering peered gaze gazes gazing gazed
+    lean leans leaning leaned""".split()
+)
 
 # irregular past participles (no -ing/-ed surface marker) -> base verb, so
 # "a horse ridden by a man" aligns with "a man riding a horse" after the
@@ -400,6 +420,15 @@ PARTICIPLE_BASE = {
     "lost": "lose", "found": "find",
     "cut": "cut",  # zero-marker participle ("a sandwich cut in half")
     "put": "put",  # zero-marker participle ("food put on a plate")
+    # unmarked irregular participles that otherwise read as noun HEADS and
+    # demote their true subject to an attribute ("food LAID out on a
+    # table" parsed as (laid, food)). "set"/"left"/"kept" are deliberately
+    # absent: their noun/direction readings dominate captions ("a SET of
+    # knives", "on the LEFT"); "spread" is included — its verb reading
+    # ("toys SPREAD across the floor") outweighs the buffet-noun one
+    "laid": "lay", "stuck": "stick", "strewn": "strew", "sewn": "sew",
+    "slid": "slide", "strung": "string", "spread": "spread",
+    "hidden": "hide", "swung": "swing", "hit": "hit",
     # finite have-forms normalize to "have" so "a kitchen has cabinets"
     # and "a kitchen with cabinets"-style have-relations share a lemma
     "has": "have", "had": "have",
@@ -518,6 +547,16 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
         w = toks[i]
         nxt = toks[i + 1] if i + 1 < len(toks) else None
         nxt2 = toks[i + 2] if i + 2 < len(toks) else None
+        if w == _OUT_OF:
+            # always prepositional; falls through (instead of appending
+            # directly) so the anaphor rule below still sees it and
+            # "jumping out of it" drops like any other prep+pronoun
+            w = "out"
+        elif w == "out" and not (out and out[-1] in _LOOK_VERBS):
+            # bare "out" is a particle/adverb everywhere except after a
+            # look-type verb ("looking OUT the window" keeps its locative)
+            i += 1
+            continue
         if w in _MODALS and nxt == "be":
             i += 1  # "be" flows through
             continue
