@@ -282,7 +282,7 @@ VERBS = frozenset(
     cross crosses bend bends lick licks grab grabs reach reaches
     see sees appear appears board boards tie ties put puts
     lie lies lay lays turn turns try tries took
-    blow blows blew stick sticks lean leans""".split()
+    blow blows blew stick sticks lean leans say says said""".split()
 )
 # motion preps: their object is a TARGET, not a holder — a following
 # "with" re-anchors to the clause subject ("cutting INTO a cake WITH a
@@ -307,7 +307,9 @@ SIZE_WORDS = frozenset(
 # predicate adjectives that can follow a verb bare ("a cat curled up
 # ASLEEP on a sofa"): subject attributes, never an object NP — grouped
 # with the color-list intercept below
-PRED_ADJS = frozenset("asleep awake alone".split())
+# "high"/"low" cover the adverbial uses ("kites flying HIGH in the sky"):
+# as a verb's whole "object" they are subject attributes, not entities
+PRED_ADJS = frozenset("asleep awake alone high low".split())
 
 # animate nouns — plausible POSSESSORS for the possessive-instrument rule
 # below ("photographing a woman with HER dog": the woman can own the dog,
