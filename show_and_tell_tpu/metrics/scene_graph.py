@@ -96,7 +96,7 @@ PREPOSITIONS = frozenset(
     """in on at by of over under above below between among through during
     before after near against into onto upon inside outside behind beside
     along across around atop underneath beneath past beyond within without
-    with to from off down toward towards amid amidst for out""".split()
+    with to from off down toward towards amid amidst for out like""".split()
 ) | {_FRONT}
 # "out" is a preposition ONLY via the "out of" collapse or right after a
 # look-type verb ("looking OUT the window"); bare "out" anywhere else is
