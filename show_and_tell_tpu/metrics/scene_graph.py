@@ -109,7 +109,7 @@ COPULAS = frozenset("is are was were be been being 's am".split())
 CONJUNCTIONS = frozenset("and or but".split())
 SKIP = frozenset(
     """there it he she they i you we who which that as when where
-    very really quite just also not n't up about than together
+    very really quite just also not n't up about than together nearby
     himself herself itself themselves""".split()
 )
 # "while"/"whilst" open a subordinate VP whose subject is the CLAUSE
@@ -138,7 +138,8 @@ NON_AGENT = frozenset(
     """beard mustache moustache hair hat cap helmet shirt tshirt jacket
     coat dress skirt tie suit uniform glasses sunglasses scarf glove
     gloves backpack purse watch necklace bracelet outfit jersey vest
-    sweater hoodie jeans pants shorts shoes boots sneakers""".split()
+    sweater hoodie jeans pants shorts shoes boots sneakers
+    skis ski snowboard skateboard surfboard racket racquet""".split()
 )
 
 # location nouns: a passive "by" phrase whose object is one of these is
@@ -232,11 +233,16 @@ def _norm(word: str) -> str:
 
 
 class _NP:
-    __slots__ = ("head", "attrs")
+    __slots__ = ("head", "attrs", "poss")
 
     def __init__(self, head: str, attrs: List[str]):
         self.head = head
         self.attrs = attrs
+        # opened by a back-referring possessive determiner ("its lid"):
+        # the NP is a PART of the clause subject, so a locative after it
+        # re-anchors ("a toilet with ITS LID up in a bathroom" — the
+        # toilet is in the bathroom, not the lid). Set by close_np.
+        self.poss = False
 
 
 def _flush_np(words: List[str]) -> _NP | None:
@@ -282,7 +288,8 @@ VERBS = frozenset(
     cross crosses bend bends lick licks grab grabs reach reaches
     see sees appear appears board boards tie ties put puts
     lie lies lay lays turn turns try tries took
-    blow blows blew stick sticks lean leans say says said""".split()
+    blow blows blew stick sticks lean leans say says said
+    make makes""".split()
 )
 # motion preps: their object is a TARGET, not a holder — a following
 # "with" re-anchors to the clause subject ("cutting INTO a cake WITH a
@@ -290,6 +297,17 @@ VERBS = frozenset(
 MOTION_PREPS = frozenset(
     "into onto through across toward towards past over down up".split()
 )
+# coverings/materials: as a locative object they describe a STATE of the
+# subject, not a place — a following locative re-anchors to the subject
+# ("a stop sign covered in SNOW on a street corner" -> the sign is on the
+# corner). Several double as PLACE_NOUNS (snow/rain) for the gerund
+# re-anchor; this set governs only the locative CHAIN.
+MATERIAL_NOUNS = frozenset(
+    """snow mud dirt sand dust rain water ice grass paint chocolate
+    frosting icing glaze sauce powder foam
+    row line circle semicircle formation""".split()
+)  # row/line/...: configurations, same state-not-place chain behavior
+# ("motorcycles parked in a ROW on the street" -> they are on the street)
 # color words: "a fire hydrant painted RED AND WHITE" — a verb's "object"
 # that is all colors is really a list of subject attributes, never an NP
 COLOR_WORDS = frozenset(
@@ -704,8 +722,13 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
 
     def add_subj_tuple(subj_np: "_NP", *rest: str) -> None:
         """Emit a tuple for subj_np and mirror it onto coordinated
-        partners ("dogs and cats SITTING" -> both sit)."""
+        partners ("dogs and cats SITTING" -> both sit). "of" relations
+        never mirror: the partitive/possessive binds to its own head
+        only ("a laptop and a cup OF COFFEE" — the laptop is not of
+        coffee; the shared locative still mirrors)."""
         tuples.add((_norm(subj_np.head),) + rest)
+        if len(rest) == 2 and rest[0] == "of":
+            return
         for p in coord_partner.get(id(subj_np), []):
             tuples.add((_norm(p.head),) + rest)
 
@@ -785,7 +808,12 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
             )
             and (
                 verb.endswith("ing")
-                or (np_.head in PLACE_NOUNS and not _is_participle(verb))
+                # places and worn/held equipment cannot be verb agents
+                # ("a person ON SKIS makes a jump" -> the person makes)
+                or (
+                    (np_.head in PLACE_NOUNS or np_.head in NON_AGENT)
+                    and not _is_participle(verb)
+                )
             )
         ):
             return agent_subject(last_loc_rel[0])
@@ -871,9 +899,27 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
             and words[0] in S_NOUN_AFTER_CONJ
         ):
             all_verbs = False  # noun reading: "food and DRINKS"
+
+        def compound_noun_tail() -> bool:
+            """Gerund-premodifier compound noun ("a CUTTING BOARD", "a
+            DIVING board"): the tail is a bare verb-lexicon word whose
+            NOUN reading wins when everything before it is an -ing
+            premodifier or adjective — never strip it as a trailing verb.
+            A real subject blocks it ("a woman sitting drinks...")."""
+            return (
+                len(words) >= 2
+                and words[-1] in S_NOUN_AFTER_CONJ
+                and words[-2].endswith("ing")
+                and all(
+                    t.endswith("ing") or t in ADJ_COORD
+                    for t in words[:-1]
+                    if content_count([t])
+                )
+            )
+
         while words and _is_verbish(words[-1]) and (
             all_verbs or content_count(words[:-1]) >= 1
-        ):
+        ) and not compound_noun_tail():
             trailing_verbs.insert(0, words.pop())
 
         # Bare-object verb split: "a woman drinks coffee" / "a giraffe
@@ -1007,6 +1053,10 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                 return []
 
         np_ = _flush_np(words)
+        if np_ is not None and words and words[0] in (
+            "his", "her", "its", "their"
+        ):
+            np_.poss = True
         if np_ is None:
             # segment was all verbs/adjectives: attach to the previous NP.
             # After a conjunction the verbs belong to the CLAUSE SUBJECT,
@@ -1297,7 +1347,14 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
             if last_np is not None:
                 pending_rel = w
                 rel_subj = last_np
-                cancel_dist(last_np)
+                if last_np.head in ANIMATE_NOUNS:
+                    # an ANIMATE conjunct taking its own relation is a
+                    # parallel clause subject ("...and a WOMAN on a
+                    # chair"), so the deferred distribution dies; an
+                    # inanimate one holds both roles ("a pizza with
+                    # pepperoni and MUSHROOMS on a cutting board" — the
+                    # mushrooms are with the pizza AND on the board)
+                    cancel_dist(last_np)
                 if (
                     w == "with"
                     and last_loc_rel is not None
@@ -1309,6 +1366,16 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                             and last_np is last_rel3[2]
                             and last_rel3[1] in MOTION_PREPS
                         )
+                    )
+                    # carried objects are DETERMINED singular NPs ("with
+                    # A ball", "with HIS umbrella"); a bare-plural/mass
+                    # with-object is a furnishing of the place itself
+                    # ("a bed with WHITE SHEETS", "a street with CARS
+                    # parked nearby") and keeps nearest attachment
+                    # (blind-40 finding)
+                    and (
+                        nxt in DETERMINERS
+                        or nxt in ("his", "her", "its", "their")
                     )
                 ):
                     # "a dog running on the beach WITH a ball": the dog
@@ -1336,16 +1403,39 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                     # re-anchors past the object (the water has no trunk)
                     rel_subj = agent_subject(last_rel3[0])
                 elif (
-                    w in MOTION_PREPS
+                    (w in MOTION_PREPS or w in ("at", "from"))
                     and last_rel3 is not None
                     and last_np is last_rel3[2]
                     and isinstance(last_rel3[1], str)
                     and _is_verbish(last_rel3[1])
                 ):
-                    # motion prep after an active verb's object: "riding a
-                    # skateboard DOWN a ramp" — the path belongs to the
-                    # AGENT (the dependency parse attaches the PP to the
-                    # verb), not the vehicle/object
+                    # motion/target/source prep after an active verb's
+                    # object: "riding a skateboard DOWN a ramp",
+                    # "swinging a bat AT a ball", "drinking water FROM a
+                    # pond" — the path/target/source belongs to the AGENT
+                    # (the dependency parse attaches the PP to the verb),
+                    # not the vehicle/object (blind-40 findings)
+                    rel_subj = agent_subject(last_rel3[0])
+                elif (
+                    last_loc_rel is not None
+                    and last_np is last_loc_rel[1]
+                    and last_np.head in MATERIAL_NOUNS
+                ):
+                    # a covering/material is a state, not a location: the
+                    # next locative belongs to the covered subject ("a
+                    # stop sign covered IN SNOW ON a street corner" ->
+                    # the sign is on the corner) — blind-40 finding
+                    rel_subj = last_loc_rel[0]
+                elif (
+                    last_rel3 is not None
+                    and last_np is last_rel3[2]
+                    and last_rel3[1] == "with"
+                    and last_np.poss
+                ):
+                    # possessive-part with-object ("a toilet WITH ITS LID
+                    # up IN a small bathroom"): the part belongs to the
+                    # subject, so the locative re-anchors past it — the
+                    # toilet is in the bathroom, not the lid (blind-40)
                     rel_subj = agent_subject(last_rel3[0])
                 elif (
                     w != "of"

@@ -636,10 +636,14 @@ def test_scene_graph_parse_fuzz_never_raises():
         + list(COPULAS)
         + list(CONJUNCTIONS)
         + ["man", "dog", "red", "running", "sitting", "held", "n't",
-           "not", "that", "'s", "doing", "trick", "covered"]
+           "not", "that", "'s", "doing", "trick", "covered",
+           # pre-pass rule triggers: digit counts, anaphors, modals,
+           # raising verbs, particles, sign-text verbs, bare predicates
+           "2", "10", "it", "them", "can", "be", "seen", "says", "out",
+           "of", "high", "laid", "stuck", "put", "to", "blowing", "one"]
     )
     rng = random.Random(0)
-    for _ in range(1500):
+    for _ in range(2000):
         cap = " ".join(
             rng.choice(vocab) for _ in range(rng.randint(0, 12))
         )
