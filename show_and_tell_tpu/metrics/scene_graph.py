@@ -127,7 +127,8 @@ Tuple3 = Tuple[str, ...]
 # noun
 POST_ADJS = frozenset(
     """full empty half larger smaller bigger taller longer shorter higher
-    lower older younger wider deeper darker lighter brighter high""".split()
+    lower older younger wider deeper darker lighter brighter high
+    fresh hot warm""".split()
 )
 
 # nouns that cannot be the agent of a verb relation (body parts, clothing,
@@ -295,7 +296,7 @@ VERBS = frozenset(
 # "with" re-anchors to the clause subject ("cutting INTO a cake WITH a
 # knife" -> the woman has the knife, not the cake)
 MOTION_PREPS = frozenset(
-    "into onto through across toward towards past over down up".split()
+    "into onto through across toward towards past over down up off".split()
 )
 # coverings/materials: as a locative object they describe a STATE of the
 # subject, not a place — a following locative re-anchors to the subject
@@ -308,6 +309,13 @@ MATERIAL_NOUNS = frozenset(
     row line circle semicircle formation""".split()
 )  # row/line/...: configurations, same state-not-place chain behavior
 # ("motorcycles parked in a ROW on the street" -> they are on the street)
+# ambience objects (lighting/weather/depth): as the OBJECT of a chained
+# locative they describe the scene's subject, not the nearest noun ("two
+# cats on a sill IN THE SUN" -> the cats are in the sun)
+AMBIENT_NOUNS = frozenset(
+    """sun shade sunlight sunshine fog mist dark darkness distance
+    background foreground moonlight""".split()
+)
 # color words: "a fire hydrant painted RED AND WHITE" — a verb's "object"
 # that is all colors is really a list of subject attributes, never an NP
 COLOR_WORDS = frozenset(
@@ -472,8 +480,9 @@ STRICT_PARTICIPLES = frozenset(
 # compound modifier rather than a clause verb: "a HAND painted sign",
 # "a HALF finished meal" — vs "a WOMAN carried bags" (a clause)
 COMPOUND_PREMODIFIERS = frozenset(
-    "hand half home machine sun freshly newly brightly custom".split()
-)
+    """hand half home machine sun freshly newly brightly custom
+    tree palm""".split()
+)  # tree/palm license "a TREE LINED street" as a compound NP
 
 
 def _ed_verb(w: str) -> bool:
@@ -703,6 +712,20 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
     # after the object re-anchors to a CONTAINER subject ("a plate of food
     # ON a table" -> the plate is on the table)
     last_of_rel = None
+    # the VERB relation whose object the of-subject was, captured before
+    # last_rel3 is overwritten by the of-relation itself ("pushing a CART
+    # full of luggage ..." keeps (man, push, cart) reachable so a motion
+    # prep after the of-object re-anchors to the man)
+    last_of_owner = None
+
+    def capture_of_owner():
+        if (
+            last_rel3 is not None
+            and isinstance(last_rel3[1], str)
+            and _is_verbish(last_rel3[1])
+        ):
+            return last_rel3
+        return None
     # APPOSITIVE pair: the NP that closed immediately before the currently
     # open determiner-NP with NO connective between them ("a man , a
     # tourist , taking a photo" arrives determiner-to-determiner once
@@ -848,6 +871,18 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
             and _is_verbish(last_rel3[1])
         ):
             return last_rel3[0]
+        # ambience objects (lighting/weather/depth) describe the SCENE,
+        # not the nearest object: a locative chain re-anchors to the
+        # chain's subject ("two cats on a sill IN THE SUN" -> the cats
+        # are in the sun; "a building on a street IN THE BACKGROUND")
+        if (
+            isinstance(prep, str)
+            and prep in PREPOSITIONS
+            and obj_np.head in AMBIENT_NOUNS
+            and last_loc_rel is not None
+            and subj is last_loc_rel[1]
+        ):
+            return last_loc_rel[0]
         return subj
 
     def cancel_dist(np_: "_NP") -> None:
@@ -874,7 +909,7 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
         inverted relation's verb."""
         nonlocal cur, last_np, pending_rel, rel_subj, after_conj, \
             last_loc_rel, last_loc_prep, last_rel3, last_rel3_slot, \
-            conj_prev, last_of_rel, detached, appos_prev
+            conj_prev, last_of_rel, last_of_owner, detached, appos_prev
         entry_conj = after_conj
         after_conj = False
         entry_detached = detached
@@ -999,9 +1034,36 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                     # of the following verb ("a man not wearing a HAT
                     # carrying a bag" -> the man carries)
                     negated_np_ids.add(id(subj_np))
+                # det-less NP coordinated onto a prep OBJECT, then a
+                # verb+bare-object: "in a blue shirt and SHORTS playing
+                # tennis" — the split subject joins the prep relation
+                # ((man, in, shorts)) and the verb re-anchors to the
+                # clause subject (the det-boundary twin of the
+                # coord_prep_obj branch below)
+                if (
+                    entry_conj
+                    and pending_rel is None
+                    and last_rel3 is not None
+                    and last_rel3_slot == "obj"
+                    and last_np is last_rel3[2]
+                    and isinstance(last_rel3[1], str)
+                    and last_rel3[1] in PREPOSITIONS
+                    and subj_np.head in NON_AGENT
+                    and not any(
+                        t in DETERMINERS and t not in NUMBERS
+                        for t in subj_words
+                    )
+                ):
+                    add_subj_tuple(
+                        last_rel3[0], _norm(last_rel3[1]), _norm(subj_np.head)
+                    )
+                    if last_rel3[1] != "of":
+                        last_loc_rel = (last_rel3[0], subj_np)
+                        last_loc_prep = last_rel3[1]
+                    conj_prev = None
                 # subject coordination: "a man and A WOMAN HOLDING HANDS"
                 # -> the split subject mirrors onto the pre-conj NP
-                if entry_conj and conj_prev is not None:
+                elif entry_conj and conj_prev is not None:
                     coord_partner[id(subj_np)] = [conj_prev] + \
                         coord_partner.get(id(conj_prev), [])
                     conj_prev = None
@@ -1027,6 +1089,7 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                             last_loc_rel = (p_subj, subj_np)
                             last_loc_prep = pending_rel
                         if pending_rel == "of":
+                            last_of_owner = capture_of_owner()
                             last_of_rel = (p_subj, subj_np)
                         last_rel3 = (p_subj, pending_rel, subj_np)
                         last_rel3_slot = "obj"
@@ -1118,6 +1181,7 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                     last_loc_rel = (p_subj, np_)
                     last_loc_prep = pending_rel
                 if pending_rel == "of":
+                    last_of_owner = capture_of_owner()
                     last_of_rel = (p_subj, np_)
                 last_rel3 = (p_subj, pending_rel, np_)
                 last_rel3_slot = "obj"
@@ -1405,9 +1469,29 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                 elif (
                     (w in MOTION_PREPS or w in ("at", "from"))
                     and last_rel3 is not None
-                    and last_np is last_rel3[2]
                     and isinstance(last_rel3[1], str)
-                    and _is_verbish(last_rel3[1])
+                    and (
+                        (
+                            last_np is last_rel3[2]
+                            and (
+                                _is_verbish(last_rel3[1])
+                                # chained motion: "falling OFF his board
+                                # INTO the ocean", "going DOWN a slope AT
+                                # a resort" — the chain's subject keeps
+                                # the path
+                                or last_rel3[1] in MOTION_PREPS
+                            )
+                        )
+                        # of-chain walk: "pushing a cart full OF LUGGAGE
+                        # THROUGH an airport" — the path belongs to the
+                        # of-subject's clause, not the of-object
+                        or (
+                            last_of_rel is not None
+                            and last_np is last_of_rel[1]
+                            and last_of_owner is not None
+                            and last_of_owner[2] is last_of_rel[0]
+                        )
+                    )
                 ):
                     # motion/target/source prep after an active verb's
                     # object: "riding a skateboard DOWN a ramp",
@@ -1415,7 +1499,15 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                     # pond" — the path/target/source belongs to the AGENT
                     # (the dependency parse attaches the PP to the verb),
                     # not the vehicle/object (blind-40 findings)
-                    rel_subj = agent_subject(last_rel3[0])
+                    owner = last_rel3
+                    if (
+                        last_of_rel is not None
+                        and last_np is last_of_rel[1]
+                        and last_of_owner is not None
+                        and last_of_owner[2] is last_of_rel[0]
+                    ):
+                        owner = last_of_owner
+                    rel_subj = agent_subject(owner[0])
                 elif (
                     last_loc_rel is not None
                     and last_np is last_loc_rel[1]
@@ -1684,6 +1776,7 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                                 last_loc_rel = (p_subj, np_)
                                 last_loc_prep = pending_rel
                             if pending_rel == "of":
+                                last_of_owner = capture_of_owner()
                                 last_of_rel = (p_subj, np_)
                             last_rel3 = (p_subj, pending_rel, np_)
                             last_rel3_slot = "obj"
