@@ -1867,12 +1867,38 @@ def _max_matching(cl: List[Tuple3], rl: List[Tuple3]) -> int:
     sets would make the count depend on hash-seed iteration order (synonym
     matches are many-to-many); maximum matching is both order-independent
     and maximal, so a candidate tuple never loses its only partner to one
-    that had alternatives."""
-    adj = [[j for j, r in enumerate(rl) if _tuple_match(t, r)] for t in cl]
+    that had alternatives.
+
+    Two exact-arithmetic speedups (val-5k profile: the matcher was ~35%
+    of SPICE time): (1) exact-equality pairs seed the matching before any
+    _tuple_match call — Kuhn's algorithm from ANY initial matching plus
+    one augmenting pass per unmatched candidate is still maximum, and on
+    real corpora most matches are exact; (2) adjacency rows build lazily,
+    only for candidates an augmenting path actually touches."""
     owner = [-1] * len(rl)  # ref index -> matched cand index
+    cand_matched = [False] * len(cl)
+    rindex: Dict[Tuple3, List[int]] = {}
+    for j, r in enumerate(rl):
+        rindex.setdefault(r, []).append(j)
+    for i, t in enumerate(cl):
+        for j in rindex.get(t, ()):
+            if owner[j] < 0:
+                owner[j] = i
+                cand_matched[i] = True
+                break
+
+    adj_cache: Dict[int, List[int]] = {}
+
+    def _adj(i: int) -> List[int]:
+        a = adj_cache.get(i)
+        if a is None:
+            t = cl[i]
+            a = [j for j, r in enumerate(rl) if _tuple_match(t, r)]
+            adj_cache[i] = a
+        return a
 
     def _augment(i: int, seen: List[bool]) -> bool:
-        for j in adj[i]:
+        for j in _adj(i):
             if not seen[j]:
                 seen[j] = True
                 if owner[j] < 0 or _augment(owner[j], seen):
@@ -1880,7 +1906,11 @@ def _max_matching(cl: List[Tuple3], rl: List[Tuple3]) -> int:
                     return True
         return False
 
-    return sum(_augment(i, [False] * len(rl)) for i in range(len(cl)))
+    total = sum(cand_matched)
+    for i in range(len(cl)):
+        if not cand_matched[i]:
+            total += _augment(i, [False] * len(rl))
+    return total
 
 
 def spice_f(cand: Set[Tuple3], ref: Set[Tuple3]) -> float:
@@ -1926,10 +1956,31 @@ def spice_score_set(
     converted to NaN by ``float_convert``)."""
     out: Dict[str, Dict[str, float]] = {}
     nan = float("nan")
+    # tuples only match within the same arity (_tuple_match requires equal
+    # length), so the bipartite matching decomposes by tuple length: the
+    # three arity matchings are computed once and reused for All (their
+    # sum — bit-identical to matching the full sets) and for
+    # Object/Attribute/Relation (val-5k profile: this halves the number
+    # of matchings; only Color/Cardinality/Size still filter+match).
+    c_by = {n: sorted(t for t in cand if len(t) == n) for n in (1, 2, 3)}
+    r_by = {n: sorted(t for t in ref if len(t) == n) for n in (1, 2, 3)}
+    m_by = {
+        n: _max_matching(c_by[n], r_by[n]) if c_by[n] and r_by[n] else 0
+        for n in (1, 2, 3)
+    }
+    arity = {"Object": 1, "Attribute": 2, "Relation": 3}
     for name, keep in _CATEGORY_FILTERS:
-        c = sorted(t for t in cand if keep(t))
-        r = sorted(t for t in ref if keep(t))
-        if not c and not r:
+        if name == "All":
+            cn, rn, m = len(cand), len(ref), sum(m_by.values())
+        elif name in arity:
+            n = arity[name]
+            cn, rn, m = len(c_by[n]), len(r_by[n]), m_by[n]
+        else:  # lexicon subcategories of the attribute arity
+            c = [t for t in c_by[2] if keep(t)]
+            r = [t for t in r_by[2] if keep(t)]
+            cn, rn = len(c), len(r)
+            m = _max_matching(c, r) if c and r else 0
+        if cn == 0 and rn == 0:
             # All keeps the flat spice_f convention (0.0, so the corpus
             # mean stays finite even for degenerate empty-graph images);
             # subcategories absent from both sides are NaN (the wrapper's
@@ -1937,13 +1988,12 @@ def spice_score_set(
             f0 = 0.0 if name == "All" else nan
             out[name] = {"f": f0, "pr": nan, "re": nan}
             continue
-        m = _max_matching(c, r)
-        p = m / len(c) if c else nan
-        rc = m / len(r) if r else nan
+        p = m / cn if cn else nan
+        rc = m / rn if rn else nan
         # f mirrors spice_f: 0.0 when either side is empty or nothing
         # matched, so the All column stays bit-identical to spice_f and the
         # corpus mean stays finite
-        if not c or not r or m == 0:
+        if cn == 0 or rn == 0 or m == 0:
             f = 0.0
         else:
             f = 2 * p * rc / (p + rc)
