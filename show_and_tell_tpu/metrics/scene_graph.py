@@ -153,7 +153,8 @@ PLACE_NOUNS = frozenset(
     river pool sky ground floor wall window door fence tree building
     mountain hill shore curb corner roof ceiling kitchen bathroom bedroom
     room station market harbor dock bridge background foreground
-    yard garden court stadium zoo forest city town snow air restaurant
+    yard backyard courtyard playground garden court stadium zoo forest
+    city town snow air restaurant
     rain sunshine shade dark distance
     game games party parade festival fair wedding match event show
     concert ceremony carnival rodeo race rally tournament competition
@@ -296,7 +297,8 @@ VERBS = frozenset(
 # "with" re-anchors to the clause subject ("cutting INTO a cake WITH a
 # knife" -> the woman has the knife, not the cake)
 MOTION_PREPS = frozenset(
-    "into onto through across toward towards past over down up off".split()
+    """into onto through across toward towards past over down up off
+    out""".split()
 )
 # coverings/materials: as a locative object they describe a STATE of the
 # subject, not a place — a following locative re-anchors to the subject
@@ -306,16 +308,47 @@ MOTION_PREPS = frozenset(
 MATERIAL_NOUNS = frozenset(
     """snow mud dirt sand dust rain water ice grass paint chocolate
     frosting icing glaze sauce powder foam
-    row line circle semicircle formation""".split()
+    row line circle semicircle formation
+    air sky leash""".split()
 )  # row/line/...: configurations, same state-not-place chain behavior
-# ("motorcycles parked in a ROW on the street" -> they are on the street)
-# ambience objects (lighting/weather/depth): as the OBJECT of a chained
-# locative they describe the scene's subject, not the nearest noun ("two
-# cats on a sill IN THE SUN" -> the cats are in the sun)
+# ("motorcycles parked in a ROW on the street" -> they are on the street);
+# air/sky/leash: media and tethers chain the same way ("flying through
+# the AIR on a snowboard" -> the man is on the snowboard)
+# ambience objects (lighting/weather/depth/time-of-day): as the OBJECT of
+# a chained locative they describe the scene's subject, not the nearest
+# noun ("two cats on a sill IN THE SUN" -> the cats are in the sun;
+# "walking along the beach AT SUNSET")
 AMBIENT_NOUNS = frozenset(
     """sun shade sunlight sunshine fog mist dark darkness distance
-    background foreground moonlight""".split()
+    background foreground moonlight
+    sunset sunrise dusk dawn night noon daytime nighttime""".split()
 )
+# -ing verbs that need an ANIMATE agent: after an active verb's INANIMATE
+# object they re-anchor to the verb's subject ("a man riding a motorcycle
+# WEARING a black helmet" -> the man wears it; "a teddy bear wearing a
+# red bow SITTING on a bed" -> the bear sits). An animate object keeps
+# nearest attachment ("a dog chasing a cat WEARING a collar").
+_AGENT_ING = frozenset(
+    """wearing holding carrying eating drinking smiling smoking talking
+    reading sitting standing waiting laughing watching looking""".split()
+)
+# theme-motion verbs: the OBJECT moves, not the agent, so a motion prep
+# after the object keeps nearest attachment ("pouring coffee INTO a mug"
+# -> the coffee goes in, not the woman)
+_THEME_MOTION = frozenset(
+    """pour throw toss drop place put load spill dip dunk insert stuff
+    squeeze sprinkle scatter""".split()
+)
+# stative covering participles: "<subj> COVERED in X" makes X a covering,
+# not a location — a locative chained after it re-anchors to the covered
+# subject ("a refrigerator covered in magnets IN A KITCHEN")
+_STATIVE_COVER = frozenset(
+    """covered wrapped coated filled decorated topped surrounded drenched
+    splattered smothered adorned stuffed""".split()
+)
+# stemmed lookups, matching the normalized space tuples are stored in
+_THEME_NORMED = frozenset(porter_stem(w) for w in _THEME_MOTION)
+_STATIVE_NORMED = frozenset(porter_stem(w) for w in _STATIVE_COVER)
 # color words: "a fire hydrant painted RED AND WHITE" — a verb's "object"
 # that is all colors is really a list of subject attributes, never an NP
 COLOR_WORDS = frozenset(
@@ -717,6 +750,10 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
     # full of luggage ..." keeps (man, push, cart) reachable so a motion
     # prep after the of-object re-anchors to the man)
     last_of_owner = None
+    # the most recent 3-tuple whose relation is a VERB (prep relations
+    # overwrite last_rel3, but chain re-anchors need the verb's agent:
+    # "a couple WALKING their dog on a leash in the park")
+    last_verb_rel3 = None
 
     def capture_of_owner():
         if (
@@ -851,6 +888,20 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
             # thing, matching the container locative rule above);
             # group/photo heads keep the of-object's agency
             return agent_subject(last_of_rel[0])
+        if (
+            verb in _AGENT_ING
+            and last_rel3 is not None
+            and np_ is last_rel3[2]
+            and last_rel3_slot == "obj"
+            and isinstance(last_rel3[1], str)
+            and _is_verbish(last_rel3[1])
+            and np_.head not in ANIMATE_NOUNS
+        ):
+            # animate-agent gerund after an active verb's INANIMATE
+            # object: "riding a motorcycle WEARING a helmet" -> the man
+            # wears it (a motorcycle cannot); an animate object keeps
+            # nearest attachment ("chasing a cat WEARING a collar")
+            return agent_subject(last_rel3[0])
         return agent_subject(np_)
 
     def place_rel_subject(subj: "_NP", prep, obj_np: "_NP") -> "_NP":
@@ -909,7 +960,8 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
         inverted relation's verb."""
         nonlocal cur, last_np, pending_rel, rel_subj, after_conj, \
             last_loc_rel, last_loc_prep, last_rel3, last_rel3_slot, \
-            conj_prev, last_of_rel, last_of_owner, detached, appos_prev
+            conj_prev, last_of_rel, last_of_owner, last_verb_rel3, \
+            detached, appos_prev
         entry_conj = after_conj
         after_conj = False
         entry_detached = detached
@@ -924,9 +976,25 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
         # and attaches to the previous NP below.
         # with a relation pending this segment must yield its object NP, so
         # a verb-lexicon noun ("a watch") is never stripped away
-        all_verbs = pending_rel is None and all(
+        all_verbs = all(
             _is_verbish(t) for t in words if content_count([t])
         )
+        if all_verbs and pending_rel in ("on", "off") and words and all(
+            t.endswith("ing") and t not in ING_NOUNS
+            for t in words
+            if content_count([t])
+        ) and any(content_count([t]) for t in words):
+            # an all-GERUND "object" of on/off is a dangling particle
+            # plus the clause VP ("a truck with its lights ON DRIVING
+            # down a street"): drop the stray prep, keep the verbs as
+            # the VP. Only morphologically marked -ing forms qualify —
+            # bare verb-lexicon nouns keep the relation ("falling OFF
+            # his BOARD"), and gerund objects of real preps stay NPs
+            # ("a brush used FOR painting").
+            pending_rel = None
+            rel_subj = None
+        elif pending_rel is not None:
+            all_verbs = False
         if (
             all_verbs
             and entry_conj
@@ -1092,6 +1160,8 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                             last_of_owner = capture_of_owner()
                             last_of_rel = (p_subj, subj_np)
                         last_rel3 = (p_subj, pending_rel, subj_np)
+                        if _is_verbish(pending_rel):
+                            last_verb_rel3 = last_rel3
                         last_rel3_slot = "obj"
                 base = PARTICIPLE_BASE.get(verb, verb)
                 subj_eff = subj_np
@@ -1104,6 +1174,7 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                 agent = gerund_agent(clause_subject(subj_eff), verb)
                 add_subj_tuple(agent, _norm(base), _norm(obj_np.head))
                 last_rel3 = (agent, base, obj_np)
+                last_verb_rel3 = last_rel3
                 last_rel3_slot = "obj"
                 pending_rel = None
                 rel_subj = None
@@ -1132,6 +1203,19 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                 and last_np is not None
                 and last_np is at_rel3_anchor()
             ):
+                anchor = last_rel3[0]
+                last_np = anchor
+            elif (
+                last_np is not None
+                and last_np.poss
+                and last_rel3 is not None
+                and last_np is last_rel3[2]
+                and last_rel3[1] == "with"
+            ):
+                # possessive-part with-object: the VP belongs to the part's
+                # owner ("a truck with ITS LIGHTS on DRIVING down a
+                # street" -> the truck drives), and so does the following
+                # locative
                 anchor = last_rel3[0]
                 last_np = anchor
             if anchor is not None and not defer_verbs:
@@ -1184,6 +1268,8 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                     last_of_owner = capture_of_owner()
                     last_of_rel = (p_subj, np_)
                 last_rel3 = (p_subj, pending_rel, np_)
+                if _is_verbish(pending_rel):
+                    last_verb_rel3 = last_rel3
                 last_rel3_slot = "obj"
         elif (
             entry_conj
@@ -1256,7 +1342,7 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
         non-verb content is a bare-object relation ("is drinking water"
         after 'the zebra': (zebra, drink, water), extra leading verbs stay
         attributes); otherwise every content token is an attribute."""
-        nonlocal cur, last_rel3, last_rel3_slot, last_np
+        nonlocal cur, last_rel3, last_rel3_slot, last_np, last_verb_rel3
         words = [c for c in cur if c not in SKIP]
         cur = []
         # verbs anchor to the agent-capable subject ("a man in a HAT
@@ -1290,6 +1376,7 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                 base = PARTICIPLE_BASE.get(words[k - 1], words[k - 1])
                 add_subj_tuple(vp_anchor, _norm(base), _norm(obj.head))
                 last_rel3 = (vp_anchor, base, obj)
+                last_verb_rel3 = last_rel3
                 last_rel3_slot = "obj"
                 return
         for c in words:
@@ -1507,17 +1594,44 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                         and last_of_owner[2] is last_of_rel[0]
                     ):
                         owner = last_of_owner
-                    rel_subj = agent_subject(owner[0])
+                    vb = owner[1]
+                    if _norm(
+                        PARTICIPLE_BASE.get(vb, vb)
+                    ) not in _THEME_NORMED:
+                        rel_subj = agent_subject(owner[0])
+                    # theme-motion verbs keep nearest attachment: the
+                    # OBJECT moves ("pouring coffee INTO a mug" -> the
+                    # coffee goes in, not the woman)
                 elif (
-                    last_loc_rel is not None
+                    w != "of"  # of binds to its head, never re-anchors
+                    and last_loc_rel is not None
                     and last_np is last_loc_rel[1]
-                    and last_np.head in MATERIAL_NOUNS
+                    and (
+                        last_np.head in MATERIAL_NOUNS
+                        # a stative-covering participle makes ANY object a
+                        # covering ("a refrigerator COVERED in magnets IN
+                        # A KITCHEN" -> the refrigerator is in the
+                        # kitchen): the subject carries the participle as
+                        # an attribute tuple, so membership is checkable
+                        or any(
+                            (_norm(last_loc_rel[0].head), sp) in tuples
+                            for sp in _STATIVE_NORMED
+                        )
+                    )
                 ):
                     # a covering/material is a state, not a location: the
                     # next locative belongs to the covered subject ("a
                     # stop sign covered IN SNOW ON a street corner" ->
                     # the sign is on the corner) — blind-40 finding
                     rel_subj = last_loc_rel[0]
+                    # a tethered/leashed object hops one more step to the
+                    # verb's agent ("a couple walking their dog ON A
+                    # LEASH in the park" -> the couple is in the park)
+                    if (
+                        last_verb_rel3 is not None
+                        and rel_subj is last_verb_rel3[2]
+                    ):
+                        rel_subj = agent_subject(last_verb_rel3[0])
                 elif (
                     last_rel3 is not None
                     and last_np is last_rel3[2]
@@ -1779,6 +1893,8 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                                 last_of_owner = capture_of_owner()
                                 last_of_rel = (p_subj, np_)
                             last_rel3 = (p_subj, pending_rel, np_)
+                            if _is_verbish(pending_rel):
+                                last_verb_rel3 = last_rel3
                             last_rel3_slot = "obj"
                         last_np = np_
                         pending_rel = verb
