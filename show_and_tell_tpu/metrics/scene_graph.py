@@ -58,8 +58,11 @@ _MODALS = frozenset("can could may might will would must shall".split())
 # dropped so the embedded VP binds to the subject directly. Without a
 # following "to" these stay ordinary tokens ("appears in the doorway").
 _RAISING_VERBS = frozenset(
-    "appears appear appeared seems seem seemed appearing seeming".split()
-)
+    """appears appear appeared seems seem seemed appearing seeming
+    learn learns learning learned""".split()
+)  # learn-to is control, not raising, but the scene semantics pass
+# through the same way ("helping a child LEARN TO ride a bike" -> the
+# child rides); without "to" the learn-family are ordinary verbs
 # phrasal verbs whose "on"/"off" is a particle, not a locative: "putting
 # ON a helmet" -> (woman, put, helmet), never (woman, on, helmet). Only
 # the particle directly after the verb is dropped — "putting a bowl ON
@@ -96,7 +99,8 @@ PREPOSITIONS = frozenset(
     """in on at by of over under above below between among through during
     before after near against into onto upon inside outside behind beside
     along across around atop underneath beneath past beyond within without
-    with to from off down toward towards amid amidst for out like""".split()
+    with to from off down up toward towards amid amidst for out
+    like""".split()
 ) | {_FRONT}
 # "out" is a preposition ONLY via the "out of" collapse or right after a
 # look-type verb ("looking OUT the window"); bare "out" anywhere else is
@@ -109,7 +113,7 @@ COPULAS = frozenset("is are was were be been being 's am".split())
 CONJUNCTIONS = frozenset("and or but".split())
 SKIP = frozenset(
     """there it he she they i you we who which that as when where
-    very really quite just also not n't up about than together nearby
+    very really quite just also not n't about than together nearby
     himself herself itself themselves""".split()
 )
 # "while"/"whilst" open a subordinate VP whose subject is the CLAUSE
@@ -154,7 +158,7 @@ PLACE_NOUNS = frozenset(
     mountain hill shore curb corner roof ceiling kitchen bathroom bedroom
     room station market harbor dock bridge background foreground
     yard backyard courtyard playground garden court stadium zoo forest
-    city town snow air restaurant
+    city town square plaza trail snow air restaurant
     rain sunshine shade dark distance
     game games party parade festival fair wedding match event show
     concert ceremony carnival rodeo race rally tournament competition
@@ -169,7 +173,7 @@ PLACE_NOUNS = frozenset(
 # table", "a photo of a man ON a horse")
 CONTAINER_NOUNS = frozenset(
     """plate bowl vase cup glass basket box bottle pot pan tray jar bag
-    mug bucket pitcher crate carton""".split()
+    mug bucket pitcher crate carton suitcase backpack""".split()
 )
 
 # photographic-framing participles: describe how the image was taken, not
@@ -291,7 +295,7 @@ VERBS = frozenset(
     see sees appear appears board boards tie ties put puts
     lie lies lay lays turn turns try tries took
     blow blows blew stick sticks lean leans say says said
-    make makes""".split()
+    make makes learn learns""".split()
 )
 # motion preps: their object is a TARGET, not a holder — a following
 # "with" re-anchors to the clause subject ("cutting INTO a cake WITH a
@@ -309,7 +313,7 @@ MATERIAL_NOUNS = frozenset(
     """snow mud dirt sand dust rain water ice grass paint chocolate
     frosting icing glaze sauce powder foam
     row line circle semicircle formation
-    air sky leash""".split()
+    air sky leash display""".split()
 )  # row/line/...: configurations, same state-not-place chain behavior
 # ("motorcycles parked in a ROW on the street" -> they are on the street);
 # air/sky/leash: media and tethers chain the same way ("flying through
@@ -322,6 +326,14 @@ AMBIENT_NOUNS = frozenset(
     """sun shade sunlight sunshine fog mist dark darkness distance
     background foreground moonlight
     sunset sunrise dusk dawn night noon daytime nighttime""".split()
+)
+# EVENT nouns (a subset of PLACE_NOUNS): as a chained locative's object
+# they situate the scene's SUBJECT, not the nearest noun ("a man does a
+# trick on his skateboard AT A COMPETITION" -> the man is there)
+EVENT_NOUNS = frozenset(
+    """game games party parade festival fair wedding match event show
+    concert ceremony carnival rodeo race rally tournament
+    competition""".split()
 )
 # -ing verbs that need an ANIMATE agent: after an active verb's INANIMATE
 # object they re-anchor to the verb's subject ("a man riding a motorcycle
@@ -366,9 +378,13 @@ SIZE_WORDS = frozenset(
 # predicate adjectives that can follow a verb bare ("a cat curled up
 # ASLEEP on a sofa"): subject attributes, never an object NP — grouped
 # with the color-list intercept below
-# "high"/"low" cover the adverbial uses ("kites flying HIGH in the sky"):
-# as a verb's whole "object" they are subject attributes, not entities
-PRED_ADJS = frozenset("asleep awake alone high low".split())
+# "high"/"low" cover the adverbial uses ("kites flying HIGH in the sky");
+# open/closed/empty cover resultative positions ("a laptop sitting OPEN
+# on a table"): as a verb's whole "object" they are subject attributes,
+# not entities
+PRED_ADJS = frozenset(
+    "asleep awake alone high low open closed empty".split()
+)
 
 # animate nouns — plausible POSSESSORS for the possessive-instrument rule
 # below ("photographing a woman with HER dog": the woman can own the dog,
@@ -398,7 +414,8 @@ ADJ_COORD = COLOR_WORDS | POST_ADJS | frozenset(
 # reading stays everywhere else ("a man DRINKS coffee", "a woman PETS a
 # dog", "a man TIES his shoe")
 S_NOUN_AFTER_CONJ = frozenset(
-    "drinks pets swings skis skates tie ties board boards".split()
+    """drinks pets swings swing skis skates tie ties board boards
+    drink""".split()
 )
 
 # compound prepositions collapsed to one token before chunking
@@ -457,6 +474,16 @@ _COMPOUND_PREPS = (
 _INF_TO = "__inf_to__"
 # sentinel for collapsed "out of" (see above)
 _OUT_OF = "__out_of__"
+# bare verbs whose NOUN reading can win in compounds ("a porch SWING");
+# after an infinitival "to" they are unambiguously verbs, so they rewrite
+# to the -ing form — SAME Porter stem (tying/skiing pinned via
+# _IRREGULAR_NOUNS), but morphologically marked so the compound-noun
+# guard cannot misread "a batter getting ready to SWING" as a compound
+_BARE_TO_ING = {
+    "swing": "swinging", "drink": "drinking", "board": "boarding",
+    "tie": "tying", "ski": "skiing", "skate": "skating",
+    "pet": "petting",
+}
 # verbs whose bare "out" is PREPOSITIONAL ("looking OUT the window",
 # "leaning OUT a car window") — for every other verb a bare "out" before
 # an NP is a particle ("sticking OUT its tongue" -> (dog, stick, tongue))
@@ -464,6 +491,15 @@ _LOOK_VERBS = frozenset(
     """look looks looking looked stare stares staring stared
     peer peers peering peered gaze gazes gazing gazed
     lean leans leaning leaned""".split()
+)
+# verbs whose bare "up" is PREPOSITIONAL when an NP follows ("walking UP
+# the stairs", "climbing UP a ladder") — for every other verb "up" is a
+# particle/adverb ("HOLDING UP a pink umbrella" -> the girl holds it)
+_UP_MOTION_VERBS = frozenset(
+    """walk walks walking walked climb climbs climbing climbed
+    go goes going went run runs running ran ride rides riding rode
+    drive drives driving drove move moves moving moved
+    hike hikes hiking hiked march marches marching marched""".split()
 )
 
 # irregular past participles (no -ing/-ed surface marker) -> base verb, so
@@ -609,6 +645,11 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
         w = toks[i]
         nxt = toks[i + 1] if i + 1 < len(toks) else None
         nxt2 = toks[i + 2] if i + 2 < len(toks) else None
+        if w in ("to", _INF_TO) and nxt in _BARE_TO_ING:
+            # infinitival context: the bare ambiguous verb is marked as a
+            # verb by rewriting to its -ing form (same stem)
+            toks[i + 1] = _BARE_TO_ING[nxt]
+            nxt = toks[i + 1]
         if w == _OUT_OF:
             # always prepositional; falls through (instead of appending
             # directly) so the anaphor rule below still sees it and
@@ -617,6 +658,17 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
         elif w == "out" and not (out and out[-1] in _LOOK_VERBS):
             # bare "out" is a particle/adverb everywhere except after a
             # look-type verb ("looking OUT the window" keeps its locative)
+            i += 1
+            continue
+        elif w == "up" and not (
+            out
+            and out[-1] in _UP_MOTION_VERBS
+            and nxt is not None
+            and (nxt in DETERMINERS or _nounish(nxt))
+        ):
+            # bare "up" is a particle/adverb except after a motion verb
+            # with a following NP ("walking UP the stairs" keeps its
+            # path; "HOLDING UP an umbrella" drops it)
             i += 1
             continue
         if w in _MODALS and nxt == "be":
@@ -669,7 +721,19 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
         # a list item — rewrite it as explicit coordination. True
         # appositives ("a man a tourist TAKING a photo") hit the verb
         # first and stay appositive.
-        if w in _LIST_DETS and out and _nounish(out[-1]):
+        if out and _nounish(out[-1]) and (
+            w in _LIST_DETS
+            # bare-plural lists ("a bowl of ORANGES APPLES and bananas"):
+            # a plural-to-plural juncture whose lookahead reaches a
+            # conjunction is a comma-stripped list too. Noun-noun
+            # compounds ("city bus") have a singular first noun, so the
+            # double-plural requirement keeps them intact.
+            or (
+                w.endswith("s")
+                and _nounish(w)
+                and out[-1].endswith("s")
+            )
+        ):
             j = i + 1
             while j < len(toks) and not (
                 toks[j] in CONJUNCTIONS
@@ -922,14 +986,18 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
             and _is_verbish(last_rel3[1])
         ):
             return last_rel3[0]
-        # ambience objects (lighting/weather/depth) describe the SCENE,
-        # not the nearest object: a locative chain re-anchors to the
-        # chain's subject ("two cats on a sill IN THE SUN" -> the cats
-        # are in the sun; "a building on a street IN THE BACKGROUND")
+        # ambience/event objects (lighting/weather/depth/occasion)
+        # describe the SCENE, not the nearest object: a locative chain
+        # re-anchors to the chain's subject ("two cats on a sill IN THE
+        # SUN" -> the cats are in the sun; "a trick on his skateboard AT
+        # A COMPETITION" -> the man is there). Ordinary place objects
+        # keep nearest chaining ("a dog on a bed NEXT TO A PILLOW").
         if (
             isinstance(prep, str)
             and prep in PREPOSITIONS
-            and obj_np.head in AMBIENT_NOUNS
+            and (
+                obj_np.head in AMBIENT_NOUNS or obj_np.head in EVENT_NOUNS
+            )
             and last_loc_rel is not None
             and subj is last_loc_rel[1]
         ):
@@ -1004,20 +1072,23 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
             all_verbs = False  # noun reading: "food and DRINKS"
 
         def compound_noun_tail() -> bool:
-            """Gerund-premodifier compound noun ("a CUTTING BOARD", "a
-            DIVING board"): the tail is a bare verb-lexicon word whose
-            NOUN reading wins when everything before it is an -ing
-            premodifier or adjective — never strip it as a trailing verb.
-            A real subject blocks it ("a woman sitting drinks...")."""
-            return (
-                len(words) >= 2
-                and words[-1] in S_NOUN_AFTER_CONJ
-                and words[-2].endswith("ing")
-                and all(
-                    t.endswith("ing") or t in ADJ_COORD
-                    for t in words[:-1]
-                    if content_count([t])
-                )
+            """Compound noun whose tail is a bare verb-lexicon word ("a
+            CUTTING BOARD", "a PORCH SWING", "water SKIS"): the noun
+            reading wins when everything before it is an -ing
+            premodifier/adjective OR an inanimate non-verb premodifier —
+            never strip it as a trailing verb. A plausible agent blocks
+            it ("a woman sitting DRINKS...", "a man SWINGS...")."""
+            if len(words) < 2 or words[-1] not in S_NOUN_AFTER_CONJ:
+                return False
+            pre = [t for t in words[:-1] if content_count([t])]
+            if not pre:
+                return False
+            if words[-2].endswith("ing") and all(
+                t.endswith("ing") or t in ADJ_COORD for t in pre
+            ):
+                return True  # "a cutting board"
+            return all(  # "a porch swing", "a pair of water skis"
+                not _is_verbish(t) and t not in ANIMATE_NOUNS for t in pre
             )
 
         while words and _is_verbish(words[-1]) and (
@@ -1644,9 +1715,30 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                     # toilet is in the bathroom, not the lid (blind-40)
                     rel_subj = agent_subject(last_rel3[0])
                 elif (
+                    last_rel3 is not None
+                    and last_np is last_rel3[2]
+                    and last_rel3[1] == "for"
+                ):
+                    # a for-object is a purpose, not a location: a
+                    # following locative belongs to the for-subject ("a
+                    # passenger waiting FOR A FLIGHT at an airport gate"
+                    # -> the passenger is at the gate) — blind-4 finding
+                    rel_subj = agent_subject(last_rel3[0])
+                elif (
                     w != "of"
                     and last_of_rel is not None
-                    and last_np is last_of_rel[1]
+                    and (
+                        last_np is last_of_rel[1]
+                        # a distributed of-conjunct counts as the of-object
+                        # ("a bowl of oranges apples and BANANAS on a
+                        # counter" -> the bowl is on the counter)
+                        or (
+                            dist_pending
+                            and last_np is dist_pending[-1][3]
+                            and dist_pending[-1][1] == "of"
+                            and dist_pending[-1][0] is last_of_rel[0]
+                        )
+                    )
                     and last_of_rel[0].head in CONTAINER_NOUNS
                 ):
                     # "a PLATE of food ON a table": the container carries

@@ -98,6 +98,28 @@ def test_spice_parser_blind40_round3_bounds():
     assert r["overall"]["f1"] == 1.0
     assert r["easy"]["f1"] == 1.0 and r["medium"]["f1"] == 1.0
     assert r["hard"]["f1"] == 1.0
+
+
+def test_spice_parser_blind40_round4_bounds():
+    """Fourth blind probe (hardest mix yet — 12 hard captions): pre-fix
+    F1 0.9186. Trend across fresh blind batches: 0.9326 / 0.9479 /
+    0.9499 / 0.9186 (not monotonic — this batch deliberately packed
+    attachment probes). Failures fixed (square/trail/display/suitcase
+    lexicon, for-PP purpose objects, 'up the stairs' vs 'holding up',
+    noun-noun compound tails like 'porch swing', bare-plural asyndetic
+    lists, learn-to control, infinitival bare-verb marking, event-noun
+    chain re-anchor, of-conjunct container locatives) and pinned at
+    1.0; four labels aligned to documented conventions."""
+    import os
+
+    path = os.path.join(
+        os.path.dirname(__file__), "data", "spice_parser_blind40_r4.json"
+    )
+    r = spice_parser_eval(path)
+    assert r["overall"]["n"] == 40
+    assert r["overall"]["f1"] == 1.0
+    assert r["easy"]["f1"] == 1.0 and r["medium"]["f1"] == 1.0
+    assert r["hard"]["f1"] == 1.0
     assert r["overall"]["precision"] >= 0.99
     assert r["overall"]["recall"] >= 0.99
 
