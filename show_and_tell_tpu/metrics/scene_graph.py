@@ -335,6 +335,14 @@ EVENT_NOUNS = frozenset(
     concert ceremony carnival rodeo race rally tournament
     competition""".split()
 )
+# rideable vehicles/mounts: as a chained "on"-object they carry the
+# chain's SUBJECT ("a man riding up a hill ON A BIKE" -> the man is on
+# the bike, not the hill)
+RIDEABLE_NOUNS = frozenset(
+    """bike bikes bicycle bicycles motorcycle motorcycles skateboard
+    surfboard snowboard horse horses skis sled scooter skates
+    wheelchair""".split()
+)
 # -ing verbs that need an ANIMATE agent: after an active verb's INANIMATE
 # object they re-anchor to the verb's subject ("a man riding a motorcycle
 # WEARING a black helmet" -> the man wears it; "a teddy bear wearing a
@@ -996,7 +1004,11 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
             isinstance(prep, str)
             and prep in PREPOSITIONS
             and (
-                obj_np.head in AMBIENT_NOUNS or obj_np.head in EVENT_NOUNS
+                obj_np.head in AMBIENT_NOUNS
+                or obj_np.head in EVENT_NOUNS
+                # a rideable "on"-object carries the chain's subject
+                # ("riding up a hill ON A BIKE" -> the man is on it)
+                or (prep == "on" and obj_np.head in RIDEABLE_NOUNS)
             )
             and last_loc_rel is not None
             and subj is last_loc_rel[1]
