@@ -87,7 +87,23 @@ def worst_cases(golden_path: str = GOLDEN, k: int = 10):
 
 
 if __name__ == "__main__":
-    print(json.dumps(evaluate(), indent=2))
+    if "--all" in sys.argv:
+        # the docs/PARITY.md table source: golden + every blind batch
+        data_dir = os.path.join(os.path.dirname(GOLDEN))
+        names = ["spice_parser_golden.json"] + sorted(
+            f for f in os.listdir(data_dir)
+            if f.startswith("spice_parser_blind40")
+        )
+        for name in names:
+            r = evaluate(os.path.join(data_dir, name))
+            print(
+                f"{name:38} n={r['overall']['n']:3d} "
+                f"F1={r['overall']['f1']:.4f} "
+                f"(easy {r['easy']['f1']:.3f} / med {r['medium']['f1']:.3f}"
+                f" / hard {r['hard']['f1']:.3f})"
+            )
+    else:
+        print(json.dumps(evaluate(), indent=2))
     if "--worst" in sys.argv:
         for f, cap, missed, spurious in worst_cases():
             print(f"\nF1={f:.2f}  {cap}\n  missed:   {missed}\n  spurious: {spurious}")
