@@ -90,6 +90,9 @@ _EVENT_ING = frozenset(
 # determiners that can open an item of an asyndetic list ("a stove a sink
 # and a refrigerator" — PTB strips the commas)
 _LIST_DETS = frozenset("a an the".split()) | NUMBERS
+# s-final ATTRIBUTIVE nouns: never the left edge of a bare-plural list
+# juncture ("TENNIS shoes and socks" is a compound plus one list item)
+_S_ATTRIBUTIVE = frozenset("tennis sports news electronics".split())
 # sentinel for the "in front of" collapse: non-alpha so it can NEVER
 # collide with the ordinary noun/adjective uses of "front" ("front seat",
 # "front wheel" — common in captions); emitted in tuples as "front"
@@ -735,11 +738,14 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
             # a plural-to-plural juncture whose lookahead reaches a
             # conjunction is a comma-stripped list too. Noun-noun
             # compounds ("city bus") have a singular first noun, so the
-            # double-plural requirement keeps them intact.
+            # double-plural requirement keeps them intact; s-final
+            # ATTRIBUTIVE nouns ("TENNIS shoes", "SPORTS cars") are
+            # compounds, not list items, and are excluded by lexicon.
             or (
                 w.endswith("s")
                 and _nounish(w)
                 and out[-1].endswith("s")
+                and out[-1] not in _S_ATTRIBUTIVE
             )
         ):
             j = i + 1
