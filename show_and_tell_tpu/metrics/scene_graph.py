@@ -1526,8 +1526,9 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
             continue
         if w in PREPOSITIONS:
             if (
-                # "up" never reaches this branch (it is in SKIP, not
-                # PREPOSITIONS) — listed here would be dead code
+                # "up" before "to" never reaches this branch: the
+                # pre-pass keeps bare "up" only when a determiner/NP
+                # follows, so "reaching UP TO grab" drops it there
                 w in ("down", "over", "around")
                 and nxt == "to"
                 and ti + 2 < len(toks)
