@@ -173,3 +173,50 @@ def test_caption_cli_attention_fail_fast_and_collisions(tmp_path):
     assert len(sheets) == 4  # distinct files despite identical basenames
     for s in sheets:
         assert os.path.getsize(s) > 0
+
+
+def test_score_cli_end_to_end(tmp_path, capsys):
+    """The standalone scoring CLI (the pycocoevalcap no-model workflow):
+    corpus scores on stdout as JSON, per-image scores (SPICE subcategory
+    dicts, NaN -> null) written to --per_image_out, unmatched image ids
+    filtered, and a nonzero exit when nothing matches."""
+    import json
+
+    from show_and_tell_tpu.cli.score import main as score_main
+
+    ann = {
+        "images": [{"id": 1}, {"id": 2}],
+        "annotations": [
+            {"image_id": 1, "id": 1, "caption": "a man riding a horse"},
+            {"image_id": 1, "id": 2, "caption": "a person rides a horse"},
+            {"image_id": 2, "id": 3, "caption": "two dogs playing in a park"},
+            {"image_id": 2, "id": 4, "caption": "dogs play on the grass"},
+        ],
+    }
+    ann_p = tmp_path / "ann.json"
+    ann_p.write_text(json.dumps(ann))
+    res_p = tmp_path / "res.json"
+    res_p.write_text(json.dumps([
+        {"image_id": 1, "caption": "a man riding a horse"},
+        {"image_id": 2, "caption": "two dogs playing in a park"},
+        {"image_id": 99, "caption": "unmatched"},
+    ]))
+    per_p = tmp_path / "per.json"
+    rc = score_main([
+        "--ann_file", str(ann_p), "--res_file", str(res_p),
+        "--per_image_out", str(per_p),
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_scored"] == 2
+    assert out["Bleu_4"] == pytest.approx(1.0)
+    assert 0.0 < out["SPICE"] <= 1.0
+    per = json.loads(per_p.read_text())
+    assert sorted(per) == ["1", "2"]
+    assert set(per["1"]["SPICE"]) >= {"All", "Object", "Size"}
+    assert per["1"]["SPICE"]["Size"]["f"] is None  # NaN -> null
+    # nothing matches -> exit 1
+    res_p.write_text(json.dumps([{"image_id": 7, "caption": "x"}]))
+    assert score_main([
+        "--ann_file", str(ann_p), "--res_file", str(res_p),
+    ]) == 1
