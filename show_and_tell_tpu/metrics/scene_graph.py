@@ -93,6 +93,14 @@ _LIST_DETS = frozenset("a an the".split()) | NUMBERS
 # s-final ATTRIBUTIVE nouns: never the left edge of a bare-plural list
 # juncture ("TENNIS shoes and socks" is a compound plus one list item)
 _S_ATTRIBUTIVE = frozenset("tennis sports news electronics".split())
+# fixtures/appliances that NEVER compound with each other: a bare
+# singular juncture between two different ones is a comma-stripped list
+# ("a bathroom with a TOILET SINK and bathtub" -> toilet, sink, bathtub).
+# General singular junctures stay compounds ("a TRAIN STATION").
+_LIST_NOUNS = frozenset(
+    """toilet sink bathtub shower tub urinal
+    stove oven refrigerator fridge microwave dishwasher freezer""".split()
+)
 # sentinel for the "in front of" collapse: non-alpha so it can NEVER
 # collide with the ordinary noun/adjective uses of "front" ("front seat",
 # "front wheel" — common in captions); emitted in tuples as "front"
@@ -746,6 +754,13 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                 and _nounish(w)
                 and out[-1].endswith("s")
                 and out[-1] not in _S_ATTRIBUTIVE
+            )
+            # singular fixture/appliance junctures never compound
+            # ("a TOILET SINK and bathtub" is a stripped-comma list)
+            or (
+                w in _LIST_NOUNS
+                and out[-1] in _LIST_NOUNS
+                and w != out[-1]
             )
         ):
             j = i + 1

