@@ -306,7 +306,20 @@ VERBS = frozenset(
     see sees appear appears board boards tie ties put puts
     lie lies lay lays turn turns try tries took
     blow blows blew stick sticks lean leans say says said
-    make makes learn learns""".split()
+    make makes learn learns
+    wash washes pour pours fill fills toss tosses stir stirs hug hugs
+    kiss kisses bite bites lift lifts drag drags paint paints
+    draw draws spray sprays pick picks place places drop drops
+    wrap wraps shake shakes peel peels slice slices wave waves
+    juggle juggles squeeze squeezes tow tows brush brushes fix fixes
+    crash crashes splash splashes
+    opens closes cleans dries smells touches steers""".split()
+# NB: finite -s rows above were a systematic audit finding (a man WASHES
+# a ball parsed as an appositive); adjective-dominant bare forms
+# (open/close/clean/dry/smell/touch) are deliberately NOT added — only
+# their unambiguous -s forms are. Noun-ambiguous forms (wave/waves,
+# drops, slices, ...) are paired with S_NOUN_AFTER_CONJ entries so
+# compounds keep the noun reading ("a large WAVE", "rain DROPS").
 )
 # motion preps: their object is a TARGET, not a holder — a following
 # "with" re-anchors to the clause subject ("cutting INTO a cake WITH a
@@ -434,7 +447,11 @@ ADJ_COORD = COLOR_WORDS | POST_ADJS | frozenset(
 # dog", "a man TIES his shoe")
 S_NOUN_AFTER_CONJ = frozenset(
     """drinks pets swings swing skis skates tie ties board boards
-    drink""".split()
+    drink
+    wave waves slice slices drop drops wrap wraps lift lifts
+    peel peels paint paints pick picks place places bite bites
+    shake shakes brush brushes spray sprays kiss kisses wash
+    steers""".split()
 )
 
 # compound prepositions collapsed to one token before chunking
@@ -1096,13 +1113,16 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
             rel_subj = None
         elif pending_rel is not None:
             all_verbs = False
-        if (
-            all_verbs
-            and entry_conj
-            and len(words) == 1
-            and words[0] in S_NOUN_AFTER_CONJ
+        if all_verbs and words and (
+            # a determiner opens a real NP — the segment cannot be a pure
+            # verb run ("A SLICE of pizza", "THE WAVES crash on the
+            # shore"); copula tails and verb chains are always det-less
+            any(t in DETERMINERS and t not in NUMBERS for t in words)
+            # noun reading for a det-less ambiguous word after a
+            # conjunction: "food and DRINKS"
+            or (entry_conj and words[-1] in S_NOUN_AFTER_CONJ)
         ):
-            all_verbs = False  # noun reading: "food and DRINKS"
+            all_verbs = False
 
         def compound_noun_tail() -> bool:
             """Compound noun whose tail is a bare verb-lexicon word ("a
