@@ -700,3 +700,18 @@ def test_scene_graph_template_structural_sweep():
                 assert any(
                     len(t) == 3 and t[1] == lemma for t in ts
                 ), (c, sorted(ts))
+
+
+def test_scene_graph_verb_lexicon_transitive_frame():
+    """Every verb-lexicon surface form must produce its verb relation in
+    a finite transitive frame — the audit that found ~35 missing -s forms
+    ('a man WASHES a ball' parsed as an appositive, round-3 session 7).
+    Noun-ambiguous forms are protected elsewhere (compound/determiner
+    guards), so this pins only the verb reading."""
+    from show_and_tell_tpu.metrics.scene_graph import VERBS, parse
+
+    for v in sorted(VERBS):
+        ts = parse(f"a man {v} a ball in a park")
+        assert any(len(t) == 3 and t[2] == "ball" for t in ts), (
+            v, sorted(ts),
+        )
