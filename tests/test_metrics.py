@@ -715,3 +715,22 @@ def test_scene_graph_verb_lexicon_transitive_frame():
         assert any(len(t) == 3 and t[2] == "ball" for t in ts), (
             v, sorted(ts),
         )
+
+
+def test_scene_graph_participle_passive_frame():
+    """Every irregular participle must invert its by-passive ("a ball
+    THROWN by a man" -> (man, throw, ball)) — the companion audit to the
+    verb transitive frame (finite have-forms excluded: they are not
+    passive participles)."""
+    from show_and_tell_tpu.metrics.scene_graph import (
+        PARTICIPLE_BASE,
+        _norm,
+        parse,
+    )
+
+    for p, base in sorted(PARTICIPLE_BASE.items()):
+        if p in ("has", "had"):
+            continue
+        ts = parse(f"a ball {p} by a man")
+        want = _norm(base)
+        assert any(len(t) == 3 and t[1] == want for t in ts), (p, sorted(ts))
