@@ -453,6 +453,17 @@ S_NOUN_AFTER_CONJ = frozenset(
     shake shakes brush brushes spray sprays kiss kisses wash
     steers""".split()
 )
+# bare sport verbs that act as COMPOUND PREMODIFIERS of a verbish tail
+# ("a SKI lift", "a SKI jump", "a SURF board"): without this the tail is
+# stripped as a trailing verb because the premodifier itself is verbish,
+# inverting the compound head ((ski, lift) instead of (lift, ski)).
+# Deliberately NOT in S_NOUN_AFTER_CONJ — that set's after-conjunction
+# noun reading would break verb chains ("people ski and SURF").
+_SPORT_PREMODS = frozenset("ski skate surf".split())
+# extra verbish tails valid ONLY under a sport premodifier ("a ski JUMP");
+# unlisted elsewhere because plural subjects outside ANIMATE_NOUNS
+# ("skiers JUMP off a ramp") must keep the verb reading.
+_SPORT_TAILS = frozenset("jump jumps run runs".split())
 
 # compound prepositions collapsed to one token before chunking
 _COMPOUND_PREPS = (
@@ -1131,10 +1142,16 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
             premodifier/adjective OR an inanimate non-verb premodifier —
             never strip it as a trailing verb. A plausible agent blocks
             it ("a woman sitting DRINKS...", "a man SWINGS...")."""
-            if len(words) < 2 or words[-1] not in S_NOUN_AFTER_CONJ:
+            if len(words) < 2:
                 return False
             pre = [t for t in words[:-1] if content_count([t])]
             if not pre:
+                return False
+            if all(t in _SPORT_PREMODS for t in pre) and (
+                words[-1] in S_NOUN_AFTER_CONJ or words[-1] in _SPORT_TAILS
+            ):
+                return True  # "a ski lift", "a ski jump", "a surf board"
+            if words[-1] not in S_NOUN_AFTER_CONJ:
                 return False
             if words[-2].endswith("ing") and all(
                 t.endswith("ing") or t in ADJ_COORD for t in pre
