@@ -24,10 +24,11 @@ def test_spice_parser_golden_bounds():
     # then control infinitives + directional particles + compound
     # participle NPs + reciprocal idioms + irregular participles;
     # session 6 added modal passives, raising verbs, noun-'can' guards
-    # and irregular plural lemmas)
-    assert r["overall"]["n"] == 330
-    assert r["overall"]["gold"] == 1493
-    assert r["easy"]["n"] == 54 and r["medium"]["n"] == 166 and r["hard"]["n"] == 110
+    # and irregular plural lemmas; session 8 the verb-lexicon audit and
+    # sport-verb compound premodifiers)
+    assert r["overall"]["n"] == 338
+    assert r["overall"]["gold"] == 1529
+    assert r["easy"]["n"] == 55 and r["medium"]["n"] == 172 and r["hard"]["n"] == 111
     # measured 2026-08-17 (round 3, session 3, post-residual-fixes):
     # easy 1.0 / medium 1.0 / hard 1.0, overall P/R/F1 1.0 — every
     # documented residual class now parses. Floors sit just under the
