@@ -250,7 +250,7 @@ def _norm(word: str) -> str:
 
 
 class _NP:
-    __slots__ = ("head", "attrs", "poss")
+    __slots__ = ("head", "attrs", "poss", "det")
 
     def __init__(self, head: str, attrs: List[str]):
         self.head = head
@@ -260,6 +260,12 @@ class _NP:
         # re-anchors ("a toilet with ITS LID up in a bathroom" — the
         # toilet is in the bathroom, not the lid). Set by close_np.
         self.poss = False
+        # opened by ANY determiner ("a knife", "his umbrella", "two
+        # forks"): bare plurals/mass nouns (det=False) read as
+        # furnishings of the nearest noun, determined NPs can be carried
+        # instruments — same split the prep-site carried-object rule
+        # makes on its lookahead token. Set by _flush_np.
+        self.det = False
 
 
 def _flush_np(words: List[str]) -> _NP | None:
@@ -275,7 +281,9 @@ def _flush_np(words: List[str]) -> _NP | None:
         post.append(content.pop())
     head = content[-1]
     attrs = content[:-1] + post
-    return _NP(head, attrs)
+    np_ = _NP(head, attrs)
+    np_.det = bool(words) and words[0] in DETERMINERS
+    return np_
 
 
 ING_NOUNS = frozenset(
@@ -365,8 +373,40 @@ EVENT_NOUNS = frozenset(
 RIDEABLE_NOUNS = frozenset(
     """bike bikes bicycle bicycles motorcycle motorcycles skateboard
     surfboard snowboard horse horses skis sled scooter skates
-    wheelchair""".split()
+    wheelchair lift""".split()
+)  # lift: "riding up the mountain ON A SKI LIFT" carries the rider
+# hand tools/implements: a determined with-object after an animate
+# agent's inanimate verb object is an INSTRUMENT of the agent ("cutting
+# a birthday cake WITH A PLASTIC KNIFE" -> the woman has the knife),
+# matching the pinned cutting-into convention; non-tool with-objects
+# keep nearest attachment ("a mirror reflecting a bed WITH A STRIPED
+# COMFORTER" -> the bed has it) — blind-6 finding
+TOOL_NOUNS = frozenset(
+    """knife knives fork forks spoon spoons scissors tongs spatula whisk
+    ladle chopsticks bat bats racket racquet club clubs paddle paddles
+    brush brushes comb pen pencil marker crayon hammer saw drill shovel
+    rake hose sponge camera phone""".split()
 )
+# body-part nouns: a POSSESSED body part as a verb's object passes a
+# following locative to its owner ("brushing HIS TEETH in front of a
+# mirror" -> the boy is at the mirror — the teeth go where the boy
+# goes), unless the locative's own object is also a body part ("wearing
+# a hat on her head" keeps nearest attachment). Distinct from NON_AGENT:
+# that set mixes clothing/equipment whose locatives stay local ("a hat
+# ON HER HEAD"). — blind-6 finding
+BODY_PART_NOUNS = frozenset(
+    """head face hand hands arm arms leg legs foot feet mouth nose ear
+    ears eye eyes teeth tooth tail paw paws neck shoulder shoulders
+    finger fingers thumb knee knees lap wrist ankle elbow chest belly
+    stomach hair fur mane whiskers tongue beak wing wings hoof hooves
+    back""".split()
+)
+# aggregate/configuration heads whose "of"-object is the real located
+# thing: "dancing under a STRING OF LIGHTS" situates the couple under
+# the lights — the locative passes through to the of-object while the
+# (string, of, lights) partitive still holds. Deliberately narrow: rows/
+# lines/piles are plausible located entities themselves. — blind-6
+AGGREGATE_OF_NOUNS = frozenset("string strings strand strands".split())
 # -ing verbs that need an ANIMATE agent: after an active verb's INANIMATE
 # object they re-anchor to the verb's subject ("a man riding a motorcycle
 # WEARING a black helmet" -> the man wears it; "a teddy bear wearing a
@@ -428,7 +468,10 @@ ANIMATE_NOUNS = frozenset(
     rider surfer skier skater chef cook officer worker crowd family
     dog dogs cat cats horse horses elephant elephants giraffe giraffes
     zebra zebras bear bears bird birds cow cows sheep monkey monkeys
-    animal animals""".split()
+    animal animals
+    pigeon pigeons duck ducks seagull seagulls gull gulls swan swans
+    chicken chickens kitten kittens puppy puppies goat goats pig pigs
+    lamb lambs deer squirrel squirrels rabbit rabbits""".split()
 )
 # adjectives that legitimately coordinate INSIDE an NP ("black AND white
 # cat", "a big and small dog"): closed lexicon — a non-adjective before
@@ -546,8 +589,12 @@ _UP_MOTION_VERBS = frozenset(
     """walk walks walking walked climb climbs climbing climbed
     go goes going went run runs running ran ride rides riding rode
     drive drives driving drove move moves moving moved
-    hike hikes hiking hiked march marches marching marched""".split()
+    hike hikes hiking hiked march marches marching marched
+    pulled towed""".split()
 )
+# pulled/towed: PASSIVE motion keeps its path ("a skier being PULLED UP
+# the mountain"); the active forms stay particles ("PULLING UP his
+# pants", "a boat pulling up to a dock") — blind-6 finding
 
 # irregular past participles (no -ing/-ed surface marker) -> base verb, so
 # "a horse ridden by a man" aligns with "a man riding a horse" after the
@@ -966,6 +1013,13 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                 and last_rel3_slot == "obj"
             ):
                 return last_rel3[0]
+            if last_verb_rel3 is not None and np_ is last_verb_rel3[2]:
+                # the verb relation that introduced this wearable was
+                # superseded by a later non-verb relation ("wearing a
+                # BACKPACK filled with books WALKING through a library"
+                # — last_rel3 is now the with-locative, but the wearer
+                # still walks) — blind-6 finding
+                return last_verb_rel3[0]
         return np_
 
     def gerund_agent(np_: "_NP", verb: str) -> "_NP":
@@ -980,6 +1034,13 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
         MAN sleeping" -> the man sleeps; "a train station with PEOPLE
         waiting" -> the people wait) — the accompaniment object is the
         nearest plausible agent, matching dependency-parse attachment."""
+        if verb in _STATIVE_COVER:
+            # stative coverings describe their OWN NP and never hop past a
+            # NON_AGENT head to the clause agent: "a man wearing a backpack
+            # FILLED with books" -> the backpack is filled (the agent hop
+            # below exists for active verbs: "a child wearing a helmet
+            # RIDES a bicycle") — blind-6 finding
+            return np_
         if (
             last_loc_rel is not None
             and np_ is last_loc_rel[1]
@@ -1041,6 +1102,52 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
             and subj is last_rel3[2]
             and last_rel3_slot == "obj"
             and _is_verbish(last_rel3[1])
+            # NOTE an animate verb object stays on the agent-attachment
+            # path too ("feeding pigeons IN A CITY PARK" -> the man is
+            # in the park): VP-adjunct locatives situate the clause
+            # SUBJECT under dependency-parse attachment, the convention
+            # golden + blind-4 pin ("walks her dog in the park",
+            # "feeding pigeons in a city square"). Blind-6's original
+            # pigeons-in-park label contradicted those two pins and was
+            # aligned to them (see the corpus _comment).
+        ):
+            return last_rel3[0]
+        # a POSSESSED body part goes where its owner goes: a locative
+        # after the verb's body-part object re-anchors to the agent
+        # ("brushing HIS TEETH in front of a mirror" -> the boy is at
+        # the mirror). Body-part locative OBJECTS keep nearest
+        # attachment ("wearing a hat ON HER HEAD"). — blind-6 finding
+        if (
+            isinstance(prep, str)
+            and prep in PREPOSITIONS
+            and prep != "of"
+            and subj.head in BODY_PART_NOUNS
+            and subj.poss
+            and obj_np.head not in BODY_PART_NOUNS
+            and last_rel3 is not None
+            and subj is last_rel3[2]
+            and last_rel3_slot == "obj"
+            and _is_verbish(last_rel3[1])
+        ):
+            return last_rel3[0]
+        # determined hand-tool "with"-object after an animate agent's
+        # inanimate verb object: an INSTRUMENT of the agent ("cutting a
+        # birthday cake WITH A PLASTIC KNIFE" -> the woman holds the
+        # knife), matching the pinned cutting-into convention; bare-
+        # plural tools stay furnishings ("setting a table with FORKS")
+        # and non-tool objects keep nearest attachment ("a bed WITH A
+        # STRIPED COMFORTER"). — blind-6 finding
+        if (
+            prep == "with"
+            and obj_np.head in TOOL_NOUNS
+            and obj_np.det
+            and last_rel3 is not None
+            and subj is last_rel3[2]
+            and last_rel3_slot == "obj"
+            and isinstance(last_rel3[1], str)
+            and _is_verbish(last_rel3[1])
+            and subj.head not in ANIMATE_NOUNS
+            and last_rel3[0].head in ANIMATE_NOUNS
         ):
             return last_rel3[0]
         # ambience/event objects (lighting/weather/depth/occasion)
@@ -1062,7 +1169,14 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
             and last_loc_rel is not None
             and subj is last_loc_rel[1]
         ):
-            return last_loc_rel[0]
+            cand = last_loc_rel[0]
+            if last_verb_rel3 is not None and cand is last_verb_rel3[2]:
+                # the chain's subject is itself a verb's THEME: the
+                # scene situates the verb's AGENT ("a pitcher throwing
+                # a ball to a batter DURING A BASEBALL GAME" -> the
+                # pitcher is at the game, not the ball) — blind-6
+                return last_verb_rel3[0]
+            return cand
         return subj
 
     def cancel_dist(np_: "_NP") -> None:
@@ -1408,6 +1522,30 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                 if pending_rel == "of":
                     last_of_owner = capture_of_owner()
                     last_of_rel = (p_subj, np_)
+                    if (
+                        rel_subj.head in AGGREGATE_OF_NOUNS
+                        and last_loc_rel is not None
+                        and rel_subj is last_loc_rel[1]
+                        and last_loc_rel[0] is not rel_subj
+                    ):
+                        # aggregate head: the locative that targeted the
+                        # aggregate passes through to its of-object
+                        # ("dancing UNDER a STRING of LIGHTS" -> the
+                        # couple is under the lights); the partitive
+                        # (string, of, lights) above still holds
+                        loc_subj = last_loc_rel[0]
+                        old = (
+                            _norm(loc_subj.head),
+                            _norm(last_loc_prep),
+                            _norm(rel_subj.head),
+                        )
+                        tuples.discard(old)
+                        for p in coord_partner.get(id(loc_subj), []):
+                            tuples.discard((_norm(p.head),) + old[1:])
+                        add_subj_tuple(
+                            loc_subj, _norm(last_loc_prep), _norm(np_.head)
+                        )
+                        last_loc_rel = (loc_subj, np_)
                 last_rel3 = (p_subj, pending_rel, np_)
                 if _is_verbish(pending_rel):
                     last_verb_rel3 = last_rel3

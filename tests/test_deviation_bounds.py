@@ -144,6 +144,26 @@ def test_spice_parser_blind40_round5_bounds():
     assert r["overall"]["recall"] >= 0.99
 
 
+def test_spice_parser_blind40_round6_bounds():
+    """Sixth blind probe, hard-leaning mix (20 hard captions) re-probing
+    the hard tier after batch #5's natural-mix close: pre-fix F1 0.9634
+    with hard at 0.944 — up from the 0.81-0.89 hard range of batches
+    #1-#5, i.e. the accumulated conventions generalize on constructions
+    that used to fail blind. One label aligned post-measurement (the
+    pigeons-in-park locative contradicted two older pins; see the JSON
+    _comment); the pre-fix figure stands against the original labels."""
+    import os
+
+    path = os.path.join(
+        os.path.dirname(__file__), "data", "spice_parser_blind40_r6.json"
+    )
+    r = spice_parser_eval(path)
+    assert r["overall"]["n"] == 40
+    assert r["overall"]["f1"] == 1.0
+    assert r["easy"]["f1"] == 1.0 and r["medium"]["f1"] == 1.0
+    assert r["hard"]["f1"] == 1.0
+
+
 def test_meteor_ablation_pinned():
     # deterministic corpus + deterministic scorer -> exact pins (4 dp)
     r = meteor_ablation(n=500)
