@@ -710,6 +710,56 @@ def _is_participle(w: str) -> bool:
     return w in PARTICIPLE_BASE or _ed_verb(w)
 
 
+def _content_word(t: str) -> bool:
+    return (t not in DETERMINERS or t in NUMBERS) and t not in SKIP
+
+
+def _licensed_participle(t: str) -> bool:
+    return t in STRICT_PARTICIPLES or (
+        _is_participle(t) and t not in FINITE_NOT_PARTICIPLE
+    )
+
+
+def _object_compound_tail(words: Sequence[str], k: int) -> bool:
+    """words[k] is a compound participle INSIDE an object NP: a number/
+    premodifier run separates it from an earlier verb, and a bare head
+    follows ("a man HOLDING two PARKED cars" — parked modifies cars;
+    holding is the clause verb). Caller guarantees the right side of k is
+    verb-free — blind-7 audit."""
+    if not _licensed_participle(words[k]):
+        return False
+    j, seen_premod = k - 1, False
+    while j >= 0 and (
+        not _content_word(words[j])
+        or words[j] in NUMBERS
+        or words[j] in ADJ_COORD
+        or words[j] in COMPOUND_PREMODIFIERS
+    ):
+        if _content_word(words[j]):
+            seen_premod = True
+        j -= 1
+    return seen_premod and j >= 0 and _is_verbish(words[j])
+
+
+def _compound_right_side(words: Sequence[str], k: int) -> bool:
+    """The right side of a split at k is a single NP even though it
+    contains verbish tokens: every one is a licensed participle preceded
+    only by number/premodifier content, with a bare head after the last
+    ("holding TWO PARKED CARS"). Caller guarantees at least one verbish
+    token on the right — blind-7 audit."""
+    right = words[k + 1 :]
+    vpos = [m for m, t in enumerate(right) if _is_verbish(t)]
+    if not all(_licensed_participle(right[m]) for m in vpos):
+        return False
+    lead = [t for t in right[: vpos[0]] if _content_word(t)]
+    if not lead or not all(
+        t in NUMBERS or t in ADJ_COORD or t in COMPOUND_PREMODIFIERS
+        for t in lead
+    ):
+        return False
+    return any(_content_word(t) for t in right[vpos[-1] + 1 :])
+
+
 def _as_finite_clause(toks: Sequence[str], ti: int) -> bool:
     """'as' introducing a finite clause ("a crowd watches AS a man rides a
     bull"): a determiner follows and a verb appears before any prep/
@@ -1358,60 +1408,26 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
         # per the golden-set error catalogue.) The object side must be
         # verb-free so gerund chains ("sitting eating") pick the LAST verb
         # as the relation and keep earlier ones as subject attributes.
-        def _licensed_participle(t: str) -> bool:
-            return t in STRICT_PARTICIPLES or (
-                _is_participle(t) and t not in FINITE_NOT_PARTICIPLE
-            )
-
-        def _object_compound_tail(k: int) -> bool:
-            """words[k] is a compound participle INSIDE an object NP: a
-            number/premodifier run separates it from an earlier verb, and
-            a bare head follows ("a man HOLDING two PARKED cars" — parked
-            modifies cars; holding is the clause verb) — blind-7 audit"""
-            if not _licensed_participle(words[k]):
-                return False
-            if not all(not _is_verbish(t) for t in words[k + 1 :]):
-                return False
-            j, seen_premod = k - 1, False
-            while j >= 0 and (
-                not content_count([words[j]])
-                or words[j] in NUMBERS
-                or words[j] in ADJ_COORD
-                or words[j] in COMPOUND_PREMODIFIERS
-            ):
-                if content_count([words[j]]):
-                    seen_premod = True
-                j -= 1
-            return seen_premod and j >= 0 and _is_verbish(words[j])
-
-        def _compound_right_side(k: int) -> bool:
-            """The right side of a split at k is a single NP even though it
-            contains verbish tokens: every one is a licensed participle
-            preceded only by number/premodifier content, with a bare head
-            after the last ("holding TWO PARKED CARS")."""
-            right = words[k + 1 :]
-            vpos = [m for m, t in enumerate(right) if _is_verbish(t)]
-            if not vpos:
-                return True
-            if not all(_licensed_participle(right[m]) for m in vpos):
-                return False
-            lead = [t for t in right[: vpos[0]] if content_count([t])]
-            if not lead or not all(
-                t in NUMBERS or t in ADJ_COORD or t in COMPOUND_PREMODIFIERS
-                for t in lead
-            ):
-                return False
-            return any(content_count([t]) for t in right[vpos[-1] + 1 :])
-
         split_k = -1
         for k in range(len(words) - 1, -1, -1):
-            if (
+            if not (
                 _is_verbish(words[k])
                 and content_count(words[:k]) >= 1
                 and content_count(words[k + 1 :]) >= 1
-                and not _object_compound_tail(k)
-                and _compound_right_side(k)
             ):
+                continue
+            if all(not _is_verbish(t) for t in words[k + 1 :]):
+                # clean right side — but skip a compound participle
+                # INSIDE an object NP ("a man HOLDING two PARKED cars":
+                # parked modifies cars, holding is the clause verb), so
+                # the search falls through to the true verb — blind-7
+                if _object_compound_tail(words, k):
+                    continue
+                split_k = k
+                break
+            if _compound_right_side(words, k):
+                # the verbish right side is itself one compound NP
+                # ("holding TWO PARKED CARS") — blind-7 audit
                 split_k = k
                 break
         if split_k >= 0:
