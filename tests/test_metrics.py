@@ -743,6 +743,26 @@ def test_scene_graph_number_initial_participle_nps():
     assert ("man", "hold", "car") in ts, sorted(ts)
 
 
+def test_scene_graph_animate_lexicon_frames():
+    """Every ANIMATE_NOUNS member must (a) carry an accompaniment
+    with-object past a locative ("a <w> running on the beach WITH A
+    BALL" -> the animate subject has the ball) and (b) keep an agent-
+    requiring gerund as a verb object ("chasing a <w> WEARING a collar"
+    -> the animate object wears it) — the companion audit to the verb
+    lexicon frames, since a dozen attachment rules key on this set."""
+    from show_and_tell_tpu.metrics.scene_graph import (
+        ANIMATE_NOUNS,
+        _norm,
+        parse,
+    )
+
+    for w in sorted(ANIMATE_NOUNS):
+        ts = parse(f"a {w} running on the beach with a ball")
+        assert (_norm(w), "with", "ball") in ts, (w, sorted(ts))
+        ts = parse(f"a man chasing a {w} wearing a collar")
+        assert (_norm(w), "wear", "collar") in ts, (w, sorted(ts))
+
+
 def test_scene_graph_verb_lexicon_transitive_frame():
     """Every verb-lexicon surface form must produce its verb relation in
     a finite transitive frame — the audit that found ~35 missing -s forms
