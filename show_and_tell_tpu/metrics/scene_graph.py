@@ -125,8 +125,9 @@ CONJUNCTIONS = frozenset("and or but".split())
 SKIP = frozenset(
     """there it he she they i you we who which that as when where
     very really quite just also not n't about than together nearby
-    himself herself itself themselves""".split()
-)
+    himself herself itself themselves overhead indoors outdoors""".split()
+)  # overhead/indoors/outdoors: bare adverbs, no scene tuple ("seagulls
+# flying OVERHEAD") — blind-8 finding
 # "while"/"whilst" open a subordinate VP whose subject is the CLAUSE
 # subject ("holding an umbrella WHILE STANDING in the rain" -> the woman
 # stands): handled as a clause boundary in the token loop, not skipped
@@ -439,6 +440,14 @@ _THEME_NORMED = frozenset(porter_stem(w) for w in _THEME_MOTION)
 # shadow ON THE GRASS", "shining a light ON THE WALL") — blind-7
 _PROJECTED_NOUNS = frozenset(
     "shadow shadows light reflection reflections glow beam beams".split()
+)
+# depiction heads: their of-content keeps its own VERBS ("a statue of a
+# man RIDING a horse" — the man rides) but the PHYSICAL object holds the
+# scene locative ("a statue ... IN A CITY SQUARE") — blind-8 finding.
+# Deliberately not CONTAINER_NOUNS: containers re-anchor gerunds too.
+_DEPICTION_NOUNS = frozenset(
+    """statue statues sculpture sculptures figurine figurines carving
+    carvings mural murals""".split()
 )
 # enclosure participles: the by-object IS the surrounder even when it is
 # a place/structure noun ("a field SURROUNDED BY a wooden fence" inverts
@@ -1231,7 +1240,19 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
             # pigeons-in-park label contradicted those two pins and was
             # aligned to them (see the corpus _comment).
         ):
-            return last_rel3[0]
+            cand = last_rel3[0]
+            if (
+                last_of_rel is not None
+                and cand is last_of_rel[1]
+                and last_of_rel[0].head in _DEPICTION_NOUNS
+            ):
+                # the clause subject is the DEPICTED content of a
+                # statue/sculpture: the physical object holds the
+                # locative ("a STATUE of a man riding a horse IN A CITY
+                # SQUARE" -> the statue is in the square; the man still
+                # rides the horse) — blind-8 finding
+                return last_of_rel[0]
+            return cand
         # a POSSESSED body part goes where its owner goes: a locative
         # after the verb's body-part object re-anchors to the agent
         # ("brushing HIS TEETH in front of a mirror" -> the boy is at
@@ -2097,6 +2118,12 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                     and last_np is last_rel3[2]
                     and last_rel3[1] == "with"
                     and last_np.poss
+                    # a possessed BODY PART keeps its own locative — the
+                    # absolute construction describes the part's
+                    # configuration ("a cat with ITS PAWS in the air" ->
+                    # the paws are in the air; "with HIS HANDS in his
+                    # pockets") — blind-8 finding
+                    and last_np.head not in BODY_PART_NOUNS
                 ):
                     # possessive-part with-object ("a toilet WITH ITS LID
                     # up IN a small bathroom"): the part belongs to the

@@ -185,6 +185,28 @@ def test_spice_parser_blind40_round7_bounds():
     assert r["hard"]["f1"] == 1.0
 
 
+def test_spice_parser_blind40_round8_bounds():
+    """Eighth blind probe, NATURAL COCO-like mix re-verifying the
+    natural-distribution claim AFTER the hard batches #6-#7 grew the rule
+    set: pre-fix F1 0.9859 with easy AND medium tiers at 1.000 blind
+    (batch #5's natural mix measured 0.9904) — the rule growth did not
+    regress the common case. The three hard-tier residuals fixed:
+    depiction heads hold scene locatives, possessed body parts keep
+    their own (absolutes), 'overhead' is an adverb."""
+    import os
+
+    path = os.path.join(
+        os.path.dirname(__file__), "data", "spice_parser_blind40_r8.json"
+    )
+    r = spice_parser_eval(path)
+    assert r["overall"]["n"] == 40
+    assert r["overall"]["f1"] == 1.0
+    assert r["easy"]["f1"] == 1.0 and r["medium"]["f1"] == 1.0
+    assert r["hard"]["f1"] == 1.0
+    assert r["overall"]["precision"] >= 0.99
+    assert r["overall"]["recall"] >= 0.99
+
+
 def test_meteor_ablation_pinned():
     # deterministic corpus + deterministic scorer -> exact pins (4 dp)
     r = meteor_ablation(n=500)
