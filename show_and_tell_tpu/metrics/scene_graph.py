@@ -125,9 +125,11 @@ CONJUNCTIONS = frozenset("and or but".split())
 SKIP = frozenset(
     """there it he she they i you we who which that as when where
     very really quite just also not n't about than together nearby
-    himself herself itself themselves overhead indoors outdoors""".split()
-)  # overhead/indoors/outdoors: bare adverbs, no scene tuple ("seagulls
-# flying OVERHEAD") — blind-8 finding
+    himself herself itself themselves indoors outdoors""".split()
+)  # indoors/outdoors: bare adverbs, no scene tuple — blind-8 finding.
+# "overhead" is handled positionally in the pre-pass: adverb when bare
+# ("seagulls flying OVERHEAD"), attribute before a noun ("the OVERHEAD
+# compartment") — review fix
 # "while"/"whilst" open a subordinate VP whose subject is the CLAUSE
 # subject ("holding an umbrella WHILE STANDING in the rain" -> the woman
 # stands): handled as a clause boundary in the token loop, not skipped
@@ -771,16 +773,18 @@ def _compound_right_side(words: Sequence[str], k: int) -> bool:
 
 def _as_finite_clause(toks: Sequence[str], ti: int) -> bool:
     """'as' introducing a finite clause ("a crowd watches AS a man rides a
-    bull"): a determiner follows and a verb appears before any prep/
-    conjunction/copula. Otherwise 'as' is role/manner syntax ("dressed AS
-    a doctor", "disguised as a banana ON a table") and stays skipped."""
+    bull"): a determiner follows and a FINITE verb appears before any
+    prep/conjunction/copula. Gerunds and participles do NOT count — "a
+    man dressed as a clown JUGGLING balls" is role syntax plus a reduced
+    relative, not a clause, so 'as' stays skipped there (review fix: the
+    first cut accepted any verbish token and dropped the role relation)."""
     if ti + 1 >= len(toks) or toks[ti + 1] not in DETERMINERS:
         return False
     for t in toks[ti + 2 : ti + 7]:
         if t in PREPOSITIONS or t in CONJUNCTIONS or t in COPULAS:
             return False
         if _is_verbish(t):
-            return True
+            return not t.endswith("ing") and not _is_participle(t)
     return False
 
 
@@ -913,6 +917,12 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
         if w in ("each", "both") and nxt is not None and _is_verbish(nxt):
             i += 1
             continue
+        # "overhead" is an adverb when bare ("seagulls flying OVERHEAD")
+        # but an attribute before a noun ("the OVERHEAD compartment") —
+        # blind-8 finding + review fix
+        if w == "overhead" and not (nxt is not None and _nounish(nxt)):
+            i += 1
+            continue
         # anaphoric prep phrases restate structure already in the graph
         # ("a bathroom with a toilet and a sink IN IT" — the sink is in
         # the bathroom): drop prep+pronoun so the dangling prep cannot
@@ -1022,6 +1032,12 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
     # NP -> coordinated-partner NPs: "DOGS AND CATS sitting on a couch" —
     # relations/verb attributes whose subject is `cats` mirror onto `dogs`
     coord_partner: Dict[int, List["_NP"]] = {}
+    # possessed with-object -> its owner ("a woman WITH HER HAIR in a
+    # ponytail ..."): later verbs/locatives that land on the part via the
+    # chain walk hop back to the owner even after last_rel3 has moved on
+    # (review fix: the blind-8 body-part guard had left clause
+    # subjecthood on the part)
+    poss_owner: Dict[int, "_NP"] = {}
     # the NP closed at the last conjunction with no relation of its own —
     # the candidate left-hand side of a subject coordination
     conj_prev: "_NP" | None = None
@@ -1047,6 +1063,34 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
         ):
             return last_rel3
         return None
+
+    def aggregate_of_passthrough(head_np: "_NP", content_np: "_NP") -> None:
+        """Aggregate head (string/strand): the locative that targeted the
+        aggregate passes through to its of-object ("dancing UNDER a STRING
+        of LIGHTS" -> the couple is under the lights); the partitive
+        (string, of, lights) still holds. Called from EVERY of-completion
+        site so the rewrite doesn't depend on what follows the phrase
+        (review fix). Deliberately does NOT re-point last_loc_rel: a
+        trailing gerund belongs to the of-content ("a string of lights
+        HANGING from a tree" — the lights hang), not to the locative
+        chain's subject (review fix)."""
+        if not (
+            head_np.head in AGGREGATE_OF_NOUNS
+            and last_loc_rel is not None
+            and head_np is last_loc_rel[1]
+            and last_loc_rel[0] is not head_np
+        ):
+            return
+        loc_subj = last_loc_rel[0]
+        old = (
+            _norm(loc_subj.head),
+            _norm(last_loc_prep),
+            _norm(head_np.head),
+        )
+        tuples.discard(old)
+        for p in coord_partner.get(id(loc_subj), []):
+            tuples.discard((_norm(p.head),) + old[1:])
+        add_subj_tuple(loc_subj, _norm(last_loc_prep), _norm(content_np.head))
     # APPOSITIVE pair: the NP that closed immediately before the currently
     # open determiner-NP with NO connective between them ("a man , a
     # tourist , taking a photo" arrives determiner-to-determiner once
@@ -1120,7 +1164,9 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
         possessor/wearer: 'a man with a BEARD holding a phone' -> man
         holds; 'a child wearing a HELMET rides a bicycle' -> the child
         rides (the helmet is the object of the last active relation)."""
-        if np_.head in NON_AGENT:
+        if np_.head in NON_AGENT or (
+            np_.head in BODY_PART_NOUNS and np_.poss
+        ):
             if last_loc_rel is not None and np_ is last_loc_rel[1]:
                 return last_loc_rel[0]
             if (
@@ -1136,7 +1182,36 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                 # — last_rel3 is now the with-locative, but the wearer
                 # still walks) — blind-6 finding
                 return last_verb_rel3[0]
+            owner = poss_owner.get(id(np_))
+            if owner is not None:
+                # possessed with-part whose relation has been superseded
+                # ("a woman with HER HAIR in a ponytail COOKING in a
+                # kitchen" — the woman cooks, even though last_rel3 is
+                # now the hair's ponytail locative) — review fix
+                return owner
         return np_
+
+    def stative_with_reanchor(np_: "_NP", v: str) -> "_NP | None":
+        """A participle after a stative-cover's WITH-object describes the
+        COVERED subject ("a pizza topped with mushrooms CUT into eight
+        slices" -> the pizza is cut), consistent with the covering
+        locative re-anchor that routes the following into-PP to the same
+        subject — blind-7 finding. Returns the covered subject, or None
+        when the rule doesn't apply (shared by close_np's trailing-verb
+        loop and attach_lone_segment)."""
+        if (
+            not v.endswith("ing")
+            and _is_participle(v)
+            and last_rel3 is not None
+            and np_ is last_rel3[2]
+            and last_rel3[1] == "with"
+            and any(
+                (_norm(last_rel3[0].head), sp) in tuples
+                for sp in _STATIVE_NORMED
+            )
+        ):
+            return last_rel3[0]
+        return None
 
     def gerund_agent(np_: "_NP", verb: str) -> "_NP":
         """Verbs act on the locative-relation SUBJECT when their nearest
@@ -1328,13 +1403,7 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
         dist_pending[:] = [d for d in dist_pending if d[3] is not np_]
 
     def content_count(ws: List[str]) -> int:
-        return len(
-            [
-                t
-                for t in ws
-                if (t not in DETERMINERS or t in NUMBERS) and t not in SKIP
-            ]
-        )
+        return sum(1 for t in ws if _content_word(t))
 
     def close_np(defer_verbs: bool = False) -> List[str]:
         """Resolve cur: strip trailing gerunds (attributes of the NP head),
@@ -1468,8 +1537,7 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
         if split_k >= 0 and (
             words[split_k] in STRICT_PARTICIPLES
             or (
-                _is_participle(words[split_k])
-                and words[split_k] not in FINITE_NOT_PARTICIPLE
+                _licensed_participle(words[split_k])
                 and all(
                     # an adjective can never be a clause SUBJECT, so it
                     # licenses the compound too ("an OLD fashioned clock");
@@ -1572,6 +1640,9 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                         if pending_rel == "of":
                             last_of_owner = capture_of_owner()
                             last_of_rel = (p_subj, subj_np)
+                            aggregate_of_passthrough(rel_subj, subj_np)
+                        if pending_rel == "with" and subj_np.poss:
+                            poss_owner[id(subj_np)] = p_subj
                         last_rel3 = (p_subj, pending_rel, subj_np)
                         if _is_verbish(pending_rel):
                             last_verb_rel3 = last_rel3
@@ -1680,30 +1751,9 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                 if pending_rel == "of":
                     last_of_owner = capture_of_owner()
                     last_of_rel = (p_subj, np_)
-                    if (
-                        rel_subj.head in AGGREGATE_OF_NOUNS
-                        and last_loc_rel is not None
-                        and rel_subj is last_loc_rel[1]
-                        and last_loc_rel[0] is not rel_subj
-                    ):
-                        # aggregate head: the locative that targeted the
-                        # aggregate passes through to its of-object
-                        # ("dancing UNDER a STRING of LIGHTS" -> the
-                        # couple is under the lights); the partitive
-                        # (string, of, lights) above still holds
-                        loc_subj = last_loc_rel[0]
-                        old = (
-                            _norm(loc_subj.head),
-                            _norm(last_loc_prep),
-                            _norm(rel_subj.head),
-                        )
-                        tuples.discard(old)
-                        for p in coord_partner.get(id(loc_subj), []):
-                            tuples.discard((_norm(p.head),) + old[1:])
-                        add_subj_tuple(
-                            loc_subj, _norm(last_loc_prep), _norm(np_.head)
-                        )
-                        last_loc_rel = (loc_subj, np_)
+                    aggregate_of_passthrough(rel_subj, np_)
+                if pending_rel == "with" and np_.poss:
+                    poss_owner[id(np_)] = p_subj
                 last_rel3 = (p_subj, pending_rel, np_)
                 if _is_verbish(pending_rel):
                     last_verb_rel3 = last_rel3
@@ -1755,25 +1805,10 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                 # "a cat ON A MAT sleeping" -> the cat sleeps (gerund after
                 # a locative object re-anchors); participles stay local
                 subj_v = gerund_agent(clause_subject(np_), v)
-                if (
-                    subj_v is np_
-                    and not v.endswith("ing")
-                    and _is_participle(v)
-                    and last_rel3 is not None
-                    and np_ is last_rel3[2]
-                    and last_rel3[1] == "with"
-                    and any(
-                        (_norm(last_rel3[0].head), sp) in tuples
-                        for sp in _STATIVE_NORMED
-                    )
-                ):
-                    # a participle after a stative-cover's WITH-object
-                    # describes the COVERED subject ("a pizza topped with
-                    # mushrooms CUT into eight slices" -> the pizza is
-                    # cut), consistent with the covering locative
-                    # re-anchor that routes the following into-PP to the
-                    # same subject — blind-7 finding
-                    subj_v = last_rel3[0]
+                if subj_v is np_:
+                    covered = stative_with_reanchor(np_, v)
+                    if covered is not None:
+                        subj_v = covered
                 add_subj_tuple(subj_v, _norm(v))
                 if subj_v is not np_:
                     # clause subjecthood follows the re-anchor so the next
@@ -1808,7 +1843,14 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
         k = 0
         while k < len(words) and _is_verbish(words[k]):
             k += 1
-        if 1 <= k < len(words) and not any(_is_verbish(t) for t in words[k:]):
+        if 1 <= k < len(words) and (
+            not any(_is_verbish(t) for t in words[k:])
+            # a compound-participle object NP qualifies too ("smiling and
+            # HOLDING two WRAPPED presents" — wrapped modifies presents),
+            # mirroring close_np's split loop (review fix: the blind-7
+            # fix had covered only that path)
+            or _compound_right_side(words, k - 1)
+        ):
             if all(t in COLOR_WORDS for t in words[k:]):
                 # "is painted RED AND WHITE" after an NP: color attributes
                 for v in words[:k]:
@@ -1843,25 +1885,10 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                 if _is_verbish(c)
                 else last_np
             )
-            if (
-                _is_verbish(c)
-                and target is last_np
-                and not c.endswith("ing")
-                and _is_participle(c)
-                and last_rel3 is not None
-                and last_np is last_rel3[2]
-                and last_rel3[1] == "with"
-                and any(
-                    (_norm(last_rel3[0].head), sp) in tuples
-                    for sp in _STATIVE_NORMED
-                )
-            ):
-                # a participle after a stative-cover's WITH-object
-                # describes the COVERED subject ("a pizza topped with
-                # mushrooms CUT into eight slices" -> the pizza is cut),
-                # consistent with the covering locative re-anchor that
-                # routes the following into-PP to it — blind-7 finding
-                target = last_rel3[0]
+            if _is_verbish(c) and target is last_np:
+                covered = stative_with_reanchor(last_np, c)
+                if covered is not None:
+                    target = covered
             add_subj_tuple(target, _norm(c))
             if _is_verbish(c) and target is not last_np:
                 # the gerund re-anchored ("a man covered in snow SKIING
@@ -2403,6 +2430,9 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                             if pending_rel == "of":
                                 last_of_owner = capture_of_owner()
                                 last_of_rel = (p_subj, np_)
+                                aggregate_of_passthrough(rel_subj, np_)
+                            if pending_rel == "with" and np_.poss:
+                                poss_owner[id(np_)] = p_subj
                             last_rel3 = (p_subj, pending_rel, np_)
                             if _is_verbish(pending_rel):
                                 last_verb_rel3 = last_rel3

@@ -743,6 +743,55 @@ def test_scene_graph_number_initial_participle_nps():
     assert ("man", "hold", "car") in ts, sorted(ts)
 
 
+def test_scene_graph_review_regressions_blind8():
+    """Adversarial-review findings on the blind-7/8 rules, pinned:
+    (1) a possessed body-part absolute must NOT capture clause
+    subjecthood for later verbs/locatives; (2) role 'as' + reduced
+    relative keeps the role relation (only FINITE verbs open an
+    as-clause); (3) the aggregate-of pass-through neither steals a
+    trailing gerund nor depends on what follows the phrase; (4) the
+    compound-participle object fix covers the coordinated lone-VP path;
+    (5) attributive 'overhead' survives while the bare adverb drops."""
+    from show_and_tell_tpu.metrics.scene_graph import parse
+
+    ts = parse("a woman with her hair in a ponytail cooking in a kitchen")
+    assert ("woman", "cook") in ts and ("woman", "in", "kitchen") in ts, ts
+    assert ("hair", "in", "ponytail") in ts, ts
+    ts = parse("a cat with its paws in the air lying on a couch")
+    assert ("cat", "lie") in ts and ("cat", "on", "couch") in ts, ts
+    assert ("paw", "in", "air") in ts, ts
+
+    ts = parse("a man dressed as a clown juggling balls")
+    assert ("man", "dress", "clown") in ts, ts
+    ts = parse("a woman dressed as a witch holding a broom")
+    assert ("woman", "dress", "witch") in ts, ts
+    assert ("woman", "hold", "broom") in ts, ts
+    ts = parse("a crowd watches as a man rides a mechanical bull")
+    assert ("man", "ride", "bull") in ts and ("crowd", "watch") in ts, ts
+
+    ts = parse("a girl dancing under a string of lights hanging from a tree")
+    assert ("light", "hang") in ts and ("light", "from", "tree") in ts, ts
+    assert ("girl", "under", "light") in ts, ts
+    # identical prefix, different continuations -> identical pass-through
+    for cap in [
+        "a couple dancing under a string of lights",
+        "a couple dancing under a string of lights casting a glow",
+    ]:
+        assert ("coupl", "under", "light") in parse(cap), cap
+
+    ts = parse("a woman smiling and holding two wrapped presents")
+    assert ("woman", "hold", "present") in ts, ts
+    assert ("present", "wrap") in ts and ("present", "two") in ts, ts
+
+    assert ("compart", "overhead") in parse(
+        "luggage in the overhead compartment"
+    )
+    assert not any(
+        "overhead" in t
+        for t in parse("a boat docked at a pier with seagulls flying overhead")
+    )
+
+
 def test_scene_graph_animate_lexicon_frames():
     """Every ANIMATE_NOUNS member must (a) carry an accompaniment
     with-object past a locative ("a <w> running on the beach WITH A
