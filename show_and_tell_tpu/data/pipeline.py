@@ -165,6 +165,16 @@ class Loader:
         self.image_size = image_size
         self.drop_remainder = drop_remainder
         self.native_decode = native_decode
+        if native_decode and not _native_available():
+            # fail fast at construction — raising per-batch from a pool
+            # worker thread surfaces the misconfiguration as an opaque
+            # mid-epoch future.result() exception instead (review fix;
+            # the per-batch guard below stays as a backstop)
+            raise RuntimeError(
+                "native_decode=True but csrc/libimage_loader.so is not "
+                "built (run `make -C csrc`); use native_decode=None for "
+                "auto-fallback"
+            )
         self.on_corrupt = on_corrupt
         self.corrupt_skipped = 0  # decode failures substituted so far
         self._epoch = 0

@@ -29,6 +29,8 @@ from __future__ import annotations
 
 from typing import Dict, List
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -191,8 +193,14 @@ def save_quantized(path: str, qparams: Params) -> None:
     from whatever their first batch happens to be."""
     from flax import serialization
 
-    with open(path, "wb") as f:
+    # atomic write (tmp + replace, the ckpt/checkpoint.py pattern): a
+    # concurrently starting replica whose os.path.exists check races this
+    # write must never read a torn multi-MB blob, and a crash mid-write
+    # must not leave a permanently corrupt file (review fix)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(serialization.to_bytes(qparams))
+    os.replace(tmp, path)
 
 
 def _restore_lists(node):

@@ -154,8 +154,16 @@ class Captioner:
                     expr_dir,
                 )
             restored = ckpt.load_best_params(expr_dir, params, batch_stats)
-            if restored is not None:
-                params, batch_stats = restored
+            if restored is None:
+                # serving a randomly-initialized decoder is never what a
+                # caller passing expr_dir wants — fail loudly instead of
+                # emitting garbage captions with zero diagnostics
+                raise FileNotFoundError(
+                    f"no model-best checkpoint found under {expr_dir!r} — "
+                    "train first, or pass expr_dir=None for an untrained "
+                    "Captioner"
+                )
+            params, batch_stats = restored
         return cls(cfg, model, params, frozen, vocab, batch_stats, **kw)
 
     # ------------------------------------------------------------------
@@ -456,6 +464,15 @@ class Captioner:
             )
         model, cfg = self.model, self.cfg
         n = images_u8.shape[0]
+        if n == 0:  # mirror caption_images([]) -> [] (review fix: the
+            # chunk loop never ran and np.concatenate([]) raised)
+            grid = (cfg.crop_size // 16) ** 2  # VGG conv5 stride-16 grid
+            return [], np.zeros((0, cfg.max_decode_len, grid), np.float32)
+        # int8 trunk swap BEFORE tracing, like every other serving surface
+        # (review fix: attention-only traffic had run — and compiled — the
+        # f32 trunk, then paid a mid-flight recompile once caption_images
+        # quantized and cleared the fn cache)
+        self._ensure_quantized(images_u8)
 
         def get_fn(batch: int):
             key = (batch, "attention")
@@ -642,14 +659,52 @@ class DynamicBatcher:
     def submit(self, image_u8, mode: str = "beam") -> _Ticket:
         if mode not in ("beam", "greedy", "sample"):
             raise ValueError(f"unknown mode {mode!r}")
+        # reject malformed images HERE: tickets are np.stack'ed into one
+        # coalesced batch, so a wrong-shape/dtype submission accepted now
+        # could error the whole batch and 500 every innocent concurrent
+        # request in it (review fix). The stacking invariant is
+        # queue-local: a ticket must match the tickets it can be
+        # coalesced with (the queue tail), not some global shape — a
+        # lone odd-shaped request still reaches the model and fails
+        # alone, without collateral damage.
+        image_u8 = np.asarray(image_u8)
+        if image_u8.ndim != 3 or image_u8.shape[-1] != 3 or (
+            image_u8.dtype != np.uint8
+        ):
+            raise ValueError(
+                "submit() expects one [H, W, 3] uint8 image, got "
+                f"shape {image_u8.shape} dtype {image_u8.dtype}"
+            )
         ticket = _Ticket(image_u8, mode)
         with self._cv:
             if self._closed:
                 raise RuntimeError("batcher is closed")
             if len(self._q) >= self.max_queue:
+                # a burst of client timeouts leaves dead tickets in the
+                # queue; they cost no device work, so purge them before
+                # shedding load (review fix: spurious 429s)
+                dead = [t for t in self._q if t.abandoned]
+                if dead:
+                    self._stats["abandoned"] += len(dead)
+                    for t in dead:
+                        t.error = TimeoutError(
+                            "abandoned: client result() timed out before "
+                            "dispatch"
+                        )
+                        t.event.set()
+                    self._q = deque(
+                        t for t in self._q if not t.abandoned
+                    )
+            if len(self._q) >= self.max_queue:
                 self._stats["rejected"] += 1
                 raise QueueFull(
                     f"caption queue full ({self.max_queue} pending)"
+                )
+            if self._q and self._q[-1].image.shape != image_u8.shape:
+                raise ValueError(
+                    f"submit() image shape {image_u8.shape} does not "
+                    f"match the queued requests' {self._q[-1].image.shape}"
+                    " — mixed shapes cannot be coalesced into one batch"
                 )
             self._q.append(ticket)
             self._stats["requests"] += 1
@@ -747,8 +802,6 @@ class DynamicBatcher:
             return batch
 
     def _run(self) -> None:
-        import numpy as np  # local: keep thread start cheap
-
         while True:
             batch = self._collect()
             if not batch:

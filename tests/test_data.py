@@ -349,3 +349,22 @@ def test_preprocess_skips_failed_resizes(tmp_path):
         records = json.load(f)
     assert records  # the rest of the dataset survived
     assert all(imgs[0] not in r["file_path"] for r in records)
+
+
+
+def test_loader_native_decode_fails_fast(monkeypatch):
+    """native_decode=True without the C++ decoder built raises at Loader
+    CONSTRUCTION, not as an opaque future.result() error mid-epoch
+    (review fix)."""
+    import pytest
+
+    from show_and_tell_tpu.data import pipeline as pl
+
+    vocab = Vocabulary.from_words(["w"])
+    ds = CocoCaptionDataset(_records(4), vocab, num_buckets=1)
+    monkeypatch.setattr(pl, "_native_available", lambda: False)
+    with pytest.raises(RuntimeError, match="native_decode=True"):
+        pl.Loader(ds, batch_size=2, native_decode=True)
+    # explicit False and auto (None) still construct fine
+    pl.Loader(ds, batch_size=2, native_decode=False, load_images=False)
+    pl.Loader(ds, batch_size=2, load_images=False)

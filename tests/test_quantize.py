@@ -1,5 +1,7 @@
 """Int8 backbone PTQ: numerics bound + functional caption stability."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -297,6 +299,9 @@ def test_quantized_tree_save_load_roundtrip(tmp_path):
     q = quantize.quantize_vgg16(frozen, imgs)
     p = str(tmp_path / "backbone.int8.msgpack")
     quantize.save_quantized(p, q)
+    # atomic write: no stale tmp artifact left behind (review fix — a
+    # replica racing the writer must never see a torn msgpack)
+    assert not os.path.exists(p + ".tmp")
     q2 = quantize.load_quantized(p)
     assert quantize.is_quantized(q2)
     a = np.asarray(quantize.vgg16_features_q(q, imgs))

@@ -343,3 +343,67 @@ def test_latency_percentiles_tracked(captioner):
         b.caption(bad, mode="greedy", timeout=120.0)
     assert b.stats()["latency_ms"]["n"] == 4
     b.close()
+
+
+def test_submit_validates_image_contract(captioner):
+    """Malformed submissions are rejected at submit() — never np.stack'ed
+    into a coalesced batch where they would 500 every concurrent request
+    (review fix). The stacking invariant is queue-local: a mixed shape is
+    rejected only while different-shaped tickets are actually queued."""
+    b = DynamicBatcher(captioner, max_delay_ms=50.0, autostart=False)
+    with pytest.raises(ValueError, match="uint8 image"):
+        b.submit(np.zeros((256, 256, 3), np.float32))  # wrong dtype
+    with pytest.raises(ValueError, match="uint8 image"):
+        b.submit(np.zeros((256, 256), np.uint8))  # wrong rank
+    with pytest.raises(ValueError, match="uint8 image"):
+        b.submit(np.zeros((256, 256, 4), np.uint8))  # wrong channels
+    b.submit(np.zeros((256, 256, 3), np.uint8))
+    with pytest.raises(ValueError, match="mixed shapes"):
+        b.submit(np.zeros((16, 16, 3), np.uint8))  # mismatch vs queued
+    assert b.stats()["requests"] == 1
+    b.close()
+
+
+def test_abandoned_tickets_do_not_block_queue(captioner):
+    """Dead (client-timed-out) tickets are purged from the queue before a
+    full-queue rejection: a burst of client timeouts must not 429 fresh,
+    serviceable requests (review fix)."""
+    b = DynamicBatcher(
+        captioner, max_delay_ms=50.0, autostart=False, max_queue=4
+    )
+    imgs = _images(5, seed=3)
+    tickets = [b.submit(imgs[i]) for i in range(4)]
+    for t in tickets:
+        t.abandoned = True  # simulate result() timeouts
+    # queue is "full" of dead tickets; a fresh request must still land
+    fresh = b.submit(imgs[4])
+    assert b.stats()["abandoned"] == 4
+    for t in tickets:  # purged tickets fail loudly, not silently
+        with pytest.raises(RuntimeError, match="abandoned"):
+            t.result(timeout=0.1)
+    b.start()
+    assert fresh.result(timeout=120.0) == captioner.caption_images(
+        imgs[4:5]
+    )[0]
+    b.close()
+
+
+def test_caption_with_attention_empty_batch(captioner):
+    """An empty input returns ([], empty alphas) like caption_images([])
+    instead of raising from np.concatenate([]) (review fix)."""
+    caps, alphas = captioner.caption_with_attention(
+        np.zeros((0, 256, 256, 3), np.uint8)
+    )
+    assert caps == [] and alphas.shape[0] == 0 and alphas.ndim == 3
+
+
+def test_from_checkpoint_missing_dir_raises(captioner, tmp_path):
+    """A passed expr_dir with no model-best checkpoint raises instead of
+    silently serving a randomly-initialized decoder (review fix)."""
+    from show_and_tell_tpu.config import Config
+    from show_and_tell_tpu.utils.vocab import Vocabulary
+
+    cfg = Config(embed_size=16, hidden_size=24, crop_size=32)
+    vocab = Vocabulary.from_words(["a", "dog"])
+    with pytest.raises(FileNotFoundError, match="model-best"):
+        Captioner.from_checkpoint(cfg, str(tmp_path), vocab)
