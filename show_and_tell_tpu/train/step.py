@@ -216,11 +216,21 @@ def make_train_step(
             # one EMA tick per REAL optimizer update: under gradient
             # accumulation MultiSteps only applies every k-th micro-step,
             # and ticking each micro-step would compound the decay to d^k
-            # (review fix). Micro-step counters align: both start at 0.
+            # (review fix). The gate reads MultiSteps' OWN mini_step from
+            # the (post-revert) opt_state — mini_step wraps to 0 exactly
+            # when the inner optimizer applied — because a skipped
+            # non-finite micro-step reverts mini_step while state.step
+            # still increments, and a (state.step+1)%k gate would stay
+            # permanently desynchronized after the first skip (review
+            # fix, empirically reproduced: the EMA stopped tracking real
+            # updates forever).
             k = getattr(cfg, "grad_accum_steps", 1)
+            applied = (
+                opt_state.mini_step == 0 if k > 1 else True
+            )
             moved = jnp.logical_and(
                 finite if cfg.skip_nonfinite else True,
-                ((state.step + 1) % k == 0) if k > 1 else True,
+                applied,
             )
             ema_params = jax.tree.map(
                 lambda e, p: jnp.where(moved, e * d + p * (1.0 - d), e),

@@ -551,3 +551,68 @@ def test_ema_ticks_once_per_optimizer_update_under_accumulation():
     np.testing.assert_allclose(
         np.asarray(s2.ema_params["embed"]), np.asarray(expect["embed"]), atol=1e-6
     )
+
+
+def test_ema_gate_survives_nonfinite_skip_under_accumulation():
+    """A skipped non-finite micro-step reverts MultiSteps' mini_step while
+    state.step still increments, so a (state.step+1)%k EMA gate stays
+    permanently desynchronized: it ticks on no-update micro-steps and
+    misses every real optimizer update afterwards. The gate must read
+    mini_step from the post-revert opt_state instead (review fix)."""
+    from show_and_tell_tpu.train.step import make_train_state, make_train_step
+    from show_and_tell_tpu.utils.vocab import Vocabulary
+
+    vocab = Vocabulary.from_words(["a", "dog", "runs", "ball"])
+    d, k = 0.5, 2
+    cfg = Config(
+        embed_size=16, hidden_size=24, max_decode_len=6,
+        ema_decay=d, grad_accum_steps=k, skip_nonfinite=True,
+    )
+    model = build_model(cfg, len(vocab))
+    params, frozen = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    B, L, T = 4, 5, 6
+    caps, lens = vocab.encode_batch([["a", "dog", "runs", "ball"]] * B, T)
+    feats = rng.standard_normal((B, L, 512))
+    batch = {
+        "features": jnp.asarray(feats, jnp.float32),
+        "captions": jnp.asarray(caps),
+        "lengths": jnp.asarray(lens),
+    }
+    nan_batch = dict(batch, features=jnp.full((B, L, 512), jnp.nan, jnp.float32))
+    state = make_train_state(cfg, params)
+    step = make_train_step(model, cfg, donate=False)
+    key = jax.random.PRNGKey(1)
+
+    # NaN micro-step: everything reverts (params, mini_step, EMA), but
+    # state.step still advances — this is what desyncs a step-parity gate.
+    s1, m1 = step(state, frozen, nan_batch, 1e-2, 0.0, key)
+    assert not np.isfinite(np.asarray(m1["grad_norm"]))
+    np.testing.assert_array_equal(
+        np.asarray(s1.params["embed"]), np.asarray(params["embed"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(s1.ema_params["embed"]), np.asarray(params["embed"])
+    )
+    assert int(s1.step) == 1
+
+    # finite micro-step 1 of 2: accumulate only — no param change, no tick
+    # (the old gate ticked HERE, because (1+1)%2 == 0)
+    s2, _ = step(s1, frozen, batch, 1e-2, 0.0, key)
+    np.testing.assert_array_equal(
+        np.asarray(s2.params["embed"]), np.asarray(params["embed"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(s2.ema_params["embed"]), np.asarray(params["embed"])
+    )
+
+    # finite micro-step 2 of 2: the inner optimizer applies; the EMA must
+    # tick exactly once with decay d (the old gate missed it: (2+1)%2 == 1)
+    s3, _ = step(s2, frozen, batch, 1e-2, 0.0, key)
+    assert not np.array_equal(
+        np.asarray(s3.params["embed"]), np.asarray(params["embed"])
+    )
+    expect = jax.tree.map(lambda p0, p3: d * p0 + (1 - d) * p3, params, s3.params)
+    np.testing.assert_allclose(
+        np.asarray(s3.ema_params["embed"]), np.asarray(expect["embed"]), atol=1e-6
+    )
