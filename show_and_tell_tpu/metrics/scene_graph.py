@@ -326,7 +326,9 @@ VERBS = frozenset(
     crash crashes splash splashes
     opens closes cleans dries smells touches steers
     surround surrounds enclose encloses encircle encircles
-    borders flanks""".split()
+    borders flanks
+    sail sails rise rises bark barks glow glows shine shines
+    flow flows drift drifts""".split()
 # NB: finite -s rows above were a systematic audit finding (a man WASHES
 # a ball parsed as an appositive); adjective-dominant bare forms
 # (open/close/clean/dry/smell/touch) are deliberately NOT added — only
@@ -412,6 +414,14 @@ BODY_PART_NOUNS = frozenset(
 # (string, of, lights) partitive still holds. Deliberately narrow: rows/
 # lines/piles are plausible located entities themselves. — blind-6
 AGGREGATE_OF_NOUNS = frozenset("string strings strand strands".split())
+# quality "of"-objects: pure PROPERTIES of the head ("umbrellas of
+# different COLORS", "boxes of various SIZES") — they can never be verb
+# agents or located entities, so verbs and locatives after them re-anchor
+# to the of-head. — blind-9 finding
+QUALITY_OF_NOUNS = frozenset(
+    """color colors size sizes shape shapes variety varieties kind kinds
+    type types sort sorts age ages height heights length lengths""".split()
+)
 # -ing verbs that need an ANIMATE agent: after an active verb's INANIMATE
 # object they re-anchor to the verb's subject ("a man riding a motorcycle
 # WEARING a black helmet" -> the man wears it; "a teddy bear wearing a
@@ -468,6 +478,13 @@ _GOAL_NORMED = frozenset(
     "grabbed".split()
 )
 _STATIVE_NORMED = frozenset(porter_stem(w) for w in _STATIVE_COVER)
+# attachment participles: their subject stays the located thing through a
+# chained locative ("a mirror MOUNTED on a wall above a sink" -> the
+# mirror is above the sink) — blind-9 finding
+_MOUNT_NORMED = frozenset(
+    porter_stem(w) for w in
+    "mounted hung attached fixed fastened installed bolted".split()
+)
 # color words: "a fire hydrant painted RED AND WHITE" — a verb's "object"
 # that is all colors is really a list of subject attributes, never an NP
 COLOR_WORDS = frozenset(
@@ -533,8 +550,15 @@ S_NOUN_AFTER_CONJ = frozenset(
     wave waves slice slices drop drops wrap wraps lift lifts
     peel peels paint paints pick picks place places bite bites
     shake shakes brush brushes spray sprays kiss kisses wash
-    steers""".split()
+    steers
+    sail sails bark barks glow glows rise rises flow flows""".split()
 )
+# -s forms whose canonical clause SUBJECT is inanimate ("a boat SAILS",
+# "smoke RISES"): the compound-tail animate guard cannot separate them
+# from true compounds ("white SAILS"), so their noun reading is allowed
+# only in OBJECT position (a pending relation / after a conjunction) —
+# subject position keeps the finite-verb reading. Blind-9 finding.
+_S_NOUN_OBJECT_ONLY = frozenset("sails rises glows flows".split())
 # bare sport verbs that act as COMPOUND PREMODIFIERS of a verbish tail
 # ("a SKI lift", "a SKI jump", "a SURF board"): without this the tail is
 # stripped as a trailing verb because the premodifier itself is verbish,
@@ -777,8 +801,17 @@ def _as_finite_clause(toks: Sequence[str], ti: int) -> bool:
     prep/conjunction/copula. Gerunds and participles do NOT count — "a
     man dressed as a clown JUGGLING balls" is role syntax plus a reduced
     relative, not a clause, so 'as' stays skipped there (review fix: the
-    first cut accepted any verbish token and dropped the role relation)."""
-    if ti + 1 >= len(toks) or toks[ti + 1] not in DETERMINERS:
+    first cut accepted any verbish token and dropped the role relation).
+
+    The subject may be a det-less mass/plural noun ("a boat sails AS
+    SMOKE RISES behind it") — any non-verb content word opens the
+    candidate clause; the finite-verb requirement still rejects det-less
+    role syntax ("dressed as cowboys RIDING horses") — blind-9 finding."""
+    if ti + 1 >= len(toks):
+        return False
+    if toks[ti + 1] not in DETERMINERS and not (
+        _content_word(toks[ti + 1]) and not _is_verbish(toks[ti + 1])
+    ):
         return False
     for t in toks[ti + 2 : ti + 7]:
         if t in PREPOSITIONS or t in CONJUNCTIONS or t in COPULAS:
@@ -878,6 +911,34 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
             # path; "HOLDING UP an umbrella" drops it)
             i += 1
             continue
+        # perfect auxiliary: "has (just) hit a ball", "has been made",
+        # "has not been made" — the have-form carries no scene content and
+        # must not become a possession relation. Skip light adverbs, then:
+        # a following participle/"been" marks the auxiliary (drop it; the
+        # copula/participle machinery handles the rest); "not been" is
+        # reordered to the copula-first form the negation handler models
+        # ("been not made", like the modal rewrite above). A following
+        # NOUN keeps the possession reading ("a pizza that HAS mushrooms").
+        # Blind-9 finding.
+        if w in ("has", "have", "had"):
+            j = i + 1
+            while j < len(toks) and toks[j] in (
+                "just", "already", "recently", "finally"
+            ):
+                j += 1
+            nt = toks[j] if j < len(toks) else None
+            nt2 = toks[j + 1] if j + 1 < len(toks) else None
+            if nt in ("not", "n't") and nt2 == "been":
+                out.extend(["been", nt])
+                i = j + 2
+                continue
+            if nt == "been" or (
+                nt is not None
+                and _is_participle(nt)
+                and nt not in FINITE_NOT_PARTICIPLE
+            ):
+                i = j
+                continue
         if w in _MODALS and nxt == "be":
             i += 1  # "be" flows through
             continue
@@ -908,6 +969,32 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
             i += 2
             continue
         if w == _INF_TO:
+            i += 1
+            continue
+        # "light up" / "lights up" in verb position (no determiner before
+        # the token) is the phrasal verb: rewrite to the gerund the clause
+        # machinery already models ("watching fireworks LIGHT UP the sky"
+        # -> the fireworks light the sky; _norm('lighting') == 'light',
+        # matching the finite phrasing). A determiner keeps the noun
+        # reading ("a LIGHT up ahead"). — blind-9 finding
+        if (
+            w in ("light", "lights")
+            and nxt == "up"
+            and (not out or out[-1] not in DETERMINERS)
+            and i + 2 < len(toks)
+            and (
+                toks[i + 2] in DETERMINERS or _content_word(toks[i + 2])
+            )
+        ):
+            out.append("lighting")
+            i += 2
+            continue
+        # "back" directly after a verb form is a directional particle
+        # ("held BACK by its owner", "a dog brings BACK a ball") and
+        # carries no scene content. Followed by "of" (or after a
+        # determiner, which the verbish guard already excludes) it is the
+        # body/region noun ("into the BACK OF a truck") — blind-9 finding
+        if w == "back" and out and _is_verbish(out[-1]) and nxt != "of":
             i += 1
             continue
         # floating quantifiers before a VP distribute over the subject and
@@ -996,6 +1083,11 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
     last_loc_prep: "str | None" = None
     after_conj = False  # the segment after an NP-coordination close forms
     # its own NP even without a determiner ("dogs and CATS SITTING ...")
+    # set alongside after_conj by the SUBORDINATE boundary only ("while",
+    # finite-"as"): the segment opens a clause, so the object-position
+    # noun reading for _S_NOUN_OBJECT_ONLY must NOT apply ("as smoke
+    # RISES" is a clause, "food and DRINKS" is a list) — blind-9 finding
+    after_subord = False
     # a relativizer immediately before a copula binds the copula to the
     # NP just closed ("a mat THAT is torn" -> (mat, torn)), overriding the
     # locative re-anchor below
@@ -1010,6 +1102,8 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
     # (man, hold, dog)).
     negate_vp = False
     negate_rel = False
+    negated_verb: "str | None" = None  # the dropped verb form: passive
+    # participles let a PLACE locative survive negation (blind-9)
     # NPs that closed as the object of a negated VP: excluded from
     # subject-coordination ("a cat not sitting on a MAT and a dog eating
     # food" must not mirror the dog's relations onto the mat)
@@ -1253,8 +1347,23 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
         if (
             last_of_rel is not None
             and np_ is last_of_rel[1]
-            and verb.endswith("ing")
-            and last_of_rel[0].head in CONTAINER_NOUNS
+            and (
+                verb.endswith("ing")
+                # finite forms too: "a plate of pasta SITS atop a
+                # table" -> the plate sits — blind-9 finding
+                or (
+                    verb in VERBS
+                    and verb.endswith("s")
+                    and not _is_participle(verb)
+                )
+            )
+            and (
+                last_of_rel[0].head in CONTAINER_NOUNS
+                # quality-of objects (colors/sizes/shapes) are properties,
+                # never located agents: "umbrellas of different COLORS
+                # LEANING against a fence" -> the umbrellas lean — blind-9
+                or np_.head in QUALITY_OF_NOUNS
+            )
         ):
             # partitive container: "a CUP of coffee SITTING next to a
             # laptop" -> the cup sits (the container is the located
@@ -1262,13 +1371,24 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
             # group/photo heads keep the of-object's agency
             return agent_subject(last_of_rel[0])
         if (
-            verb in _AGENT_ING
-            and last_rel3 is not None
+            last_rel3 is not None
             and np_ is last_rel3[2]
             and last_rel3_slot == "obj"
             and isinstance(last_rel3[1], str)
             and _is_verbish(last_rel3[1])
             and np_.head not in ANIMATE_NOUNS
+            and (
+                verb in _AGENT_ING
+                # a FINITE -s verb after a relative/reduced clause's
+                # inanimate object is the MATRIX verb and belongs to the
+                # clause subject ("a player who hit a ball RUNS to first
+                # base" -> the player runs) — blind-9 finding
+                or (
+                    verb in VERBS
+                    and verb.endswith("s")
+                    and not _is_participle(verb)
+                )
+            )
         ):
             # animate-agent gerund after an active verb's INANIMATE
             # object: "riding a motorcycle WEARING a helmet" -> the man
@@ -1350,6 +1470,35 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
         # inanimate verb object: an INSTRUMENT of the agent ("cutting a
         # birthday cake WITH A PLASTIC KNIFE" -> the woman holds the
         # knife), matching the pinned cutting-into convention; bare-
+        # a PROJECTED of-head (reflection/shadow/light) is the located
+        # thing, not its of-content: "a REFLECTION of a building ... IN
+        # THE WATER" -> the reflection is in the water (the building is
+        # not) — the of-phrase twin of the projected verb-object rule
+        # above. — blind-9 finding
+        if (
+            isinstance(prep, str)
+            and prep in PREPOSITIONS
+            and prep != "of"
+            and last_of_rel is not None
+            and subj is last_of_rel[1]
+            and last_of_rel[0].head in _PROJECTED_NOUNS
+        ):
+            return last_of_rel[0]
+        # a simile object is not a scene entity and cannot be located: a
+        # PLACE locative after "like X" re-anchors to the compared
+        # subject ("a train that looks LIKE A DRAGON at a station" ->
+        # the train is at the station) — blind-9 finding
+        if (
+            isinstance(prep, str)
+            and prep in PREPOSITIONS
+            and prep != "of"
+            and obj_np.head in PLACE_NOUNS
+            and last_rel3 is not None
+            and subj is last_rel3[2]
+            and last_rel3_slot == "obj"
+            and last_rel3[1] == "like"
+        ):
+            return last_rel3[0]
         # plural tools stay furnishings ("setting a table with FORKS")
         # and non-tool objects keep nearest attachment ("a bed WITH A
         # STRIPED COMFORTER"). — blind-6 finding
@@ -1384,6 +1533,16 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
             )
             and last_loc_rel is not None
             and subj is last_loc_rel[1]
+            # a scene-"with" accompaniment object of an INANIMATE subject
+            # is a standalone entity whose own ambience stays local: "a
+            # field WITH MOUNTAINS in the background" -> the mountains
+            # are in the background, not the field. An animate agent's
+            # instrument-with still re-anchors ("cutting a cake with a
+            # knife AT A PARTY" -> the woman is at the party) — blind-9
+            and not (
+                last_loc_prep == "with"
+                and last_loc_rel[0].head not in ANIMATE_NOUNS
+            )
         ):
             cand = last_loc_rel[0]
             if last_verb_rel3 is not None and cand is last_verb_rel3[2]:
@@ -1393,6 +1552,24 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                 # pitcher is at the game, not the ball) — blind-6
                 return last_verb_rel3[0]
             return cand
+        # a MOUNTED/HUNG subject is the located thing throughout its
+        # locative chain: "a mirror MOUNTED on a wall ABOVE A SINK" ->
+        # the mirror is above the sink (the attachment surface is not
+        # re-located by the chain) — blind-9 finding
+        if (
+            isinstance(prep, str)
+            and prep in PREPOSITIONS
+            and prep != "of"
+            and last_loc_rel is not None
+            and subj is last_loc_rel[1]
+            and last_loc_prep in ("on", "to")
+            and obj_np.head not in BODY_PART_NOUNS
+            and any(
+                (_norm(last_loc_rel[0].head), m) in tuples
+                for m in _MOUNT_NORMED
+            )
+        ):
+            return last_loc_rel[0]
         return subj
 
     def cancel_dist(np_: "_NP") -> None:
@@ -1414,9 +1591,11 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
         nonlocal cur, last_np, pending_rel, rel_subj, after_conj, \
             last_loc_rel, last_loc_prep, last_rel3, last_rel3_slot, \
             conj_prev, last_of_rel, last_of_owner, last_verb_rel3, \
-            detached, appos_prev
+            detached, appos_prev, after_subord
         entry_conj = after_conj
         after_conj = False
+        entry_subord = after_subord
+        after_subord = False
         entry_detached = detached
         detached = False
         words = list(cur)
@@ -1477,6 +1656,13 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                 return True  # "a ski lift", "a ski jump", "a surf board"
             if words[-1] not in S_NOUN_AFTER_CONJ:
                 return False
+            if (
+                words[-1] in _S_NOUN_OBJECT_ONLY
+                and pending_rel is None
+                and (not entry_conj or entry_subord)
+            ):
+                return False  # subject position: "a boat SAILS ...",
+                # clause after a subordinator: "as smoke RISES"
             if words[-2].endswith("ing") and all(
                 t.endswith("ing") or t in ADJ_COORD for t in pre
             ):
@@ -1708,6 +1894,29 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                         add_subj_tuple(anchor, _norm(v))
                 return []
             return trailing_verbs
+        if (
+            pending_rel is not None
+            and rel_subj is not None
+            and not isinstance(pending_rel, tuple)
+            and _is_verbish(pending_rel)
+            and np_.head in PRED_ADJS
+            and all(a in PRED_ADJS or a in COLOR_WORDS for a in np_.attrs)
+        ):
+            # a predicate adjective "object" of a pending verb relation is
+            # an attribute of the SUBJECT, not an entity ("kites can be
+            # seen flying HIGH above the beach" -> (kites, fly) + (kites,
+            # high)) — the same split the in-segment bare-object path
+            # makes; this covers the copula/framing path where the verb
+            # chain and the adjective land in different segments — blind-9
+            add_subj_tuple(
+                rel_subj, _norm(PARTICIPLE_BASE.get(pending_rel, pending_rel))
+            )
+            for a in [*np_.attrs, np_.head]:
+                add_subj_tuple(rel_subj, _norm(a))
+            last_np = rel_subj
+            pending_rel = None
+            rel_subj = None
+            return []
         nps.append(np_)
         if invert_pending:
             invert_emit(np_)
@@ -1859,6 +2068,19 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                 for c in words[k:]:
                     add_subj_tuple(last_np, _norm(c))
                 return
+            if all(
+                t in COLOR_WORDS or t in PRED_ADJS for t in words[k:]
+            ):
+                # predicate-adjective "object": subject attributes, not an
+                # entity ("kites can be seen flying HIGH above the beach"
+                # -> (kites, fly) + (kites, high)) — the lone-segment twin
+                # of close_np's split-path intercept — blind-9 finding
+                for v in words[:k]:
+                    if _attr_ok(v):
+                        add_subj_tuple(anchor, _norm(PARTICIPLE_BASE.get(v, v)))
+                for c in words[k:]:
+                    add_subj_tuple(anchor, _norm(c))
+                return
             obj = _flush_np(words[k:])
             if obj is not None:
                 nps.append(obj)
@@ -1903,6 +2125,7 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
         if w in ("not", "n't"):
             if nxt is not None and (_is_verbish(nxt) or nxt in PREPOSITIONS):
                 negate_vp = True
+                negated_verb = None
                 # "does n't wear" / "is n't wearing": the auxiliary before
                 # the negation carries no scene content either
                 if cur and cur[-1] in ("does", "do", "did"):
@@ -1918,6 +2141,7 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
             negate_rel = True
             detached = True
             negated_subject = last_np
+            negated_verb = w
             continue
         if w == "that" and nxt is not None and (
             _is_verbish(nxt) or nxt in COPULAS
@@ -1953,11 +2177,39 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                 continue
             if negate_vp or negate_rel:
                 # negated relation: close the segment, emit no tuple; the
-                # prep's object becomes a standalone NP
+                # prep's object becomes a standalone NP. EXCEPT a PLACE
+                # object of a negated passive PARTICIPLE: there the
+                # negation scopes the action, not the location ("a bed
+                # that has not been made IN A MESSY BEDROOM" — the bed is
+                # still in the bedroom), so the locative survives on the
+                # clause subject. Active -ing forms keep the pinned full
+                # suppression ("a cat NOT sitting on the mat") — blind-9
+                j = ti + 1
+                while j < len(toks) and not (
+                    toks[j] in PREPOSITIONS
+                    or toks[j] in CONJUNCTIONS
+                    or toks[j] in COPULAS
+                    or toks[j] in SUBORDINATORS
+                    or _is_verbish(toks[j])
+                ):
+                    j += 1
+                obj_head = toks[j - 1] if j > ti + 1 else None
+                was_passive = (
+                    negated_verb is not None
+                    and not negated_verb.endswith("ing")
+                    and _is_participle(negated_verb)
+                    and negated_verb not in FINITE_NOT_PARTICIPLE
+                )
                 negate_vp = False
                 negate_rel = False
                 if cur:
                     close_np()
+                if was_passive and obj_head in PLACE_NOUNS:
+                    subj = negated_subject or last_np
+                    if subj is not None:
+                        pending_rel = w
+                        rel_subj = subj
+                        continue
                 detached = True
                 if negated_subject is None:
                     negated_subject = last_np
@@ -2298,6 +2550,7 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
             pending_rel = None
             rel_subj = None
             after_conj = True
+            after_subord = True
             conj_prev = None
         elif w in DETERMINERS and w not in NUMBERS:
             if cur:
@@ -2359,6 +2612,32 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                         and content_count(subj_words[:-1]) >= 1
                     ):
                         subj_verbs.insert(0, subj_words.pop())
+                    # perception small clause: an INTERNAL verb with
+                    # content on both sides splits the det-less run into
+                    # subject + relation + object, and the det-boundary
+                    # verb then opens a clause on the OBJECT ("people
+                    # WATCHING FIREWORKS lighting THE sky" -> (people,
+                    # watch, fireworks) + (fireworks, light, sky)) — the
+                    # det-arrival twin of close_np's bare-object split.
+                    # Without it the run flushed as one NP headed by the
+                    # verb's object. — blind-9 finding
+                    small_clause = None
+                    for k in range(len(subj_words) - 1, -1, -1):
+                        if (
+                            _is_verbish(subj_words[k])
+                            and content_count(subj_words[:k]) >= 1
+                            and content_count(subj_words[k + 1 :]) >= 1
+                            and all(
+                                not _is_verbish(t)
+                                for t in subj_words[k + 1 :]
+                            )
+                            and not _object_compound_tail(subj_words, k)
+                        ):
+                            small_clause = (
+                                subj_words[k], subj_words[k + 1 :]
+                            )
+                            subj_words = subj_words[:k]
+                            break
                     np_ = _flush_np(subj_words)
                     if np_ is not None:
                         nps.append(np_)
@@ -2437,6 +2716,24 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                             if _is_verbish(pending_rel):
                                 last_verb_rel3 = last_rel3
                             last_rel3_slot = "obj"
+                        if small_clause is not None:
+                            sverb, sobj_words = small_clause
+                            sobj = _flush_np(sobj_words)
+                            if sobj is not None:
+                                nps.append(sobj)
+                                s_anchor = agent_subject(
+                                    clause_subject(np_)
+                                )
+                                base = PARTICIPLE_BASE.get(sverb, sverb)
+                                if _attr_ok(sverb):
+                                    add_subj_tuple(
+                                        s_anchor, _norm(base),
+                                        _norm(sobj.head),
+                                    )
+                                last_rel3 = (s_anchor, base, sobj)
+                                last_verb_rel3 = last_rel3
+                                last_rel3_slot = "obj"
+                                np_ = sobj
                         last_np = np_
                         pending_rel = verb
                         if appos_prev is not None:
