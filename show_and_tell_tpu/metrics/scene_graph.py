@@ -85,8 +85,12 @@ _ANAPHORS = frozenset("it them him her".split())
 # BURNING" -> the candles burn; "a wall with pictures HANGING")
 _EVENT_ING = frozenset(
     """burning hanging flying floating glowing growing shining melting
-    boiling steaming waving spinning blooming dripping""".split()
-)
+    boiling steaming waving spinning blooming dripping
+    rising falling running coming crashing pouring flowing drifting
+    billowing swaying""".split()
+)  # rising/coming/falling/crashing/... added by a verify-drive finding
+# (round-3 session-9): "a house with smoke COMING out of the chimney"
+# had the HOUSE coming; "a beach with waves CRASHING" had the beach crash
 # determiners that can open an item of an asyndetic list ("a stove a sink
 # and a refrigerator" — PTB strips the commas)
 _LIST_DETS = frozenset("a an the".split()) | NUMBERS
@@ -328,7 +332,10 @@ VERBS = frozenset(
     surround surrounds enclose encloses encircle encircles
     borders flanks
     sail sails rise rises bark barks glow glows shine shines
-    flow flows drift drifts""".split()
+    flow flows drift drifts
+    bring brings give gives lead leads follow follows pass passes
+    help helps sniff sniffs stretch stretches paddle paddles
+    come comes""".split()
 # NB: finite -s rows above were a systematic audit finding (a man WASHES
 # a ball parsed as an appositive); adjective-dominant bare forms
 # (open/close/clean/dry/smell/touch) are deliberately NOT added — only
@@ -436,8 +443,9 @@ _AGENT_ING = frozenset(
 # -> the coffee goes in, not the woman)
 _THEME_MOTION = frozenset(
     """pour throw toss drop place put load spill dip dunk insert stuff
-    squeeze sprinkle scatter cast""".split()
-)  # cast: "a tree CASTING a shadow on the grass" — the shadow lands
+    squeeze sprinkle scatter cast bring pass""".split()
+)  # cast: "a tree CASTING a shadow on the grass" — the shadow lands;
+# bring/pass: "brings a ball TO its owner" — the ball goes (verify-drive)
 # stative covering participles: "<subj> COVERED in X" makes X a covering,
 # not a location — a locative chained after it re-anchors to the covered
 # subject ("a refrigerator covered in magnets IN A KITCHEN")
@@ -551,14 +559,29 @@ S_NOUN_AFTER_CONJ = frozenset(
     peel peels paint paints pick picks place places bite bites
     shake shakes brush brushes spray sprays kiss kisses wash
     steers
-    sail sails bark barks glow glows rise rises flow flows""".split()
-)
+    sail sails bark barks glow glows rise rises flow flows
+    paddle paddles stretch stretches""".split()
+)  # stretch/stretches: the compound-tail ANIMATE guard separates "a cat
+# STRETCHES" (verb) from "a long STRETCH of beach" (noun) — verify-drive
 # -s forms whose canonical clause SUBJECT is inanimate ("a boat SAILS",
 # "smoke RISES"): the compound-tail animate guard cannot separate them
 # from true compounds ("white SAILS"), so their noun reading is allowed
 # only in OBJECT position (a pending relation / after a conjunction) —
 # subject position keeps the finite-verb reading. Blind-9 finding.
-_S_NOUN_OBJECT_ONLY = frozenset("sails rises glows flows".split())
+_S_NOUN_OBJECT_ONLY = frozenset("sails rises glows flows paddles".split())
+# transitive verb forms whose BARE object may itself be a verb-lexicon
+# word ("holding DRINKS", "carrying two PADDLES", "serving DRINKS on a
+# tray"): the trailing-verb strip keeps an S_NOUN tail as the object
+# noun when one of these precedes it with subject content before it.
+# Deliberately a closed transitive list — intransitives must NOT license
+# the noun reading ("a woman standing WAVES at the camera" keeps the
+# verb-chain reading). Verify-drive finding (round-3 session-9).
+_TRANS_OBJ = frozenset(
+    """holding carrying serving selling making preparing pouring
+    offering delivering bringing grabbing enjoying sharing balancing
+    stacking holds carries serves sells makes prepares pours offers
+    delivers brings grabs enjoys shares balances stacks""".split()
+)
 # bare sport verbs that act as COMPOUND PREMODIFIERS of a verbish tail
 # ("a SKI lift", "a SKI jump", "a SURF board"): without this the tail is
 # stripped as a trailing verb because the premodifier itself is verbish,
@@ -995,6 +1018,20 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
         # determiner, which the verbish guard already excludes) it is the
         # body/region noun ("into the BACK OF a truck") — blind-9 finding
         if w == "back" and out and _is_verbish(out[-1]) and nxt != "of":
+            i += 1
+            continue
+        # ... and "back" between a verb's OBJECT and a goal preposition is
+        # the same particle ("bringing a ball BACK to its owner",
+        # "throwing it BACK into the water"). A determiner right before
+        # keeps the body-part/region noun ("with its BACK to the camera");
+        # goal preps only, so "the back of a truck" / "a chair in the
+        # back" stay nouns — verify-drive finding (round-3 session-9)
+        if (
+            w == "back"
+            and out
+            and out[-1] not in DETERMINERS
+            and nxt in ("to", "toward", "towards", "into", "onto")
+        ):
             i += 1
             continue
         # floating quantifiers before a VP distribute over the subject and
@@ -1671,9 +1708,24 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                 not _is_verbish(t) and t not in ANIMATE_NOUNS for t in pre
             )
 
+        def trans_object_noun() -> bool:
+            """An S_NOUN tail after a TRANSITIVE verb in the same segment
+            is that verb's bare OBJECT ("a man holding DRINKS", "a woman
+            carrying two PADDLES"): keep it as a noun so the bare-object
+            split below emits (man, hold, drink) — stripping it as a
+            trailing verb had left the relation with no object and a
+            bogus (man, drink) attribute. Intransitive chains keep the
+            verb reading ("a woman standing WAVES at the camera")."""
+            if words[-1] not in S_NOUN_AFTER_CONJ:
+                return False
+            return any(
+                t in _TRANS_OBJ and content_count(words[:k]) >= 1
+                for k, t in enumerate(words[:-1])
+            )
+
         while words and _is_verbish(words[-1]) and (
             all_verbs or content_count(words[:-1]) >= 1
-        ) and not compound_noun_tail():
+        ) and not compound_noun_tail() and not trans_object_noun():
             trailing_verbs.insert(0, words.pop())
 
         # Bare-object verb split: "a woman drinks coffee" / "a giraffe
@@ -1692,7 +1744,15 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                 and content_count(words[k + 1 :]) >= 1
             ):
                 continue
-            if all(not _is_verbish(t) for t in words[k + 1 :]):
+            if all(
+                not _is_verbish(t)
+                # an S_NOUN object of a transitive verb counts as a noun
+                # on the right side ("holding DRINKS", "carrying two
+                # PADDLES") — the strip above kept it for exactly this
+                # split. Verify-drive finding (round-3 session-9).
+                or (t in S_NOUN_AFTER_CONJ and words[k] in _TRANS_OBJ)
+                for t in words[k + 1 :]
+            ):
                 # clean right side — but skip a compound participle
                 # INSIDE an object NP ("a man HOLDING two PARKED cars":
                 # parked modifies cars, holding is the clause verb), so
