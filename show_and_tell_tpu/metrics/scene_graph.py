@@ -193,6 +193,24 @@ CONTAINER_NOUNS = frozenset(
     """plate bowl vase cup glass basket box bottle pot pan tray jar bag
     mug bucket pitcher crate carton suitcase backpack""".split()
 )
+# membership is checked on the NORMALIZED head so plural containers
+# re-anchor like their singulars ("PLATES of food to a table" — the
+# plates go, exactly as "a PLATE of food" does) — blind-10 finding
+_CONTAINER_NORMED = frozenset(porter_stem(w) for w in CONTAINER_NOUNS)
+# spanning structures: "crossing a bridge OVER a river" — the bridge
+# spans the river (NP-modifier attachment), never the crossing agent's
+# path, so the motion-prep agent re-anchor skips these heads for "over"
+# — blind-10 finding
+_SPANNING_NORMED = frozenset(
+    porter_stem(w) for w in "bridge overpass walkway archway viaduct".split()
+)
+# non-transfer action verbs whose benefactive "for" anchors to the AGENT
+# ("a crossing guard STOPPING traffic FOR children" -> the guard acts for
+# the children); transfer/creation verbs keep the object reading ("buying
+# flowers FOR his wife" -> the flowers are for the wife) — blind-10
+_BENEFACTIVE_AGENT_NORMED = frozenset(
+    porter_stem(w) for w in "stop block".split()
+)
 
 # photographic-framing participles: describe how the image was taken, not
 # the scene ("a man SEEN through a window") — never emitted as attributes
@@ -1129,6 +1147,11 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
     # NP just closed ("a mat THAT is torn" -> (mat, torn)), overriding the
     # locative re-anchor below
     rel_before_copula = False
+    # the NP a relativizer bound a clause to: it is now a clause SUBJECT,
+    # so the motion-prep agent re-anchor must not treat it as the outer
+    # verb's object ("a man riding a horse THAT IS JUMPING over a fence"
+    # -> the horse goes over the fence, not the man) — blind-10 finding
+    rel_clause_np: "_NP | None" = None
     # "not"/"n't" before a verb/preposition negates the VP: the verb and
     # its immediately-following relation are suppressed, the NPs survive
     # as objects ("a cat NOT sitting on the mat" -> cat, mat, no
@@ -1395,7 +1418,7 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                 )
             )
             and (
-                last_of_rel[0].head in CONTAINER_NOUNS
+                _norm(last_of_rel[0].head) in _CONTAINER_NORMED
                 # quality-of objects (colors/sizes/shapes) are properties,
                 # never located agents: "umbrellas of different COLORS
                 # LEANING against a fence" -> the umbrellas lean — blind-9
@@ -1463,6 +1486,17 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
             and _norm(
                 PARTICIPLE_BASE.get(last_rel3[1], last_rel3[1])
             ) not in _GOAL_NORMED
+            # a SPANNING structure holds its "over": "crossing a bridge
+            # OVER a river" -> the bridge spans the river (NP-modifier
+            # attachment), never the crossing agent's path — blind-10
+            and not (
+                prep == "over" and _norm(subj.head) in _SPANNING_NORMED
+            )
+            # a relativizer made this object its own clause subject, so
+            # the PP stays inside the relative clause ("a man riding a
+            # horse THAT IS JUMPING over a fence" -> the horse goes over
+            # the fence) — blind-10 finding
+            and subj is not rel_clause_np
             # NOTE an animate verb object stays on the agent-attachment
             # path too ("feeding pigeons IN A CITY PARK" -> the man is
             # in the park): VP-adjunct locatives situate the clause
@@ -2207,6 +2241,14 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
             _is_verbish(nxt) or nxt in COPULAS
         ):
             rel_before_copula = nxt in COPULAS
+            if not rel_before_copula:
+                # finite relative ("a horse THAT JUMPS over a fence"):
+                # the relativized NP is the clause subject of what
+                # follows, so its PPs stay inside the relative clause —
+                # blind-10 finding (the copula form sets rel_clause_np
+                # in the COPULAS branch instead)
+                close_np()
+                rel_clause_np = last_np
             continue  # relativizer ("a girl THAT holds..."), not a det
         if w in ("which", "who") and nxt is not None and nxt in COPULAS:
             rel_before_copula = True  # "a dog WHICH is sleeping"
@@ -2377,6 +2419,18 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                     (w in MOTION_PREPS or w in ("at", "from"))
                     and last_rel3 is not None
                     and isinstance(last_rel3[1], str)
+                    # a relativizer made this object its own clause
+                    # subject ("a horse THAT IS JUMPING over a fence"
+                    # keeps its path) — blind-10 finding
+                    and last_np is not rel_clause_np
+                    # a spanning structure holds its "over" ("crossing a
+                    # bridge OVER a river" -> the bridge spans the river,
+                    # NP-modifier attachment) — blind-10 finding
+                    and not (
+                        w == "over"
+                        and last_np is not None
+                        and _norm(last_np.head) in _SPANNING_NORMED
+                    )
                     and (
                         (
                             last_np is last_rel3[2]
@@ -2425,7 +2479,18 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                 elif (
                     w != "of"  # of binds to its head, never re-anchors
                     and last_loc_rel is not None
-                    and last_np is last_loc_rel[1]
+                    and (
+                        last_np is last_loc_rel[1]
+                        # a distributed conjunct of the covering counts
+                        # too ("a pizza topped with cheese AND MUSHROOMS
+                        # on a wooden board" -> the pizza is on the
+                        # board) — blind-10 finding
+                        or (
+                            dist_pending
+                            and last_np is dist_pending[-1][3]
+                            and dist_pending[-1][0] is last_loc_rel[0]
+                        )
+                    )
                     and (
                         last_np.head in MATERIAL_NOUNS
                         # a stative-covering participle makes ANY object a
@@ -2480,6 +2545,22 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                     # -> the passenger is at the gate) — blind-4 finding
                     rel_subj = agent_subject(last_rel3[0])
                 elif (
+                    w == "for"
+                    and last_rel3 is not None
+                    and last_np is last_rel3[2]
+                    and isinstance(last_rel3[1], str)
+                    and _norm(
+                        PARTICIPLE_BASE.get(last_rel3[1], last_rel3[1])
+                    ) in _BENEFACTIVE_AGENT_NORMED
+                ):
+                    # benefactive "for" after a NON-TRANSFER action's
+                    # object anchors to the AGENT ("a crossing guard
+                    # stopping traffic FOR children" -> the guard acts
+                    # for the children); transfer/creation verbs keep
+                    # nearest attachment ("buying flowers FOR his wife"
+                    # -> the flowers are for the wife) — blind-10
+                    rel_subj = agent_subject(last_rel3[0])
+                elif (
                     w != "of"
                     and last_of_rel is not None
                     and (
@@ -2494,7 +2575,7 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                             and dist_pending[-1][0] is last_of_rel[0]
                         )
                     )
-                    and last_of_rel[0].head in CONTAINER_NOUNS
+                    and _norm(last_of_rel[0].head) in _CONTAINER_NORMED
                 ):
                     # "a PLATE of food ON a table": the container carries
                     # the locative (photo/group heads keep the of-object)
@@ -2543,6 +2624,18 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                 # the gerund re-anchor would pass the verb back to "man"
                 last_loc_rel = None
                 last_loc_prep = None
+                # only a PROGRESSIVE relative keeps its path PP ("a
+                # horse that is JUMPING over a fence" — the horse
+                # clears it); a participial predicate closes the
+                # clause, so a later PP reverts to the matrix verb ("a
+                # bike that is PAINTED red DOWN A STREET" — the man
+                # rides down the street) — blind-10 refinement
+                if (
+                    nxt is not None
+                    and nxt.endswith("ing")
+                    and _is_verbish(nxt)
+                ):
+                    rel_clause_np = last_np
             rel_before_copula = False
         elif w in CONJUNCTIONS:
             # attribute coordination stays inside the NP: "black AND white
