@@ -211,6 +211,27 @@ _SPANNING_NORMED = frozenset(
 _BENEFACTIVE_AGENT_NORMED = frozenset(
     porter_stem(w) for w in "stop block".split()
 )
+# lamp-compound premodifiers: "STREET lights", "TRAFFIC lights",
+# "CHRISTMAS lights up on the roof" are compound nouns, never the phrasal
+# verb "light up" — the rewrite below must not fire after one of these
+# (adversarial-review finding on the blind-9 rewrite: 'christmas lights up
+# on the roof' had become (christmas, light, roof))
+_LAMP_PREMODS = frozenset(
+    """street traffic christmas ceiling neon city brake tail fairy
+    holiday patio porch landing runway""".split()
+)
+# placement participles subcategorize their locative: under NEGATION the
+# PP is the denied argument, not a surviving adjunct ("a sign that has
+# not been PLACED on the wall" — the sign is NOT on the wall; contrast
+# "a bed that has not been MADE in a messy bedroom", where the bedroom
+# survives). Adversarial-review refinement of the blind-9 negated-passive
+# locative-survival rule.
+_PLACEMENT_NORMED = frozenset(
+    porter_stem(w) for w in
+    """park parked place placed put set leave left hang hung mount
+    mounted install installed position positioned dock docked moor
+    moored store stored keep kept""".split()
+)
 
 # photographic-framing participles: describe how the image was taken, not
 # the scene ("a man SEEN through a window") — never emitted as attributes
@@ -626,6 +647,7 @@ _COMPOUND_PREPS = (
     (("next", "to", "each", "other"), None),
     (("next", "to", "one", "another"), None),
     (("side", "by", "side"), None),
+    (("back", "to", "back"), None),
     (("next", "to"), "near"),
     (("close", "to"), "near"),
     # photographic framing prefix, not scene content: drop it so
@@ -977,6 +999,20 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                 nt is not None
                 and _is_participle(nt)
                 and nt not in FINITE_NOT_PARTICIPLE
+                # an ATTRIBUTIVE participle — followed by a bare content
+                # noun, no determiner — keeps the possession reading ("a
+                # pizza that has MELTED CHEESE" -> (pizza, have, cheese)
+                # + (cheese, melt); the aux reading needs a determined
+                # object: "has just hit A ball") — adversarial-review
+                # refinement of the blind-9 aux drop
+                and not (
+                    nt2 is not None
+                    and _content_word(nt2)
+                    and not _is_verbish(nt2)
+                    and nt2 not in DETERMINERS
+                    and nt2 not in PREPOSITIONS
+                    and nt2 not in CONJUNCTIONS
+                )
             ):
                 i = j
                 continue
@@ -1017,14 +1053,28 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
         # machinery already models ("watching fireworks LIGHT UP the sky"
         # -> the fireworks light the sky; _norm('lighting') == 'light',
         # matching the finite phrasing). A determiner keeps the noun
-        # reading ("a LIGHT up ahead"). — blind-9 finding
+        # reading ("a LIGHT up ahead") — blind-9 finding. The verb reading
+        # further needs (a) no lamp-compound premodifier before ("STREET
+        # lights up and down the road", "CHRISTMAS lights up on the roof"
+        # are compound nouns) and (b) a real OBJECT after "up" — a
+        # preposition/conjunction/bare adverbial there means the "up" is
+        # locative, not the phrasal particle ("lights up ON the roof",
+        # "lights up AND down", "lights up AHEAD") — adversarial-review
+        # refinement
         if (
             w in ("light", "lights")
             and nxt == "up"
             and (not out or out[-1] not in DETERMINERS)
+            and (not out or out[-1] not in _LAMP_PREMODS)
             and i + 2 < len(toks)
             and (
-                toks[i + 2] in DETERMINERS or _content_word(toks[i + 2])
+                toks[i + 2] in DETERMINERS
+                or (
+                    _content_word(toks[i + 2])
+                    and toks[i + 2] not in PREPOSITIONS
+                    and toks[i + 2] not in CONJUNCTIONS
+                    and toks[i + 2] not in ("ahead", "above", "overhead")
+                )
             )
         ):
             out.append("lighting")
@@ -1063,6 +1113,13 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
         # but an attribute before a noun ("the OVERHEAD compartment") —
         # blind-8 finding + review fix
         if w == "overhead" and not (nxt is not None and _nounish(nxt)):
+            i += 1
+            continue
+        # "ahead" is always an adverb — it never premodifies a noun ("a
+        # row of traffic lights up AHEAD", "the road AHEAD") and carries
+        # no scene content — adversarial-review finding (it had become
+        # an NP head: (ahead, light))
+        if w == "ahead":
             i += 1
             continue
         # anaphoric prep phrases restate structure already in the graph
@@ -1845,6 +1902,24 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
         if split_k >= 0:
             subj_words, verb = words[:split_k], words[split_k]
             obj_words = words[split_k + 1 :]
+            # possessive have + ATTRIBUTIVE participle: "a man who has
+            # TATTOOED arms" / "a pizza has MELTED cheese" — the relation
+            # is the have-form and the participle describes the OBJECT
+            # ((man, tattoo, arm) had said the man tattoos them; the
+            # stripped have-form had left a junk (man, ha) attribute) —
+            # adversarial-review refinement of the blind-9 aux drop,
+            # split-path twin of the attach_lone_segment handling
+            obj_attr_run: List[str] = []
+            if (
+                subj_words
+                and subj_words[-1] in ("has", "have", "had")
+                and not verb.endswith("ing")
+                and _is_participle(verb)
+                and verb not in FINITE_NOT_PARTICIPLE
+            ):
+                obj_attr_run = [verb]
+                verb = subj_words[-1]
+                subj_words = subj_words[:-1]
             subj_verbs: List[str] = []
             while (
                 subj_words
@@ -1937,6 +2012,11 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                     appos_prev = None
                 agent = gerund_agent(clause_subject(subj_eff), verb)
                 add_subj_tuple(agent, _norm(base), _norm(obj_np.head))
+                for v in obj_attr_run:
+                    # the attributive participle of a possessive have
+                    # describes the object ("has MELTED cheese")
+                    if _attr_ok(v):
+                        add_subj_tuple(obj_np, _norm(PARTICIPLE_BASE.get(v, v)))
                 last_rel3 = (agent, base, obj_np)
                 last_verb_rel3 = last_rel3
                 last_rel3_slot = "obj"
@@ -2178,16 +2258,39 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
             obj = _flush_np(words[k:])
             if obj is not None:
                 nps.append(obj)
+                # possessive have + ATTRIBUTIVE participle(s): "a pizza
+                # that has MELTED cheese" -> (pizza, have, cheese) +
+                # (cheese, melt) — the relation is the have-form and the
+                # participles describe the OBJECT, not the VP chain
+                # ((pizza, melt, cheese) had said the pizza melts the
+                # cheese) — adversarial-review refinement of the blind-9
+                # aux drop, which now keeps the have-form in this shape
+                if (
+                    k >= 2
+                    and words[0] in ("has", "have", "had")
+                    and all(
+                        _is_participle(t) and t not in FINITE_NOT_PARTICIPLE
+                        for t in words[1:k]
+                    )
+                ):
+                    rel_word, obj_attr_run = words[0], words[1:k]
+                else:
+                    rel_word, obj_attr_run = words[k - 1], []
                 # the whole verb run is one VP: a gerund head re-anchors it
                 # past a locative object to the clause subject ("a man on a
                 # bench READING a book" -> the man reads)
                 vp_anchor = gerund_agent(
-                    clause_subject(last_np), words[k - 1]
+                    clause_subject(last_np), rel_word
                 )
-                for v in words[: k - 1]:
-                    if _attr_ok(v):
-                        add_subj_tuple(vp_anchor, _norm(PARTICIPLE_BASE.get(v, v)))
-                base = PARTICIPLE_BASE.get(words[k - 1], words[k - 1])
+                if obj_attr_run:
+                    for v in obj_attr_run:
+                        if _attr_ok(v):
+                            add_subj_tuple(obj, _norm(PARTICIPLE_BASE.get(v, v)))
+                else:
+                    for v in words[: k - 1]:
+                        if _attr_ok(v):
+                            add_subj_tuple(vp_anchor, _norm(PARTICIPLE_BASE.get(v, v)))
+                base = PARTICIPLE_BASE.get(rel_word, rel_word)
                 add_subj_tuple(vp_anchor, _norm(base), _norm(obj.head))
                 last_rel3 = (vp_anchor, base, obj)
                 last_verb_rel3 = last_rel3
@@ -2301,6 +2404,14 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                     and not negated_verb.endswith("ing")
                     and _is_participle(negated_verb)
                     and negated_verb not in FINITE_NOT_PARTICIPLE
+                    # placement participles subcategorize the locative:
+                    # there the PP is the DENIED argument ("a car not
+                    # PARKED in the driveway" — the car is not in the
+                    # driveway), so the survival rule must not fire —
+                    # adversarial-review refinement of the blind-9 rule
+                    and _norm(
+                        PARTICIPLE_BASE.get(negated_verb, negated_verb)
+                    ) not in _PLACEMENT_NORMED
                 )
                 negate_vp = False
                 negate_rel = False

@@ -29,9 +29,9 @@ def test_spice_parser_golden_bounds():
     # findings — bring/give/lead/follow/pass/help/sniff/stretch/paddle
     # lexicon gaps, event gerunds on inanimate with-objects, the
     # directional 'back' particle, and transitive bare S_NOUN objects)
-    assert r["overall"]["n"] == 374
-    assert r["overall"]["gold"] == 1719
-    assert r["easy"]["n"] == 66 and r["medium"]["n"] == 192 and r["hard"]["n"] == 116
+    assert r["overall"]["n"] == 388
+    assert r["overall"]["gold"] == 1770
+    assert r["easy"]["n"] == 67 and r["medium"]["n"] == 200 and r["hard"]["n"] == 121
     # measured 2026-08-17 (round 3, session 3, post-residual-fixes):
     # easy 1.0 / medium 1.0 / hard 1.0, overall P/R/F1 1.0 — every
     # documented residual class now parses. Floors sit just under the
