@@ -36,8 +36,11 @@ from show_and_tell_tpu.metrics.meteor import porter_stem, _syn_groups
 DETERMINERS = frozenset(
     """a an the this that these those some any each every no all both
     his her its their my your our another other several few many most much
+    either neither
     one two three four five six seven eight nine ten""".split()
 )
+# either/neither: pure determiners ("trees on EITHER SIDE of the road" —
+# the side carries no 'either' attribute) — blind-11 finding
 # number words double as count attributes (SPICE keeps counts)
 NUMBERS = frozenset(
     "one two three four five six seven eight nine ten".split()
@@ -115,8 +118,10 @@ PREPOSITIONS = frozenset(
     before after near against into onto upon inside outside behind beside
     along across around atop underneath beneath past beyond within without
     with to from off down up toward towards amid amidst for out
-    like""".split()
+    like left_of right_of""".split()
 ) | {_FRONT}
+# left_of/right_of: sentinels from the "to the left/right of" collapse —
+# they relate like any preposition and normalize to left/right in tuples
 # "out" is a preposition ONLY via the "out of" collapse or right after a
 # look-type verb ("looking OUT the window"); bare "out" anywhere else is
 # a verb particle or adverb and is dropped in the pre-pass ("sticking OUT
@@ -129,8 +134,13 @@ CONJUNCTIONS = frozenset("and or but".split())
 SKIP = frozenset(
     """there it he she they i you we who which that as when where
     very really quite just also not n't about than together nearby
-    himself herself itself themselves indoors outdoors""".split()
+    himself herself itself themselves indoors outdoors
+    what anyone anybody nobody""".split()
 )  # indoors/outdoors: bare adverbs, no scene tuple — blind-8 finding.
+# "what" is a wh-word, never an entity ("WHAT appears to be a sandwich"
+# passes through to the sandwich); anyone/anybody/nobody are indefinite
+# pronouns with no scene referent ("a bench not occupied BY ANYONE") —
+# blind-11 findings
 # "overhead" is handled positionally in the pre-pass: adverb when bare
 # ("seagulls flying OVERHEAD"), attribute before a noun ("the OVERHEAD
 # compartment") — review fix
@@ -180,10 +190,14 @@ PLACE_NOUNS = frozenset(
     rain sunshine shade dark distance
     game games party parade festival fair wedding match event show
     concert ceremony carnival rodeo race rally tournament competition
-    store garage driveway highway porch balcony
+    store garage driveway highway porch balcony nest place
     table desk counter shelf bench couch sofa chair bed stool mat rug
     seat""".split()
 )
+# nest: a location like any furniture noun ("feeding its chicks IN A
+# NEST" — the bird is in the nest, the VP-adjunct convention); place:
+# the ordinal idiom's head ("crossing the finish line IN FIRST PLACE" —
+# the runner is in first place) — blind-11 findings
 
 # container nouns: "a PLATE of food on a table" — a locative after the
 # "of" object re-anchors to the container (the plate is on the table);
@@ -251,6 +265,29 @@ ASPECTUAL_VERBS = frozenset(
 LIGHT_VERBS = frozenset(
     "do does doing did done perform performs performing performed".split()
 )
+# get-forms: passive/causative auxiliaries, never a scene relation — the
+# pre-pass drops one before a bare participle ("getting HIT by a wave");
+# before an object the completion sites advance anchoring state without
+# emitting ("a child GETTING his face painted at a fair" -> (face,
+# painted) + (child, at, fair), no (child, get, face)) — blind-11
+_GET_FORMS = frozenset("getting gets get got".split())
+# ditransitive verbs: in the double-object frame (V + animate recipient +
+# det theme) the relation targets the THEME ("handing a woman A SLICE"
+# -> (man, hand, slice)); the recipient stays a bare entity. The
+# prepositional frame is untouched ("gives food TO a man" keeps
+# (woman, gives, food) + (food, to, man)) — blind-11 finding
+_DITRANS = frozenset(
+    """give gives giving gave given hand hands handing handed
+    feed feeds feeding fed offer offers offering offered
+    serve serves serving served toss tosses tossing tossed
+    throw throws throwing threw thrown pass passes passing passed
+    show shows showing showed shown bring brings bringing brought
+    buy buys buying bought""".split()
+)
+# event-noun themes rewrite the light-verb frame entirely: "giving her
+# mother A HUG" -> (girl, hug, mother), the hug is the relation, not an
+# entity — blind-11 finding
+_DITRANS_EVENT = frozenset("hug hugs kiss kisses".split())
 
 
 # irregular plurals the Porter stemmer cannot reduce — the lemma step
@@ -286,6 +323,10 @@ _IRREGULAR_NOUNS = {
 def _norm(word: str) -> str:
     if word == _FRONT:  # sentinel -> surface relation word in tuples
         return "front"
+    if word == "left_of":  # "to the left of" collapse -> relation 'left'
+        return "left"
+    if word == "right_of":
+        return "right"
     if word in ("one", "ones"):
         # Porter stems "one" -> "on", colliding with the preposition, and
         # "ones" -> "one", splitting the two forms apart; pin both to the
@@ -568,7 +609,10 @@ ANIMATE_NOUNS = frozenset(
     toddler toddlers infant infants passenger passengers snowboarder
     snowboarders hiker hikers owner owners teenager teenagers tourist
     tourists swimmer swimmers dancer dancers climber climbers biker
-    bikers
+    bikers mother mothers father fathers grandmother grandfather
+    son sons daughter daughters brother brothers sister sisters
+    customer customers waiter waiters waitress waitresses
+    runner runners driver drivers cyclist cyclists zookeeper zookeepers
     dog dogs cat cats horse horses elephant elephants giraffe giraffes
     zebra zebras bear bears bird birds cow cows sheep monkey monkeys
     animal animals
@@ -648,6 +692,23 @@ _COMPOUND_PREPS = (
     (("next", "to", "one", "another"), None),
     (("side", "by", "side"), None),
     (("back", "to", "back"), None),
+    # posture idiom: no scene tuple ("a man crawling ON ALL FOURS in the
+    # grass" — the man is in the grass) — blind-11 finding
+    (("on", "all", "fours"), None),
+    # hedge partitives pass through to the downstream noun like "one of
+    # the" ("SOME KIND OF bird perched on a wire" — the bird perches) —
+    # blind-11 finding
+    (("some", "kind", "of"), None),
+    (("some", "sort", "of"), None),
+    (("some", "type", "of"), None),
+    # relational direction phrases: a real SPICE relation, not a 'left'
+    # entity ("a vase sits TO THE LEFT OF the sink" -> (vase, left,
+    # sink)); bare "on the left" (no 'of') keeps its pinned locative
+    # reading ("the man on the left is smiling") — blind-11 finding
+    (("to", "the", "left", "of"), "left_of"),
+    (("to", "the", "right", "of"), "right_of"),
+    (("on", "the", "left", "side", "of"), "left_of"),
+    (("on", "the", "right", "side", "of"), "right_of"),
     (("next", "to"), "near"),
     (("close", "to"), "near"),
     # photographic framing prefix, not scene content: drop it so
@@ -660,6 +721,10 @@ _COMPOUND_PREPS = (
     (("one", "of", "the"), None),
     (("two", "of", "the"), None),
     (("some", "of", "the"), None),
+    # "no one" is the indefinite pronoun (nobody): no scene entity ("NO
+    # ONE sitting on the bench" had made 'one' an NP head) — review fix
+    # alongside the blind-11 anyone/anybody/nobody SKIP entries
+    (("no", "one"), None),
     (("a", "pair", "of"), None),
     (("a", "couple", "of"), None),
     # "cut IN HALF" is a state of the cut object, not a location: drop the
@@ -824,7 +889,21 @@ def _object_compound_tail(words: Sequence[str], k: int) -> bool:
     follows ("a man HOLDING two PARKED cars" — parked modifies cars;
     holding is the clause verb). Caller guarantees the right side of k is
     verb-free — blind-7 audit."""
-    if not _licensed_participle(words[k]):
+    if not (
+        _licensed_participle(words[k])
+        # a gerund directly preceded by a NUMBER word is attributive too
+        # ("holding ONE SLEEPING baby", "watching TWO BARKING dogs") — a
+        # number can never be a gerund clause's subject; non-number
+        # subjects keep the clause reading ("a giraffe EATING leaves")
+        # — review fix (the blind-7 number-subject rule had covered only
+        # participles)
+        or (
+            words[k].endswith("ing")
+            and _is_verbish(words[k])
+            and k >= 1
+            and words[k - 1] in NUMBERS
+        )
+    ):
         return False
     j, seen_premod = k - 1, False
     while j >= 0 and (
@@ -847,7 +926,17 @@ def _compound_right_side(words: Sequence[str], k: int) -> bool:
     token on the right — blind-7 audit."""
     right = words[k + 1 :]
     vpos = [m for m, t in enumerate(right) if _is_verbish(t)]
-    if not all(_licensed_participle(right[m]) for m in vpos):
+    if not all(
+        _licensed_participle(right[m])
+        # number-licensed attributive gerund ("holding ONE SLEEPING
+        # baby") — the twin of the _object_compound_tail extension
+        or (
+            right[m].endswith("ing")
+            and m >= 1
+            and right[m - 1] in NUMBERS
+        )
+        for m in vpos
+    ):
         return False
     lead = [t for t in right[: vpos[0]] if _content_word(t)]
     if not lead or not all(
@@ -1016,6 +1105,29 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
             ):
                 i = j
                 continue
+        # get-passive auxiliary: "a man GETTING hit by a wave" — the
+        # get-form before a bare participle is pure passive voice, like
+        # "being"; dropping it lets the existing by-passive machinery
+        # produce the active-aligned tuple ((wave, hit, man), with no
+        # junk (man, get) attribute). Followed by anything else the verb
+        # reading survives ("people GETTING on" keeps its pinned
+        # (people, getting) attribute; "getting ready to" collapsed
+        # earlier) — blind-11 finding
+        if w in ("getting", "gets", "get", "got"):
+            j = i + 1
+            while j < len(toks) and toks[j] in (
+                "just", "already", "recently", "finally"
+            ):
+                j += 1
+            nt = toks[j] if j < len(toks) else None
+            if (
+                nt is not None
+                and not nt.endswith("ing")
+                and _is_participle(nt)
+                and nt not in FINITE_NOT_PARTICIPLE
+            ):
+                i = j
+                continue
         if w in _MODALS and nxt == "be":
             i += 1  # "be" flows through
             continue
@@ -1130,6 +1242,53 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
         # the phrase ("on her HEAD" keeps its locative)
         if w in PREPOSITIONS and nxt in _ANAPHORS and (
             nxt2 is None or not _nounish(nxt2)
+        ):
+            i += 2
+            continue
+        # reciprocal objects of ANY preposition drop with it, like the
+        # "next to each other" idiom ("playing chess AGAINST ONE
+        # ANOTHER", "seated across FROM ONE ANOTHER", "leaning against
+        # one another ON A SHELF" keeps its re-anchored locative) —
+        # blind-11 finding
+        if w in PREPOSITIONS and (nxt, nxt2) in (
+            ("one", "another"), ("each", "other")
+        ):
+            i += 3
+            continue
+        # one/the-other anaphora over a plural head have SET semantics:
+        # both halves predicate the plural NP ("two dogs on a bed ONE
+        # sleeping and THE OTHER playing" -> the dogs sleep and play).
+        # "one" before a gerund rewrites to a VP coordination; "the
+        # other" before a gerund drops so its VP re-anchors the same
+        # way. A determiner/preposition before "one" keeps the head
+        # reading ("the ONE holding a balloon", "on one") — blind-11
+        if (
+            w == "one"
+            and nxt is not None
+            and nxt.endswith("ing")
+            and _is_verbish(nxt)
+            and (not out or out[-1] not in DETERMINERS)
+            and (not out or out[-1] not in PREPOSITIONS)
+            # a NOUN after the gerund means "one" is a count determiner
+            # ("holding ONE SLEEPING BABY"), not the anaphor — the
+            # anaphoric VP ends in a conjunction/prep/stream end
+            # ("one sleeping AND the other...") — review guard
+            and not (nxt2 is not None and _nounish(nxt2))
+        ):
+            out.append("and")
+            i += 1
+            continue
+        if (
+            w == "the"
+            and nxt == "other"
+            and nxt2 is not None
+            and nxt2.endswith("ing")
+            and _is_verbish(nxt2)
+            # same guard: "the OTHER RUNNING DOG" is a determined NP
+            # with a gerund attribute, not the anaphor — review guard
+            and not (
+                i + 3 < len(toks) and _nounish(toks[i + 3])
+            )
         ):
             i += 2
             continue
@@ -1252,6 +1411,13 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
     # the NP closed at the last conjunction with no relation of its own —
     # the candidate left-hand side of a subject coordination
     conj_prev: "_NP" | None = None
+    # a ditransitive verb relation whose object is an ANIMATE recipient,
+    # captured at a det-to-det juncture ("handing A WOMAN | A slice"):
+    # the NEXT NP is the true theme — the relation re-targets to it and
+    # the recipient stays a bare entity; an EVENT-noun theme rewrites the
+    # whole frame to its light-verb reading ("giving her mother A HUG" ->
+    # (girl, hug, mother)) — blind-11 finding
+    ditrans_prev: "tuple | None" = None
     # (subj NP, obj NP) of the last completed "of" relation: a locative
     # after the object re-anchors to a CONTAINER subject ("a plate of food
     # ON a table" -> the plate is on the table)
@@ -1612,6 +1778,25 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
             and last_of_rel[0].head in _PROJECTED_NOUNS
         ):
             return last_of_rel[0]
+        # a PLACE locative after a by-passive with an INANIMATE agent
+        # anchors to the SURFACE subject (the patient): "a man getting
+        # hit by a wave AT THE BEACH" -> the man is at the beach — a
+        # natural force has no location of its own in the scene. An
+        # ANIMATE by-agent keeps nearest attachment ("a frisbee thrown
+        # by its OWNER in a park" -> the owner is in the park, blind-6
+        # pin), as do non-place objects ("a sandwich made by a chef IN
+        # A WHITE APRON") — blind-11 finding
+        if (
+            isinstance(prep, str)
+            and prep in PREPOSITIONS
+            and prep != "of"
+            and obj_np.head in PLACE_NOUNS
+            and last_rel3 is not None
+            and last_rel3_slot == "subj"
+            and subj is last_rel3[0]
+            and subj.head not in ANIMATE_NOUNS
+        ):
+            return last_rel3[2]
         # a simile object is not a scene entity and cannot be located: a
         # PLACE locative after "like X" re-anchors to the compared
         # subject ("a train that looks LIKE A DRAGON at a station" ->
@@ -1719,13 +1904,20 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
         nonlocal cur, last_np, pending_rel, rel_subj, after_conj, \
             last_loc_rel, last_loc_prep, last_rel3, last_rel3_slot, \
             conj_prev, last_of_rel, last_of_owner, last_verb_rel3, \
-            detached, appos_prev, after_subord
+            detached, appos_prev, after_subord, negated_subject, \
+            ditrans_prev
         entry_conj = after_conj
         after_conj = False
         entry_subord = after_subord
         after_subord = False
         entry_detached = detached
         detached = False
+        # a ditransitive capture survives exactly ONE segment: the NP
+        # closing now is its candidate theme (blind-11)
+        entry_ditrans = ditrans_prev
+        ditrans_prev = None
+        without_possessor: "_NP | None" = None  # blind-11: "without" obj
+        get_causative_obj: "_NP | None" = None  # blind-11: get-causative
         words = list(cur)
         cur = []
 
@@ -1778,6 +1970,14 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
             pre = [t for t in words[:-1] if content_count([t])]
             if not pre:
                 return False
+            if words[-1] in ("turn", "turns") and words[-2] in (
+                "left", "right", "u"
+            ):
+                # direction compound: "a LEFT TURN" is an NP with 'turn'
+                # as head ('left' had won the head slot as a stripped
+                # participle of leave: (cyclist, signal, left) + (left,
+                # turn)) — blind-11 finding
+                return True
             if all(t in _SPORT_PREMODS for t in pre) and (
                 words[-1] in S_NOUN_AFTER_CONJ or words[-1] in _SPORT_TAILS
             ):
@@ -1984,6 +2184,13 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                         tuples.add(
                             (_norm(subj_np.head), _norm(pv), _norm(rel_subj.head))
                         )
+                    elif pending_rel == "without" or pending_rel in _GET_FORMS:
+                        # negative possession / get-causative: no relation
+                        # tuple; the split subject passes clause duty back
+                        # to the possessor/causer ("a man WITHOUT a hat
+                        # holding an umbrella" -> the man holds) — blind-11
+                        negated_np_ids.add(id(subj_np))
+                        negated_subject = rel_subj
                     else:
                         p_subj = place_rel_subject(rel_subj, pending_rel, subj_np)
                         add_subj_tuple(
@@ -2125,6 +2332,26 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                     )
                     last_rel3 = (np_, verb, rel_subj)
                     last_rel3_slot = "subj"  # coordination varies the agent
+            elif pending_rel == "without":
+                # negative possession: the absent object is still an
+                # entity, the denied relation is not, and clause
+                # subjecthood stays with the possessor so the following
+                # locative re-anchors ("a pizza WITHOUT any toppings ON
+                # A PLATE" -> (pizza, on, plate), no (pizza, without,
+                # toppings)) — blind-11 finding
+                negated_np_ids.add(id(np_))
+                negated_subject = rel_subj
+                without_possessor = rel_subj
+            elif pending_rel in _GET_FORMS:
+                # get-causative: no scene relation ("a child GETTING his
+                # face painted"); anchoring state still advances so the
+                # trailing locative re-anchors to the causer, and
+                # trailing participles describe the OBJECT ((face,
+                # painted), not (child, paint)) — blind-11 finding
+                last_rel3 = (rel_subj, pending_rel, np_)
+                last_verb_rel3 = last_rel3
+                last_rel3_slot = "obj"
+                get_causative_obj = np_
             else:
                 p_subj = place_rel_subject(rel_subj, pending_rel, np_)
                 add_subj_tuple(p_subj, _norm(PARTICIPLE_BASE.get(pending_rel, pending_rel)), _norm(np_.head))
@@ -2169,13 +2396,52 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
             coord_partner[id(np_)] = [conj_prev] + \
                 coord_partner.get(id(conj_prev), [])
             conj_prev = None
+        if (
+            entry_ditrans is not None
+            and pending_rel is None
+            and not entry_conj
+            and not entry_detached
+        ):
+            # double-object resolution (blind-11): the NP that closed at
+            # the det juncture was the RECIPIENT; this NP is the theme
+            d_subj, d_verb, d_obj1 = entry_ditrans
+            d_base = _norm(PARTICIPLE_BASE.get(d_verb, d_verb))
+            old = (_norm(d_subj.head), d_base, _norm(d_obj1.head))
+            tuples.discard(old)
+            for p in coord_partner.get(id(d_subj), []):
+                tuples.discard((_norm(p.head),) + old[1:])
+            if np_.head in _DITRANS_EVENT:
+                # light-verb frame: the event noun IS the relation
+                # ("giving her mother a HUG" -> (girl, hug, mother))
+                add_subj_tuple(d_subj, _norm(np_.head), _norm(d_obj1.head))
+                nps.pop()  # the event noun is not an entity
+                last_rel3 = (d_subj, np_.head, d_obj1)
+                last_rel3_slot = "obj"
+                without_possessor = d_obj1  # last_np falls to the recipient
+            else:
+                add_subj_tuple(d_subj, d_base, _norm(np_.head))
+                last_rel3 = (d_subj, d_verb, np_)
+                last_verb_rel3 = last_rel3
+                last_rel3_slot = "obj"
         pending_rel = None
         rel_subj = None
         last_np = np_
+        if without_possessor is not None:
+            # clause subjecthood stays with the possessor/recipient
+            last_np = without_possessor
         if defer_verbs:
             return trailing_verbs
         for v in trailing_verbs:
             if _attr_ok(v):
+                if (
+                    get_causative_obj is not None
+                    and not v.endswith("ing")
+                    and _is_participle(v)
+                ):
+                    # the causative's participle describes the OBJECT
+                    # ("getting his face PAINTED" -> (face, painted))
+                    add_subj_tuple(np_, _norm(PARTICIPLE_BASE.get(v, v)))
+                    continue
                 if v in COLOR_WORDS:
                     # colors ride into trailing_verbs only via the
                     # participle color-list bundle ("a bench PAINTED
@@ -2700,16 +2966,25 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                     # light-verb object: "DOES a trick ON a skateboard" —
                     # the locative belongs to the agent doing the trick
                     rel_subj = last_rel3[0]
-            elif not nps and orphan_verbs and orphan_pending is None:
-                orphan_pending = w  # "skiing DOWN ..." awaiting its object
+            elif not nps and orphan_pending is None:
+                # "skiing DOWN the mountain is ..." awaiting its object —
+                # or a sentence-INITIAL preposition opening a locative
+                # inversion ("ON the table sits a vase", "NEXT TO the
+                # window is a potted plant"): the post-verbal/post-copular
+                # NP is the subject the stashed PP binds to — blind-11
+                orphan_pending = w
         elif w in COPULAS:
             negate_rel = False
             close_np()
             appos_prev = None
             if orphan_pending is not None and last_np is not None:
-                # "skiing down THE MOUNTAIN is ...": the orphan VP's
-                # locative object just closed
-                orphan_rel = (orphan_pending, last_np)
+                if len(nps) == 1:
+                    # "skiing down THE MOUNTAIN is ..." / "next to THE
+                    # WINDOW is ...": the orphan PP's object is the ONLY
+                    # NP so far — bind it; a later copula ("in the
+                    # kitchen a woman is cooking") must not capture an
+                    # unrelated NP — blind-11 guard
+                    orphan_rel = (orphan_pending, last_np)
                 orphan_pending = None
             if orphan_verbs or orphan_rel is not None:
                 # inverted copula: the next NP to close is the VP's subject
@@ -2960,6 +3235,16 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                         # (woman, in, shirt) must not be dropped, and the
                         # verb's agent re-anchors past NON_AGENT heads
                         if pending_rel is not None and rel_subj is not None \
+                                and (
+                                    pending_rel == "without"
+                                    or pending_rel in _GET_FORMS
+                                ):
+                            # negative possession / get-causative object
+                            # acting as a clause subject: no relation
+                            # tuple; clause duty passes back — blind-11
+                            negated_np_ids.add(id(np_))
+                            negated_subject = rel_subj
+                        elif pending_rel is not None and rel_subj is not None \
                                 and not isinstance(pending_rel, tuple):
                             p_subj = place_rel_subject(
                                 rel_subj, pending_rel, np_
@@ -3015,11 +3300,26 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                             rel_subj = gerund_agent(
                                 clause_subject(np_), verb
                             )
+                        if orphan_pending is not None and len(nps) == 1:
+                            # full-verb locative inversion: a sentence-
+                            # initial PP, its object NP, then a finite
+                            # verb and the TRUE subject ("ON THE TABLE
+                            # sits a vase of flowers" -> (vase, sits) +
+                            # (vase, on, table), never (table, sit,
+                            # vase)) — the stashed PP and the verb both
+                            # bind to the first post-verbal NP — blind-11
+                            orphan_rel = (orphan_pending, np_)
+                            orphan_verbs.append(verb)
+                            orphan_pending = None
+                            invert_pending = True
+                            pending_rel = None
+                            rel_subj = None
                 else:
-                    had_connective = (
-                        pending_rel is not None or after_conj or detached
-                        or negate_vp or negate_rel
+                    conj_like = (
+                        after_conj or detached or negate_vp or negate_rel
                     )
+                    had_connective = pending_rel is not None or conj_like
+                    pend_before = pending_rel
                     close_np()
                     # determiner-to-determiner with no connective: the NP
                     # just closed is the left half of an appositive pair
@@ -3028,6 +3328,26 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                         if not had_connective and last_np is not None
                         else None
                     )
+                    # ditransitive double object: the verb relation that
+                    # just completed onto an ANIMATE recipient, followed
+                    # det-to-det by another NP, re-targets to that theme
+                    # ("handing A WOMAN | A SLICE of pizza" -> (man,
+                    # hand, slice); "giving HER MOTHER | A HUG" -> the
+                    # light-verb (girl, hug, mother)). Lists are excluded
+                    # by the asyndetic-list rewrite (a conjunction ahead
+                    # inserts 'and' and conj_like blocks the capture) —
+                    # blind-11 finding
+                    if (
+                        not conj_like
+                        and isinstance(pend_before, str)
+                        and pend_before in _DITRANS
+                        and last_rel3 is not None
+                        and last_rel3_slot == "obj"
+                        and last_np is last_rel3[2]
+                        and last_rel3[1] == pend_before
+                        and last_np.head in ANIMATE_NOUNS
+                    ):
+                        ditrans_prev = last_rel3
             cur.append(w)
         elif w in SKIP:
             pass
