@@ -695,6 +695,12 @@ _COMPOUND_PREPS = (
     # posture idiom: no scene tuple ("a man crawling ON ALL FOURS in the
     # grass" — the man is in the grass) — blind-11 finding
     (("on", "all", "fours"), None),
+    # two-prep reciprocals collapse whole so the first prep never
+    # strands ("seated ACROSS FROM EACH OTHER sharing a dessert" — the
+    # generic P+reciprocal drop left a dangling 'across' that captured
+    # the following gerund as its object) — blind-12 finding
+    (("across", "from", "each", "other"), None),
+    (("across", "from", "one", "another"), None),
     # hedge partitives pass through to the downstream noun like "one of
     # the" ("SOME KIND OF bird perched on a wire" — the bird perches) —
     # blind-11 finding
@@ -1778,6 +1784,20 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
             and last_of_rel[0].head in _PROJECTED_NOUNS
         ):
             return last_of_rel[0]
+        # a POSSESSED body-part object of a motion prep keeps nearest
+        # attachment: the agent cannot be located relative to their own
+        # body part ("holding an umbrella OVER HIS HEAD" — the umbrella
+        # is over the head; the motion-prep agent re-anchor had said the
+        # man is over his own head) — blind-12 finding
+        if (
+            isinstance(prep, str)
+            and prep in MOTION_PREPS
+            and obj_np.head in BODY_PART_NOUNS
+            and obj_np.poss
+            and last_verb_rel3 is not None
+            and subj is last_verb_rel3[0]
+        ):
+            return last_verb_rel3[2]
         # a PLACE locative after a by-passive with an INANIMATE agent
         # anchors to the SURFACE subject (the patient): "a man getting
         # hit by a wave AT THE BEACH" -> the man is at the beach — a

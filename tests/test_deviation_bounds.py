@@ -34,9 +34,9 @@ def test_spice_parser_golden_bounds():
     # left/right-of, one/the-other anaphora, prep+one-another
     # reciprocals, negative possession, hedge partitives, posture
     # idioms, direction-turn compounds)
-    assert r["overall"]["n"] == 412
-    assert r["overall"]["gold"] == 1874
-    assert r["easy"]["n"] == 69 and r["medium"]["n"] == 212 and r["hard"]["n"] == 131
+    assert r["overall"]["n"] == 415
+    assert r["overall"]["gold"] == 1889
+    assert r["easy"]["n"] == 69 and r["medium"]["n"] == 215 and r["hard"]["n"] == 131
     # measured 2026-08-17 (round 3, session 3, post-residual-fixes):
     # easy 1.0 / medium 1.0 / hard 1.0, overall P/R/F1 1.0 — every
     # documented residual class now parses. Floors sit just under the
@@ -297,6 +297,37 @@ def test_spice_parser_blind40_round11_bounds():
 
     path = os.path.join(
         os.path.dirname(__file__), "data", "spice_parser_blind40_r11.json"
+    )
+    r = spice_parser_eval(path)
+    assert r["overall"]["n"] == 40
+    assert r["overall"]["f1"] == 1.0
+    assert r["easy"]["f1"] == 1.0 and r["medium"]["f1"] == 1.0
+    assert r["hard"]["f1"] == 1.0
+    assert r["overall"]["precision"] >= 0.99
+    assert r["overall"]["recall"] >= 0.99
+
+
+def test_spice_parser_blind40_round12_bounds():
+    """Twelfth blind probe, NATURAL COCO-like mix (18 easy / 16 medium /
+    6 hard) re-verifying the natural-distribution claim after blind
+    batch #11's ~15 conventions and its same-session review guards.
+    Pre-fix F1 0.9854 (easy 1.000 / medium 0.990 / hard 0.935) against
+    the original labels — the natural-mix trend holds and improves
+    (#5 0.9904, #8 0.9859, #10 0.9746, #12 0.9854), and the batch-11
+    frames in natural phrasing (get-causative barber, ditransitive
+    waitress, locative inversion) plus both deliberate lexicon probes
+    (jockey by-agent, pigtails with-object) all passed blind. Two fixes,
+    no label corrections in this corpus: possessed body-part objects of
+    motion preps keep nearest attachment ('holding an umbrella OVER HIS
+    HEAD' — the agent cannot be located relative to their own body
+    part; one golden label, shakes-water-off-fur, was corrected to this
+    convention), and two-prep reciprocals collapse whole ('seated
+    ACROSS FROM EACH OTHER sharing a dessert' had stranded 'across',
+    which captured the following gerund as its object)."""
+    import os
+
+    path = os.path.join(
+        os.path.dirname(__file__), "data", "spice_parser_blind40_r12.json"
     )
     r = spice_parser_eval(path)
     assert r["overall"]["n"] == 40
