@@ -271,6 +271,20 @@ LIGHT_VERBS = frozenset(
 # emitting ("a child GETTING his face painted at a fair" -> (face,
 # painted) + (child, at, fair), no (child, get, face)) — blind-11
 _GET_FORMS = frozenset("getting gets get got".split())
+# exemplification: "foods INCLUDING pizza and salad" lists examples of an
+# NP already in the graph — the examples are bare entities, with no
+# relation to the listing head and no distribution of its pending
+# relation onto them — blind-13 finding
+_EXEMPLAR = frozenset("including includes".split())
+# vague large quantifiers pass through to their of-object like many/a-few
+# drop ("DOZENS OF seagulls" -> the seagulls; no (dozen, of, seagull))
+# — blind-13 finding
+_VAGUE_LARGE = frozenset("dozens hundreds thousands scores".split())
+# "fit(s) in/into X" is a light locative — the verb asserts nothing but
+# containment, so it drops and the preposition anchors to the subject
+# ("a kitten so small it FITS IN the palm" -> (kitten, in, palm), no
+# (kitten, fit)) — blind-13 finding
+_FIT_FORMS = frozenset("fit fits fitting".split())
 # ditransitive verbs: in the double-object frame (V + animate recipient +
 # det theme) the relation targets the THEME ("handing a woman A SLICE"
 # -> (man, hand, slice)); the recipient stays a bare entity. The
@@ -451,8 +465,12 @@ MATERIAL_NOUNS = frozenset(
 AMBIENT_NOUNS = frozenset(
     """sun shade sunlight sunshine fog mist dark darkness distance
     background foreground moonlight
-    sunset sunrise dusk dawn night noon daytime nighttime""".split()
-)
+    sunset sunrise dusk dawn night noon daytime nighttime
+    day days morning afternoon evening winter summer spring autumn""".split()
+)  # temporal heads ("on a RAINY DAY", "on a summer morning") describe the
+# scene like weather/lighting do: the locative re-anchors to the clause
+# subject past a with-object ("people walking with umbrellas ON A RAINY
+# DAY" -> the people are out on the day, not the umbrellas) — blind-13
 # EVENT nouns (a subset of PLACE_NOUNS): as a chained locative's object
 # they situate the scene's SUBJECT, not the nearest noun ("a man does a
 # trick on his skateboard AT A COMPETITION" -> the man is there)
@@ -569,6 +587,13 @@ _STATIVE_NORMED = frozenset(porter_stem(w) for w in _STATIVE_COVER)
 # attachment participles: their subject stays the located thing through a
 # chained locative ("a mirror MOUNTED on a wall above a sink" -> the
 # mirror is above the sink) — blind-9 finding
+# transformation participles whose "into"-object is a RESULT, not a goal
+# location: a PLACE locative after that object re-anchors to the
+# transformed subject ("a sandwich CUT INTO two halves ON A PLATE" ->
+# the sandwich is on the plate, not the halves) — blind-13 finding
+_TRANSFORM_NORMED = frozenset(
+    porter_stem(w) for w in "cut sliced divided split chopped folded".split()
+)
 _MOUNT_NORMED = frozenset(
     porter_stem(w) for w in
     "mounted hung attached fixed fastened installed bolted".split()
@@ -630,6 +655,11 @@ ADJ_COORD = COLOR_WORDS | POST_ADJS | frozenset(
     open closed striped spotted fluffy furry shiny rusty broken fresh
     round square modern vintage colorful plain fuzzy""".split()
 )
+# the full predicate-adjective lexicon — degree/comparative rewrites
+# ("as BIG as", "too HEAVY to", "so HIGH that") and the conjunction-
+# boundary predicate binding test against it — blind-13
+_PRED_ADJ_SET = ADJ_COORD | PRED_ADJS | SIZE_WORDS
+
 # verbs whose NOUN reading wins right after a conjunction ("food and
 # DRINKS", "dogs and PETS", "a park with slides and SWINGS", "a suit and
 # TIE"): close_np treats a lone one there as an NP, while the verb
@@ -1035,10 +1065,33 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
             i += 1
     toks = out
 
+    # where-relative: "a PARK where children are playing" locates the
+    # clause's subject IN the head NP ((children, in, park)), so the
+    # caption reorders to the plain clause the machinery already models
+    # ("children are playing in a park"). Scoped to a caption-initial
+    # head NP (dets/attrs/noun only) with a real clause after "where" —
+    # blind-13 finding
+    if "where" in toks:
+        k = toks.index("where")
+        if (
+            1 <= k <= 4
+            and all(
+                not _is_verbish(t)
+                and t not in PREPOSITIONS
+                and t not in COPULAS
+                and t not in CONJUNCTIONS
+                for t in toks[:k]
+            )
+            and any(_is_verbish(t) or t in COPULAS for t in toks[k + 1 :])
+        ):
+            toks = toks[k + 1 :] + ["in"] + toks[:k]
+
     # drop modal auxiliaries before (optionally negated) "be" and
     # raising-verb "to" bigrams — see _MODALS / _RAISING_VERBS above
     out = []
     i = 0
+    whose_pending = False  # "whose" rewrite awaits its embedded copula
+    from_one_noun = None  # "from one X" awaiting its "to another" endpoint
     while i < len(toks):
         w = toks[i]
         nxt = toks[i + 1] if i + 1 < len(toks) else None
@@ -1068,6 +1121,212 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
             # with a following NP ("walking UP the stairs" keeps its
             # path; "HOLDING UP an umbrella" drops it)
             i += 1
+            continue
+        # degree adverbs carry no scene content ("a glass NEARLY full of
+        # orange juice" -> (glass, full)) — blind-13 finding
+        if w in ("nearly", "almost"):
+            i += 1
+            continue
+        # vague large quantifiers pass through to their of-object
+        # ("DOZENS OF seagulls flying" -> the seagulls fly) — blind-13
+        if w in _VAGUE_LARGE and nxt == "of":
+            i += 2
+            continue
+        # "one of several/many X" is a vague partitive: pass through to
+        # the plural head, which keeps its verbs and locatives ("ONE OF
+        # SEVERAL boats docked at a pier" -> (boats, docked)) — blind-13
+        if (
+            w == "one"
+            and nxt == "of"
+            and nxt2 in ("several", "many")
+            and i + 3 < len(toks)
+            and _content_word(toks[i + 3])
+        ):
+            i += 3
+            continue
+        # temporal subordination over a gerund is VP coordination on the
+        # matrix subject ("a man resting AFTER FINISHING a race" -> the
+        # man rests and finishes) — 'after' itself emits nothing;
+        # after/before with an NP object stay prepositions — blind-13
+        if (
+            w in ("after", "before")
+            and nxt is not None
+            and nxt.endswith("ing")
+            and _is_verbish(nxt)
+        ):
+            out.append("and")
+            i += 1
+            continue
+        # "fit(s) in/into" is a light locative: the verb drops and the
+        # preposition anchors to the subject — blind-13 finding
+        if w in _FIT_FORMS and nxt in ("in", "into", "inside"):
+            i += 1
+            continue
+        # "set up" in verb position is the arrangement participle
+        # ("umbrellas of different colors SET UP on a beach" ->
+        # (umbrellas, set)); the -ing rewrite marks it as a verb for the
+        # segmentation (same stem after Porter). A determiner before
+        # keeps the noun reading ("a chess SET") — blind-13 finding
+        if (
+            w == "set"
+            and nxt == "up"
+            and out
+            and out[-1] not in DETERMINERS
+            and out[-1] not in PREPOSITIONS
+        ):
+            out.append("setting")
+            i += 2
+            continue
+        # "too ADJ to VERB" is an UNREALIZED infinitive: the adjective
+        # predicates the subject and the infinitive emits nothing, its
+        # object surviving as a bare entity ("a box TOO HEAVY TO LIFT"
+        # -> (box, heavy); "a boy too short to reach THE COUNTER" ->
+        # (boy, short) + (counter,)) — blind-13 finding
+        if (
+            w == "too"
+            and nxt in _PRED_ADJ_SET
+            and not _is_verbish(nxt)
+            and nxt2 == "to"
+            and i + 3 < len(toks)
+            and _is_verbish(toks[i + 3])
+        ):
+            out.extend(["is", nxt])
+            i += 4
+            if i < len(toks) and toks[i] not in CONJUNCTIONS:
+                out.append("and")  # detach the unrealized verb's object
+            continue
+        # "as ADJ as NP" comparative: the adjective predicates the
+        # subject; the standard of comparison is its own entity with its
+        # own attributes ("a dog AS BIG AS a small horse" -> (dog, big)
+        # + (horse, small)) — blind-13 finding
+        if (
+            w == "as"
+            and nxt in _PRED_ADJ_SET
+            and not _is_verbish(nxt)
+            and nxt2 == "as"
+        ):
+            out.extend(["is", nxt, "and"])
+            i += 3
+            continue
+        # "so ADJ (that) (it/they)" result clause: the adjective
+        # predicates the subject and the result clause's anaphoric
+        # subject IS the matrix subject, so it rewrites to VP
+        # coordination ("a kite flying SO HIGH THAT IT looks like a dot"
+        # -> (kite, high) + (kite, looks) + (kite, like, dot)) —
+        # blind-13 finding
+        if w == "so" and nxt in _PRED_ADJ_SET and not _is_verbish(nxt):
+            j = i + 2
+            if j < len(toks) and toks[j] == "that":
+                j += 1
+            if j < len(toks) and toks[j] in ("it", "they", "he", "she"):
+                j += 1
+            if j < len(toks) and (
+                _is_verbish(toks[j])
+                or toks[j] in COPULAS
+                or toks[j] in _FIT_FORMS
+            ):
+                if not (out and _is_verbish(out[-1])):
+                    out.append("is")
+                out.extend([nxt, "and"])
+                i = j
+                continue
+            i += 1  # bare "so ADJ": degree word drops
+            continue
+        # bare degree "so"/"too" outside the comparative frames above
+        # carries no scene content ("carrying TOO many bags", "a table
+        # with SO many plates" — the quantifier machinery handles the
+        # rest) — blind-13 review finding: 'too' had become a verb
+        # OBJECT ((man, carry, too))
+        if w in ("too", "so"):
+            i += 1
+            continue
+        # possessive relative: "a man WHOSE shirt is covered in paint" ->
+        # (man, have, shirt) with the part as the embedded clause's
+        # subject — rewritten onto the possessive-have + relativizer
+        # machinery ("a man THAT HAS a shirt THAT is covered...");
+        # whose_pending inserts the second relativizer at the next
+        # copula — blind-13 finding
+        if w == "whose":
+            out.extend(["that", "has", "a"])
+            whose_pending = True
+            i += 1
+            continue
+        if (
+            whose_pending
+            and (w in COPULAS or _is_verbish(w))
+            and out
+            and _nounish(out[-1])
+        ):
+            # the part NP is complete (a noun precedes): bind the
+            # embedded predicate to it — copular ("whose shirt IS
+            # covered") and finite ("whose dog RUNS in a park") alike;
+            # an attributive participle inside the part NP ("whose
+            # PAINTED fence...") has no noun before it yet, so the
+            # insert waits — blind-13
+            out.append("that")
+            whose_pending = False
+            # fall through: the verb/copula itself is processed below
+        # negative existential: "THERE ARE NO cars parked on the street"
+        # denies the VP and its locative but keeps the entities —
+        # reordered onto the clause-negation machinery ("cars NOT parked
+        # on the street" -> (cars,) + (street,)) — blind-13 finding
+        if w == "there" and nxt in COPULAS and nxt2 == "no":
+            j = i + 3
+            while j < len(toks) and not (
+                _is_verbish(toks[j])
+                or toks[j] in PREPOSITIONS
+                or toks[j] in COPULAS
+                or toks[j] in CONJUNCTIONS
+            ):
+                out.append(toks[j])
+                j += 1
+            if j < len(toks):
+                out.append("not")
+            i = j
+            continue
+        # "from one X to another (X)" / "from one X ... to the other":
+        # a path over two instances of the same entity class — 'one' is
+        # the determiner half of the one/another pair, not a count ("a
+        # train traveling FROM ONE STATION TO ANOTHER" -> (train, from,
+        # station) + (train, to, station)). The 'from' half records the
+        # noun; the anaphoric endpoint restores it — blind-13 finding
+        if (
+            w == "from"
+            and nxt == "one"
+            and nxt2 is not None
+            and _nounish(nxt2)
+        ):
+            for j in range(i + 3, len(toks) - 1):
+                if toks[j] != "to":
+                    continue
+                if toks[j + 1] == "another" or (
+                    toks[j + 1] == "the"
+                    and j + 2 < len(toks)
+                    and toks[j + 2] == "other"
+                ):
+                    out.extend(["from", nxt2])
+                    from_one_noun = nxt2
+                    break
+            else:
+                out.append(w)  # plain count: "a view FROM ONE window"
+                i += 1
+                continue
+            i += 3
+            continue
+        if from_one_noun is not None and w == "to" and (
+            (
+                nxt == "another"
+                and (nxt2 is None or not _nounish(nxt2))
+            )
+            or (
+                nxt == "the"
+                and nxt2 == "other"
+                and (i + 3 >= len(toks) or not _nounish(toks[i + 3]))
+            )
+        ):
+            out.extend(["to", from_one_noun])
+            i += 2 if nxt == "another" else 3
+            from_one_noun = None
             continue
         # perfect auxiliary: "has (just) hit a ball", "has been made",
         # "has not been made" — the have-form carries no scene content and
@@ -1147,6 +1406,29 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
         if w in _RAISING_VERBS and nxt == "to":
             i += 2
             continue
+        # bare-adjective raising: "a box that SEEMS (TOO) HEAVY" is the
+        # copular predication "is heavy" — the raising verb and the
+        # degree word carry no scene content — blind-13 finding
+        if w in _RAISING_VERBS:
+            j = i + 1
+            if j < len(toks) and toks[j] == "too":
+                j += 1
+            if j < len(toks) and (
+                (toks[j] in _PRED_ADJ_SET and not _is_verbish(toks[j]))
+                # open-class predicate adjective ("a dog that SEEMS
+                # HAPPY"): any noun-like token NOT followed by another
+                # noun-like token (a real NP object would be) reads
+                # predicative — blind-13 review finding
+                or (
+                    _nounish(toks[j])
+                    and (
+                        j + 1 >= len(toks) or not _nounish(toks[j + 1])
+                    )
+                )
+            ):
+                out.append("is")
+                i = j  # the adjective itself is processed next
+                continue
         # the bare-form guard reads the stream BEFORE this pass's own
         # drops (toks[i-1], which may be the _INF_TO sentinel left by the
         # preparatory-aspect collapse): an infinitive is active voice, so
@@ -1384,6 +1666,10 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
     # (man, hold, dog)).
     negate_vp = False
     negate_rel = False
+    # exemplification tail ("foods INCLUDING pizza and salad"): NPs close
+    # as bare entities — no relation to the listing head, no distribution
+    # of its pending relation — until the next copula/clause boundary
+    exemplar_mode = False
     negated_verb: "str | None" = None  # the dropped verb form: passive
     # participles let a PLACE locative survive negation (blind-9)
     # NPs that closed as the object of a negated VP: excluded from
@@ -1547,6 +1833,12 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
         possessor/wearer: 'a man with a BEARD holding a phone' -> man
         holds; 'a child wearing a HELMET rides a bicycle' -> the child
         rides (the helmet is the object of the last active relation)."""
+        if np_ is rel_clause_np:
+            # a relativizer bound this NP as its own clause subject: the
+            # embedded VP is predicated OF the part ("a woman whose HAIR
+            # is BLOWING in the wind" -> the hair blows, not the woman)
+            # — blind-13 finding
+            return np_
         if np_.head in NON_AGENT or (
             np_.head in BODY_PART_NOUNS and np_.poss
         ):
@@ -1885,6 +2177,45 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                 # pitcher is at the game, not the ball) — blind-6
                 return last_verb_rel3[0]
             return cand
+        # from-to path: both endpoints locate the MOVER ("a train
+        # traveling FROM a station TO another" — the train goes to the
+        # second station; nearest attachment had located the first
+        # station at the second) — blind-13 finding
+        if (
+            prep == "to"
+            and last_loc_prep == "from"
+            and last_loc_rel is not None
+            and (
+                subj is last_loc_rel[1]
+                # ... including through the endpoint's partitive ("from
+                # one side OF THE ROAD to the other" — the road is the
+                # from-endpoint's of-object, and the mover still goes to
+                # the other side)
+                or (
+                    last_of_rel is not None
+                    and subj is last_of_rel[1]
+                    and last_of_rel[0] is last_loc_rel[1]
+                )
+            )
+        ):
+            return last_loc_rel[0]
+        # result-'into' object of a transformation participle: the
+        # following locative belongs to the TRANSFORMED subject ("a
+        # sandwich CUT INTO two halves ON A PLATE" -> the sandwich is on
+        # the plate; the halves are its form, not a location) — blind-13
+        if (
+            isinstance(prep, str)
+            and prep in PREPOSITIONS
+            and prep != "of"
+            and last_loc_prep == "into"
+            and last_loc_rel is not None
+            and subj is last_loc_rel[1]
+            and any(
+                (_norm(last_loc_rel[0].head), m) in tuples
+                for m in _TRANSFORM_NORMED
+            )
+        ):
+            return last_loc_rel[0]
         # a MOUNTED/HUNG subject is the located thing throughout its
         # locative chain: "a mirror MOUNTED on a wall ABOVE A SINK" ->
         # the mirror is above the sink (the attachment surface is not
@@ -2262,6 +2593,17 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
             "his", "her", "its", "their"
         ):
             np_.poss = True
+        if np_ is not None and exemplar_mode:
+            # exemplification: a bare entity with its own attributes,
+            # outside every relation/coordination path — blind-13
+            nps.append(np_)
+            conj_prev = None
+            if defer_verbs:
+                return trailing_verbs
+            for v in trailing_verbs:
+                if _attr_ok(v):
+                    add_subj_tuple(np_, _norm(PARTICIPLE_BASE.get(v, v)))
+            return []
         if np_ is None:
             # segment was all verbs/adjectives: attach to the previous NP.
             # After a conjunction the verbs belong to the CLAUSE SUBJECT,
@@ -2642,6 +2984,15 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
         if w in ("which", "who") and nxt is not None and nxt in COPULAS:
             rel_before_copula = True  # "a dog WHICH is sleeping"
             continue
+        if w in _EXEMPLAR:
+            # exemplification boundary: complete the pending relation on
+            # the listing head ("a table WITH various foods INCLUDING
+            # pizza..."), then close the examples as bare entities —
+            # blind-13 finding
+            if cur:
+                close_np()
+            exemplar_mode = True
+            continue
         if w == "'s":
             # possessive clitic: "a man 's hat" -> (man, have, hat); the
             # copular reading ("the dog 's brown") is rare in caption text
@@ -2995,6 +3346,7 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                 orphan_pending = w
         elif w in COPULAS:
             negate_rel = False
+            exemplar_mode = False  # the example list ends at a new clause
             close_np()
             appos_prev = None
             if orphan_pending is not None and last_np is not None:
@@ -3068,10 +3420,31 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                         pending_rel is None
                         and lone_content_segment()
                         and not _is_verbish(cur[-1])
+                        # exemplification items are separate entities,
+                        # never a shared attribute segment ("including
+                        # PIZZA and SALAD") — blind-13
+                        and not exemplar_mode
                     )
                 )
             ):
                 continue
+            if (
+                pending_rel is None
+                and lone_content_segment()
+                and any(_content_word(c) for c in cur)
+                and all(
+                    c in _PRED_ADJ_SET and not _is_verbish(c)
+                    for c in cur
+                    if _content_word(c)
+                )
+            ):
+                # a pure predicate-adjective segment before NP/PP/VP
+                # coordination binds to the clause subject, which keeps
+                # the clause ("a kitten is small AND IN THE PALM" -> the
+                # kitten is small and in the palm; the adjective had
+                # closed as its own NP and captured the locative) —
+                # blind-13 finding
+                attach_lone_segment()
             negate_vp = False
             negate_rel = False
             close_np()
@@ -3389,7 +3762,7 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
             if last_np is at_rel3_anchor():
                 last_np = last_rel3[0]
             after_conj = False
-    if lone_content_segment() and pending_rel is None:
+    if lone_content_segment() and pending_rel is None and not exemplar_mode:
         attach_lone_segment()
     close_np()
 
