@@ -1299,10 +1299,20 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
             for j in range(i + 3, len(toks) - 1):
                 if toks[j] != "to":
                     continue
-                if toks[j + 1] == "another" or (
+                # the endpoint must be ANAPHORIC — the same not-_nounish
+                # lookahead the to-site consumption applies ("from one
+                # station TO ANOTHER CITY" is two different entities, not
+                # the one/another pair; committing the rewrite there would
+                # leave from_one_noun armed for the rest of the caption) —
+                # advisor r3 finding
+                if (
+                    toks[j + 1] == "another"
+                    and (j + 2 >= len(toks) or not _nounish(toks[j + 2]))
+                ) or (
                     toks[j + 1] == "the"
                     and j + 2 < len(toks)
                     and toks[j + 2] == "other"
+                    and (j + 3 >= len(toks) or not _nounish(toks[j + 3]))
                 ):
                     out.extend(["from", nxt2])
                     from_one_noun = nxt2
@@ -3064,6 +3074,19 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                 if negated_subject is None:
                     negated_subject = last_np
                 continue
+            if exemplar_mode:
+                # a preposition ENDS the example list: the pending segment
+                # closes as its own bare exemplar entity (never as an
+                # attribute of the listing head — "books including NOVELS
+                # in a library" must not emit (book, novel)), and the PP
+                # re-anchors to the listing clause exactly as it would
+                # without the list ("a table with foods including pizza
+                # and salad NEAR A WINDOW" -> (food, near, window), the
+                # same nearest attachment as "a table with foods near a
+                # window") — advisor r3 finding
+                if cur:
+                    close_np()
+                exemplar_mode = False
             if lone_content_segment() and pending_rel is None:
                 # "dogs RUNNING on the beach": gerund/adjective segment ->
                 # attributes of the previous NP; the preposition then
