@@ -1,0 +1,96 @@
+"""Metric-suite wall-time budget pin (VERDICT r3 item 7).
+
+The eval suite runs INSIDE the training loop at every checkpoint gate
+(reference train.py:157-159), so its cost is training overhead, not just
+offline scoring. The SPICE parser's rule growth has been creeping
+(~3.2 s -> ~4.4 s -> ~5.0 s per 30k unique captions across blind batches
+#5 -> #7 -> #11, docs/STATUS.md perf table) with nothing to stop a future
+rule doubling it silently. This test pins the worst case: a full val-5k
+shaped evaluation — 5,000 images x 5 unique references + 5,000 unique
+candidates = 30,000 distinct captions, zero parse-cache hits — through
+the COCOEvalCap orchestrator (PTB tokenize + BLEU-1..4 + METEOR +
+ROUGE-L + CIDEr + SPICE), best-of-3 with the parse cache cleared before
+every round.
+
+Budget: 12 s on one host core (measured ~8 s at pin time, single windows
+8-11 s under host load; the bar gives legitimate parser work ~50%
+headroom but trips well before the 2x regression VERDICT set as the red
+line)."""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+
+import numpy as np
+
+from show_and_tell_tpu.metrics import scene_graph
+from show_and_tell_tpu.metrics.coco import COCO
+from show_and_tell_tpu.metrics.orchestrator import COCOEvalCap
+
+N_IMAGES = 5000
+BUDGET_S = 12.0
+
+_COLORS = ["red", "green", "blue", "yellow", "purple", "orange"]
+_SHAPES = ["circle", "square", "triangle"]
+_VERBS = ["sitting", "standing", "resting", "floating"]
+_PLACES = ["table", "window", "fence", "wall", "street", "field"]
+
+
+def _caption(rng: np.random.Generator, uniq: str) -> str:
+    """8-12 word COCO-shaped caption, made unique by ``uniq``."""
+    c1, c2 = rng.choice(_COLORS, 2, replace=False)
+    s1, s2 = rng.choice(_SHAPES, 2)
+    toks = ["a", str(c1), str(s1), str(rng.choice(_VERBS)), "next", "to",
+            "a", str(c2), str(s2), "near", "the", uniq]
+    return " ".join(toks[: int(rng.integers(8, 13))] + [uniq])[:200]
+
+
+def _build_workload(tmpdir: str):
+    rng = np.random.default_rng(0)
+    ann = {"images": [], "annotations": []}
+    preds = []
+    aid = 0
+    for i in range(N_IMAGES):
+        ann["images"].append({"id": i})
+        for r in range(5):
+            ann["annotations"].append(
+                {"id": aid, "image_id": i, "caption": _caption(rng, f"g{aid}x")}
+            )
+            aid += 1
+        preds.append({"image_id": i, "caption": _caption(rng, f"c{i}x")})
+    path = os.path.join(tmpdir, "ann.json")
+    with open(path, "w") as f:
+        json.dump(ann, f)
+    return path, preds
+
+
+def test_metric_suite_val5k_budget():
+    with tempfile.TemporaryDirectory() as td:
+        ann_path, preds = _build_workload(td)
+        coco = COCO(ann_path)
+        best = float("inf")
+        result = None
+        for _ in range(3):
+            # zero-cache worst case every round: repeat captions would
+            # otherwise hit the parser's lru_cache from round 1
+            scene_graph.parse.cache_clear()
+            res = coco.loadRes([dict(p) for p in preds])
+            ev = COCOEvalCap(coco, res)
+            ev.params["image_id"] = res.getImgIds()
+            t0 = time.perf_counter()
+            result = ev.evaluate()
+            best = min(best, time.perf_counter() - t0)
+        # the suite actually ran end to end
+        assert set(result) >= {
+            "Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4",
+            "METEOR", "ROUGE_L", "CIDEr", "SPICE",
+        }
+        assert len(ev.imgToEval) == N_IMAGES
+        assert best <= BUDGET_S, (
+            f"full metric suite took {best:.1f}s best-of-3 on the val-5k "
+            f"workload (budget {BUDGET_S}s) — a scorer or the SPICE parser "
+            "regressed; see docs/STATUS.md perf table for the history"
+        )
