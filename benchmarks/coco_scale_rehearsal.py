@@ -1,0 +1,373 @@
+"""COCO-scale dress rehearsal (VERDICT r3 item 1 — highest leverage).
+
+Runs the REAL CLI chain at the reference's actual data scale — the
+616,767-caption / 123,287-image workload of record
+(/root/reference/preprocess.py:130, log.txt:3-26) — and reports SUSTAINED
+numbers, not best-of-3 windows:
+
+    phase preprocess : cli.preprocess semantics (vocab build at the real
+                       ~10k-word size + full-count 256x256 resize pass)
+    phase pipeline   : one full host-side epoch through make_loader
+                       (decode -> crop plan -> collate, threaded prefetch)
+                       at b256 — the input pipeline's sustained img/s
+    phase train      : ONE full training epoch on the chip at reference
+                       cadence (b256, ~1.6k steps, bf16, checkpoint +
+                       val-5k full-metric-suite eval gate mid-epoch),
+                       recording sustained img/s, input-stall fraction,
+                       step-time drift (first vs last quartile),
+                       recompile count after warmup, host RSS high-water,
+                       checkpoint size/time — this is also the
+                       sustained-soak evidence (VERDICT r3 item 4)
+    phase report     : merge phase JSONs -> benchmarks/
+                       coco_scale_rehearsal.json + one summary line
+
+Dataset: benchmarks/coco_scale_data.py (procedural, learnable two-object
+scenes; record count and split sizes are NEVER shrunk). Each phase
+writes <data_root>/rehearsal/<phase>.json and can be (re)run alone:
+
+    python benchmarks/coco_scale_data.py --out /root/data_synth
+    python benchmarks/coco_scale_rehearsal.py preprocess
+    python benchmarks/coco_scale_rehearsal.py pipeline
+    python benchmarks/coco_scale_rehearsal.py train
+    python benchmarks/coco_scale_rehearsal.py report
+
+Honesty note on the train phase: this host reaches its single TPU chip
+through a ~12-25 MB/s relay tunnel (docs/STATUS.md), so the tunnel-fed
+epoch rate is transfer-bound and reported AS SUCH, next to the
+transfer-independent pipeline and device-step rates and their projected
+min() — the number a real TPU host (local PCIe feeding) would see.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import resource
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DATA_ROOT = os.environ.get("SAT_REHEARSAL_ROOT", "/root/data_synth")
+BATCH = int(os.environ.get("SAT_REHEARSAL_BATCH", "256"))
+# SAT_REHEARSAL_SMALL=1: tiny model dims for CPU smoke tests of the
+# harness itself (never for reported numbers)
+SMALL = os.environ.get("SAT_REHEARSAL_SMALL") == "1"
+
+
+def _phase_path(name: str) -> str:
+    d = os.path.join(DATA_ROOT, "rehearsal")
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, f"{name}.json")
+
+
+def _emit(name: str, payload: dict) -> None:
+    payload = {"phase": name, **payload}
+    with open(_phase_path(name), "w") as f:
+        json.dump(payload, f, indent=1)
+    print(json.dumps(payload), flush=True)
+
+
+def _rss_gb() -> float:
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+
+
+def _cfg(**kw):
+    from show_and_tell_tpu.config import Config
+
+    base = dict(
+        caption_json=os.path.join(DATA_ROOT, "karpathy_synth.json"),
+        output_json=os.path.join(DATA_ROOT, "pre", "data.json"),
+        vocab_path=os.path.join(DATA_ROOT, "pre", "vocab.json"),
+        images_root=os.path.join(DATA_ROOT, "images"),
+        batch_size=BATCH,
+        num_workers=4,
+    )
+    if SMALL:
+        base.update(embed_size=32, hidden_size=64, crop_size=64)
+    base.update(kw)
+    return Config(**base)
+
+
+def phase_preprocess() -> None:
+    """cli.preprocess semantics at full scale (vocab + resize)."""
+    from show_and_tell_tpu.data.preprocess import preprocess
+
+    logging.basicConfig(level=logging.INFO)
+    cfg = _cfg()
+    t0 = time.perf_counter()
+    vocab_path, data_json = preprocess(
+        cfg, resize_images=True, data_root=os.path.join(DATA_ROOT, "resized")
+    )
+    wall = time.perf_counter() - t0
+
+    from show_and_tell_tpu.utils.vocab import Vocabulary
+
+    vocab = Vocabulary.load(vocab_path)
+    with open(data_json) as f:
+        records = json.load(f)
+    n_train = sum(1 for r in records if r["split"] == "train")
+    _emit("preprocess", {
+        "wall_s": round(wall, 1),
+        "vocab_size": len(vocab),
+        "n_records": len(records),
+        "n_train_records": n_train,
+        "resize_count": len({r["file_path"] for r in records}),
+        "resize_img_s": round(len({r["file_path"] for r in records}) / wall, 1),
+        "data_json_mb": round(os.path.getsize(data_json) / 1e6, 1),
+        "host_rss_peak_gb": round(_rss_gb(), 2),
+    })
+
+
+class _StallLoader:
+    """Wraps a Loader, timing how long the consumer blocks in next()."""
+
+    def __init__(self, inner):
+        self.inner = inner
+        self.wait_s = 0.0
+        self.batches = 0
+
+    def __len__(self):
+        return len(self.inner)
+
+    def set_epoch(self, e):
+        self.inner.set_epoch(e)
+
+    def set_resume_skip(self, n):
+        self.inner.set_resume_skip(n)
+
+    def __iter__(self):
+        it = iter(self.inner)
+        while True:
+            t0 = time.perf_counter()
+            try:
+                b = next(it)
+            except StopIteration:
+                return
+            self.wait_s += time.perf_counter() - t0
+            self.batches += 1
+            yield b
+
+
+def _build_train_data(cfg):
+    from show_and_tell_tpu.data.dataset import CocoCaptionDataset
+    from show_and_tell_tpu.data.pipeline import make_loader
+    from show_and_tell_tpu.utils.vocab import Vocabulary
+
+    vocab = Vocabulary.load(cfg.vocab_path)
+    with open(cfg.data_json) as f:
+        records = json.load(f)
+    train_ds = CocoCaptionDataset(
+        records, vocab, "train", cfg.max_caption_len, cfg.num_buckets
+    )
+    val_ds = CocoCaptionDataset(
+        records, vocab, "val", cfg.max_caption_len, cfg.num_buckets
+    )
+    return vocab, train_ds, val_ds, make_loader(cfg, train_ds, mode="train"), \
+        make_loader(cfg, val_ds, mode="val")
+
+
+def phase_pipeline() -> None:
+    """One full host-side epoch: the input pipeline's sustained rate."""
+    cfg = _cfg(
+        data_json=os.path.join(DATA_ROOT, "pre", "data.json"),
+    )
+    _, _, _, loader, _ = _build_train_data(cfg)
+    t0 = time.perf_counter()
+    n = 0
+    shapes = {}
+    for i, b in enumerate(loader):
+        n += b["captions"].shape[0]
+        if i == 0:
+            shapes = {k: list(getattr(v, "shape", [len(v)])) for k, v in b.items()}
+    wall = time.perf_counter() - t0
+    _emit("pipeline", {
+        "n_batches": len(loader),
+        "n_items": n,
+        "wall_s": round(wall, 1),
+        "sustained_img_s": round(n / wall, 1),
+        "first_batch_shapes": shapes,
+        "host_rss_peak_gb": round(_rss_gb(), 2),
+    })
+
+
+def phase_train() -> None:
+    """ONE full epoch on-chip at reference cadence + mid-epoch eval gate."""
+    # recompile churn: count XLA compilations via jax's compile logging
+    compile_counter = {"n": 0, "steps": []}
+    step_box = {"n": 0}
+
+    class _CompileFilter(logging.Filter):
+        def filter(self, record):
+            msg = record.getMessage()
+            if "Compiling" in msg or "compiling" in msg:
+                compile_counter["n"] += 1
+                compile_counter["steps"].append(step_box["n"])
+            return True
+
+    import jax
+
+    jax.config.update("jax_log_compiles", True)
+    logging.getLogger("jax").addFilter(_CompileFilter())
+    for name in ("jax._src.interpreters.pxla", "jax._src.compiler",
+                 "jax._src.dispatch"):
+        logging.getLogger(name).addFilter(_CompileFilter())
+
+    from show_and_tell_tpu.evalsuite.driver import make_trainer_eval_fn
+    from show_and_tell_tpu.models.registry import build_model
+    from show_and_tell_tpu.train.trainer import Trainer
+    from show_and_tell_tpu.utils.compile_cache import enable as enable_cache
+
+    enable_cache()
+    logging.basicConfig(level=logging.INFO)
+
+    cfg = _cfg(
+        data_json=os.path.join(DATA_ROOT, "pre", "data.json"),
+        ann_file=os.path.join(DATA_ROOT, "captions_val_synth.json"),
+        dtype="bfloat16",
+        max_epochs=1,
+        language_eval=1,
+        expr_dir=os.path.join(DATA_ROOT, "rehearsal", "experiment"),
+        log_step=25,
+    )
+    vocab, train_ds, val_ds, trainloader, validloader = _build_train_data(cfg)
+    n_steps = len(trainloader)
+    # reference cadence: the eval/checkpoint gate fires mid-epoch
+    cfg = cfg.replace(save_checkpoint_every=max(1, n_steps // 2))
+    os.makedirs(cfg.expr_dir, exist_ok=True)
+
+    stall_loader = _StallLoader(trainloader)
+    model = build_model(cfg, len(vocab))
+    eval_fn = make_trainer_eval_fn(model, cfg, validloader, vocab)
+    trainer = Trainer(cfg, model, stall_loader, validloader, eval_fn=eval_fn)
+
+    # per-step wall times from the log windows are EMA'd; keep raw ones too
+    step_times = []
+    orig_record = trainer.timer.record
+
+    def record(dt):
+        step_times.append(dt)
+        step_box["n"] = len(step_times)
+        orig_record(dt)
+
+    trainer.timer.record = record
+
+    eval_wall = {"s": 0.0, "n": 0, "cider": None, "ckpt_s": 0.0}
+    orig_ckpt = trainer._checkpoint
+
+    def timed_ckpt(*a, **kw):
+        t0 = time.perf_counter()
+        out = orig_ckpt(*a, **kw)
+        eval_wall["s"] += time.perf_counter() - t0
+        eval_wall["n"] += 1
+        return out
+
+    trainer._checkpoint = timed_ckpt
+
+    t0 = time.perf_counter()
+    infos = trainer.train()
+    wall = time.perf_counter() - t0
+
+    val_hist = infos.get("val_result_history", {})
+    last_val = val_hist[max(val_hist)] if val_hist else {}
+    lang = last_val.get("lang_stats") or {}
+
+    n_items = len(stall_loader) * BATCH
+    train_wall = wall - eval_wall["s"]
+    quarter = max(1, len(step_times) // 4)
+    drift = (
+        float(np.mean(step_times[-quarter:]) / np.mean(step_times[:quarter]))
+        if len(step_times) >= 8 else None
+    )
+    ckpt_dir = cfg.expr_dir
+    ckpt_bytes = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(ckpt_dir) for f in fs
+    )
+    payload = {
+        "n_steps": stall_loader.batches,
+        "n_items": n_items,
+        "wall_s": round(wall, 1),
+        "train_wall_s": round(train_wall, 1),
+        "sustained_img_s_tunnel_fed": round(n_items / train_wall, 1),
+        "input_stall_fraction": round(stall_loader.wait_s / max(train_wall, 1e-9), 4),
+        "input_stall_s": round(stall_loader.wait_s, 1),
+        "step_time_drift_last_vs_first_quartile": (
+            round(drift, 4) if drift is not None else None
+        ),
+        "mean_step_s": round(float(np.mean(step_times)), 4) if step_times else None,
+        "recompiles_total": compile_counter["n"],
+        "recompiles_after_step20": sum(
+            1 for s in compile_counter["steps"] if s > 20
+        ),
+        "eval_gate": {
+            "fires": eval_wall["n"],
+            "total_wall_s": round(eval_wall["s"], 1),
+            "last_val_loss": last_val.get("loss"),
+            "lang_stats": lang,
+        },
+        "final_train_loss": None,
+        "checkpoint_total_mb": round(ckpt_bytes / 1e6, 1),
+        "host_rss_peak_gb": round(_rss_gb(), 2),
+        "note": (
+            "tunnel-fed epoch: every batch crosses this host's ~12-25 MB/s "
+            "relay to the chip; see report phase for the "
+            "transfer-independent projection"
+        ),
+    }
+    loss_hist = infos.get("loss_history", {})
+    if loss_hist:
+        payload["final_train_loss"] = round(float(loss_hist[max(loss_hist)]), 4)
+    _emit("train", payload)
+
+
+def phase_report() -> None:
+    out = {}
+    for name in ("preprocess", "pipeline", "train"):
+        p = _phase_path(name)
+        if os.path.exists(p):
+            with open(p) as f:
+                out[name] = json.load(f)
+    gen_stats = os.path.join(DATA_ROOT, "gen_stats.json")
+    if os.path.exists(gen_stats):
+        with open(gen_stats) as f:
+            out["dataset"] = json.load(f)
+    # transfer-independent projection: a real TPU host feeds over local
+    # PCIe, so its epoch rate is min(host pipeline, device step) — both
+    # measured sustained here / in bench_train's device-step number
+    proj = None
+    if "pipeline" in out and "train" in out:
+        pipe = out["pipeline"]["sustained_img_s"]
+        step = out["train"].get("device_step_img_s")
+        if step is None:
+            # derive device-step rate from measured step times minus stall
+            tw = out["train"]["train_wall_s"] - out["train"]["input_stall_s"]
+            step = out["train"]["n_items"] / tw if tw > 0 else None
+        if step:
+            proj = round(min(pipe, step), 1)
+    out["projected_epoch_img_s_non_tunnel"] = proj
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "coco_scale_rehearsal.json"
+    )
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({
+        "metric": "coco-scale rehearsal (616,767 records, full CLI chain)",
+        "phases": sorted(out),
+        "sustained_epoch_img_s_tunnel_fed": out.get("train", {}).get(
+            "sustained_img_s_tunnel_fed"
+        ),
+        "projected_epoch_img_s_non_tunnel": proj,
+    }))
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("phase", choices=["preprocess", "pipeline", "train", "report"])
+    a = ap.parse_args()
+    {"preprocess": phase_preprocess, "pipeline": phase_pipeline,
+     "train": phase_train, "report": phase_report}[a.phase]()

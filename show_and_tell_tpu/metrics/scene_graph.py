@@ -623,6 +623,22 @@ PRED_ADJS = frozenset(
     "asleep awake alone high low open closed empty".split()
 )
 
+# degree-frame adjectives: state adjectives that appear in "too ADJ to" /
+# "as ADJ as" / "so ADJ that" but are not resultative positions
+# (PRED_ADJS) or NP-internal coordinators (ADJ_COORD). Kept separate so
+# the resultative rule's narrow lexicon is untouched — blind-14 coverage
+# fix of the blind-13 comparative conventions
+_DEGREE_ADJS = frozenset(
+    """slow fast tired scared afraid nervous busy sleepy hungry thirsty
+    weak strong proud shy eager happy sad angry calm quiet loud""".split()
+)
+
+# manner adverbs an unrealized infinitive can end with ("too excited to
+# sit STILL"): swallowed with the infinitive, never a surviving object
+_INF_MANNER_ADVERBS = frozenset(
+    "still quietly alone upright straight patiently".split()
+)
+
 # animate nouns — plausible POSSESSORS for the possessive-instrument rule
 # below ("photographing a woman with HER dog": the woman can own the dog,
 # so the phrase keeps nearest attachment; "spraying water with ITS trunk"
@@ -638,6 +654,15 @@ ANIMATE_NOUNS = frozenset(
     son sons daughter daughters brother brothers sister sisters
     customer customers waiter waiters waitress waitresses
     runner runners driver drivers cyclist cyclists zookeeper zookeepers
+    reporter reporters journalist journalists photographer photographers
+    jockey jockeys baker bakers barber barbers vendor vendors clown
+    clowns farmer farmers fisherman fishermen pilot pilots sailor
+    sailors nurse nurses doctor doctors teacher teachers student
+    students artist artists musician musicians singer singers painter
+    painters firefighter firefighters policeman policemen soldier
+    soldiers athlete athletes pitcher pitchers batter batters catcher
+    catchers goalie goalies skateboarder skateboarders jogger joggers
+    shopper shoppers pedestrian pedestrians spectator spectators
     dog dogs cat cats horse horses elephant elephants giraffe giraffes
     zebra zebras bear bears bird birds cow cows sheep monkey monkeys
     animal animals
@@ -657,8 +682,10 @@ ADJ_COORD = COLOR_WORDS | POST_ADJS | frozenset(
 )
 # the full predicate-adjective lexicon — degree/comparative rewrites
 # ("as BIG as", "too HEAVY to", "so HIGH that") and the conjunction-
-# boundary predicate binding test against it — blind-13
-_PRED_ADJ_SET = ADJ_COORD | PRED_ADJS | SIZE_WORDS
+# boundary predicate binding test against it — blind-13; degree-frame
+# state adjectives included so "too SLOW to jump onto the counter"
+# predicate-binds instead of minting a 'slow' entity — blind-14
+_PRED_ADJ_SET = ADJ_COORD | PRED_ADJS | SIZE_WORDS | _DEGREE_ADJS
 
 # verbs whose NOUN reading wins right after a conjunction ("food and
 # DRINKS", "dogs and PETS", "a park with slides and SWINGS", "a suit and
@@ -1181,17 +1208,26 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
         # predicates the subject and the infinitive emits nothing, its
         # object surviving as a bare entity ("a box TOO HEAVY TO LIFT"
         # -> (box, heavy); "a boy too short to reach THE COUNTER" ->
-        # (boy, short) + (counter,)) — blind-13 finding
+        # (boy, short) + (counter,)) — blind-13 finding. The adjective
+        # slot also admits degree-frame state adjectives and participial
+        # adjectives ("too EXCITED to sit"), and a trailing manner adverb
+        # is swallowed with the infinitive ("to sit STILL") — blind-14
+        # coverage fix
         if (
             w == "too"
-            and nxt in _PRED_ADJ_SET
-            and not _is_verbish(nxt)
+            and (
+                ((nxt in _PRED_ADJ_SET or nxt in _DEGREE_ADJS)
+                 and not _is_verbish(nxt))
+                or (_is_participle(nxt) and not nxt.endswith("ing"))
+            )
             and nxt2 == "to"
             and i + 3 < len(toks)
             and _is_verbish(toks[i + 3])
         ):
             out.extend(["is", nxt])
             i += 4
+            while i < len(toks) and toks[i] in _INF_MANNER_ADVERBS:
+                i += 1
             if i < len(toks) and toks[i] not in CONJUNCTIONS:
                 out.append("and")  # detach the unrealized verb's object
             continue
@@ -2757,7 +2793,25 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
             # coordinated object/agent: "wearing a dress AND A HAT" ->
             # (woman, wear, hat). Deferred: cancelled if this NP turns out
             # to start its own clause ("...and a woman ON a chair").
-            if last_rel3_slot == "obj":
+            if (
+                last_rel3_slot == "obj"
+                and last_rel3[1] == "of"
+                and np_.det
+                and _norm(last_rel3[0].head) in _CONTAINER_NORMED
+            ):
+                # a DETERMINED conjunct after a CONTAINER partitive is a
+                # parallel object, never an of-conjunct: "a bowl of soup
+                # and A SANDWICH on a tray" is two items on the tray, not
+                # a (bowl, of, sandwich) — the sandwich coordinates with
+                # the CONTAINER so the later locative distributes to both
+                # (add_subj_tuple already refuses to mirror of-relations,
+                # so "a plate of food and a glass OF WATER" keeps its own
+                # partitive). Media/group heads keep the distribution
+                # ("a PHOTO of a man and a dog" depicts both) — blind-14
+                # finding
+                coord_partner[id(np_)] = [last_rel3[0]] + \
+                    coord_partner.get(id(last_rel3[0]), [])
+            elif last_rel3_slot == "obj":
                 dist_pending.append((last_rel3[0], last_rel3[1], np_, np_))
             else:
                 dist_pending.append((np_, last_rel3[1], last_rel3[2], np_))
