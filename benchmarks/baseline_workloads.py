@@ -186,6 +186,32 @@ def wl3_beam3_val5k():
     t_decode = time.perf_counter() - t0
     ids = np.concatenate(all_ids)
 
+    # Transfer-independent protocol (VERDICT r3 item 6): the SAME val-5k
+    # decode from HOST-RESIDENT features pre-staged on device (the
+    # --features_path serving arrangement: features live on the TPU host,
+    # upload is one-time staging, not per-request). On a real TPU host the
+    # per-batch PCIe transfer is negligible; on this rig the ~12-25 MB/s
+    # relay makes the streamed number above transfer-bound, so both are
+    # published — this one reflects the framework.
+    staged = [
+        jax.device_put(jnp.asarray(feats16[i:i + B])) for i in range(0, N, B)
+    ]
+    for s in staged:
+        s.block_until_ready()
+    np.asarray(decode(params, staged[0]))  # warm (already compiled)
+    t0 = time.perf_counter()
+    staged_ids = []
+    pending = None
+    for s in staged:
+        ids_d = decode(params, s)
+        if pending is not None:
+            staged_ids.append(np.asarray(pending))
+        pending = ids_d
+    staged_ids.append(np.asarray(pending))
+    t_decode_staged = time.perf_counter() - t0
+    # same inputs, same program: the two protocols must agree bit-for-bit
+    assert (np.concatenate(staged_ids) == ids).all()
+
     # full metric suite on a val-5k-sized corpus (synthetic references)
     rng = np.random.default_rng(1)
     ann = {"images": [{"id": i} for i in range(N)],
@@ -207,16 +233,20 @@ def wl3_beam3_val5k():
     t_metrics = time.perf_counter() - t1
     os.unlink(annp)
     _emit(workload="3 beam3_val5k_full_metrics",
-          value=round(N / (t_decode + t_metrics), 1),
-          unit="images/sec end-to-end (decode+scoring)",
-          decode_img_s=round(N / t_decode, 1),
+          value=round(N / (t_decode_staged + t_metrics), 1),
+          unit="images/sec end-to-end (decode+scoring, pre-staged features)",
+          decode_img_s_prestaged=round(N / t_decode_staged, 1),
+          end_to_end_img_s_tunnel_streamed=round(N / (t_decode + t_metrics), 1),
+          decode_img_s_tunnel_streamed=round(N / t_decode, 1),
           metrics_s=round(t_metrics, 2),
           metrics=sorted(out.keys()),
-          note="decode_img_s is bound by THIS image's remote-relay tunnel "
-          "(~12 MB/s host->device, measured; ~98MB of features per 500-img "
-          "batch), not by compute — the same decode from device-resident "
-          "features measures >12k img/s (see bench.py / docs/KERNELS.md); "
-          "on real TPU-host PCIe the transfer is ~3 orders faster")
+          note="headline value uses the transfer-independent protocol "
+          "(features pre-staged on device, the --features_path serving "
+          "arrangement; staging itself excluded as one-time setup). The "
+          "tunnel-streamed figures are kept alongside: they are bound by "
+          "THIS rig's ~12-25 MB/s remote-relay host->device link (~98MB of "
+          "features per 500-img batch), not by compute; on real TPU-host "
+          "PCIe the per-batch transfer is ~3 orders faster")
 
 
 def wl4_train_epoch():
