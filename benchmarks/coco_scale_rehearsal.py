@@ -203,8 +203,11 @@ def phase_train() -> None:
 
     class _CompileFilter(logging.Filter):
         def filter(self, record):
-            msg = record.getMessage()
-            if "Compiling" in msg or "compiling" in msg:
+            # one "Compiling jit(...)"/"Compiling pjit(...)" line per XLA
+            # program build (jax._src.interpreters.pxla); the dispatch
+            # logger's "Finished tracing/conversion" lines are per-stage
+            # and would triple-count
+            if record.getMessage().startswith("Compiling "):
                 compile_counter["n"] += 1
                 compile_counter["steps"].append(step_box["n"])
             return True
