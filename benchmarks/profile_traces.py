@@ -58,14 +58,22 @@ def _capture(tag: str, fn, *args) -> str:
 
 
 def _op_table(xplane_path: str, top_k: int = 25) -> dict:
-    """xplane.pb -> flat op table via the tensorboard profile plugin."""
-    from tensorboard_plugin_profile.convert import raw_to_tool_data
+    """xplane.pb -> flat op table.
 
-    data, _ = raw_to_tool_data.xspace_to_tool_data(
-        [xplane_path], "framework_op_stats", params={}
+    Uses TF's ``_pywrap_profiler_plugin.xspace_to_tools_data`` directly:
+    the tensorboard_plugin_profile convert wrapper in this image is
+    version-skewed against both protobuf (pre-3.19 generated _pb2) and
+    TF's ``_pywrap_profiler`` (no ``xspace_to_tools_data`` attr), while
+    the underlying pywrap binding works (verified live)."""
+    from tensorflow.python.profiler.internal import (
+        _pywrap_profiler_plugin as pp,
     )
-    if isinstance(data, bytes):
-        data = data.decode("utf-8", "replace")
+
+    data, ok = pp.xspace_to_tools_data([xplane_path], "framework_op_stats", {})
+    if not ok:
+        raise RuntimeError(f"op-stats conversion failed for {xplane_path}")
+    if isinstance(data, (bytes, bytearray)):
+        data = bytes(data).decode("utf-8", "replace")
     return json.loads(data)
 
 
@@ -82,10 +90,15 @@ def _top_ops(table, top_k: int = 10):
     for r in chart.get("rows", []):
         vals = [c.get("v") if isinstance(c, dict) else c for c in r.get("c", [])]
         rows.append(dict(zip(cols, vals)))
+    dev_col = next((c for c in cols if c and "device" in c.lower()), None)
+    if dev_col:
+        dev_rows = [r for r in rows if str(r.get(dev_col, "")).lower() == "device"]
+        if dev_rows:
+            rows = dev_rows
     key_self = next(
         (c for c in cols if c and "self" in c.lower() and "time" in c.lower()),
         None,
-    )
+    ) or next((c for c in cols if c and "total time" in c.lower()), None)
     if key_self:
         rows.sort(key=lambda d: -(d.get(key_self) or 0))
     return rows[:top_k], cols
