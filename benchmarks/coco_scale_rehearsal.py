@@ -330,7 +330,7 @@ def phase_train() -> None:
 
 def phase_report() -> None:
     out = {}
-    for name in ("preprocess", "pipeline", "train"):
+    for name in ("preprocess", "pipeline", "train", "eval"):
         p = _phase_path(name)
         if os.path.exists(p):
             with open(p) as f:
