@@ -2337,14 +2337,19 @@ def parse(caption: str) -> FrozenSet[Tuple3]:
                 # a preposition ENDS the example list: the pending segment
                 # closes as its own bare exemplar entity (never as an
                 # attribute of the listing head — "books including NOVELS
-                # in a library" must not emit (book, novel)), and the PP
-                # re-anchors to the listing clause exactly as it would
-                # without the list ("a table with foods including pizza
-                # and salad NEAR A WINDOW" -> (food, near, window), the
-                # same nearest attachment as "a table with foods near a
-                # window") — advisor r3 finding
+                # in a library" must not emit (book, novel)). A DETERMINED
+                # exemplar keeps the PP by nearest attachment ("including
+                # A CAKE with frosting" — the cake carries it, a full NP
+                # with its own modifier); bare-plural exemplars pass the
+                # PP back to the listing clause exactly as the list-free
+                # sentence would attach it ("a table with foods including
+                # pizza and salad NEAR A WINDOW" -> (food, near, window))
+                # — advisor r3 finding + round-4 review refinement
+                had_det = any(c in DETERMINERS for c in cur)
                 if cur:
                     close_np()
+                    if had_det and nps:
+                        last_np = nps[-1]
                 exemplar_mode = False
             if lone_content_segment() and pending_rel is None:
                 # "dogs RUNNING on the beach": gerund/adjective segment ->

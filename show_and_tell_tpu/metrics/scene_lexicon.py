@@ -589,8 +589,8 @@ ANIMATE_NOUNS = frozenset(
     sailors nurse nurses doctor doctors teacher teachers student
     students artist artists musician musicians singer singers painter
     painters firefighter firefighters policeman policemen soldier
-    soldiers athlete athletes pitcher pitchers batter batters catcher
-    catchers goalie goalies skateboarder skateboarders jogger joggers
+    soldiers athlete athletes goalie goalies
+    skateboarder skateboarders jogger joggers
     shopper shoppers pedestrian pedestrians spectator spectators
     dog dogs cat cats horse horses elephant elephants giraffe giraffes
     zebra zebras bear bears bird birds cow cows sheep monkey monkeys

@@ -40,9 +40,9 @@ def test_spice_parser_golden_bounds():
     # existentials, exemplification 'including', vague large
     # quantifiers, fit-in light locatives, set-up participles,
     # result-'into' re-anchors, temporal ambience)
-    assert r["overall"]["n"] == 448
-    assert r["overall"]["gold"] == 2043
-    assert r["easy"]["n"] == 73 and r["medium"]["n"] == 234 and r["hard"]["n"] == 141
+    assert r["overall"]["n"] == 450
+    assert r["overall"]["gold"] == 2056
+    assert r["easy"]["n"] == 73 and r["medium"]["n"] == 235 and r["hard"]["n"] == 142
     # measured 2026-08-17 (round 3, session 3, post-residual-fixes):
     # easy 1.0 / medium 1.0 / hard 1.0, overall P/R/F1 1.0 — every
     # documented residual class now parses. Floors sit just under the
