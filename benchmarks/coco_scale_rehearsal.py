@@ -346,7 +346,7 @@ def phase_report() -> None:
     # resident batches) — the train phase's own wall time cannot supply
     # it because every one of its steps is serialized behind the tunnel
     # transfer.
-    DEVICE_STEP_IMG_S = 3348.0  # workload 4 / bench_train b256 bf16
+    DEVICE_STEP_IMG_S = 3483.0  # workload 4 (2026-08-20 re-run) b256 bf16
     proj = None
     if "pipeline" in out:
         pipe = out["pipeline"]["sustained_img_s"]
