@@ -15,7 +15,11 @@ every round.
 Budget: 12 s on one host core (measured ~8 s at pin time, single windows
 8-11 s under host load; the bar gives legitimate parser work ~50%
 headroom but trips well before the 2x regression VERDICT set as the red
-line)."""
+line). The budget is LOAD-CALIBRATED: a fixed sha256 workload (0.043 s
+on this host idle) is timed per round and the budget scales by the
+slowdown factor (capped at 3x), so running the suite concurrently with
+a training job on this 1-core host doesn't flag a phantom regression
+while a real 2x parser slowdown still trips at any load level."""
 
 from __future__ import annotations
 
@@ -32,6 +36,22 @@ from show_and_tell_tpu.metrics.orchestrator import COCOEvalCap
 
 N_IMAGES = 5000
 BUDGET_S = 12.0
+CAL_REF_S = 0.043  # the calibration workload on this host, idle
+
+
+def _calibrate() -> float:
+    """Host-load factor: how much slower the fixed CPU workload runs
+    right now vs the idle-host reference (>=1.0, capped by the caller)."""
+    import hashlib
+
+    t0 = time.perf_counter()
+    h = hashlib.sha256()
+    for _ in range(200):
+        h.update(bytes(64 * 1024))
+    blob = b"x" * (1 << 20)
+    for _ in range(50):
+        hashlib.sha256(blob).digest()
+    return max(1.0, (time.perf_counter() - t0) / CAL_REF_S)
 
 _COLORS = ["red", "green", "blue", "yellow", "purple", "orange"]
 _SHAPES = ["circle", "square", "triangle"]
@@ -80,9 +100,13 @@ def test_metric_suite_val5k_budget():
             res = coco.loadRes([dict(p) for p in preds])
             ev = COCOEvalCap(coco, res)
             ev.params["image_id"] = res.getImgIds()
+            factor = min(_calibrate(), 3.0)
             t0 = time.perf_counter()
             result = ev.evaluate()
-            best = min(best, time.perf_counter() - t0)
+            # load-normalized wall time: the budget is an idle-host
+            # number, so each round's measurement is divided by the
+            # concurrent-load slowdown its calibration observed
+            best = min(best, (time.perf_counter() - t0) / factor)
         # the suite actually ran end to end
         assert set(result) >= {
             "Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4",
