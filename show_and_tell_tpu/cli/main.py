@@ -52,7 +52,12 @@ def main(cfg: Config) -> Trainer:
     log_name = "log.txt" if not host_shard or host_shard[0] == 0 else (
         f"log.proc{host_shard[0]}.txt"
     )
-    setup_logging(os.path.join(cfg.expr_dir, log_name))
+    # a resumed run appends (an epoch-chain respawn must not truncate the
+    # previous processes' epochs out of the shared run log)
+    setup_logging(
+        os.path.join(cfg.expr_dir, log_name),
+        mode="a" if cfg.start_from else "w",
+    )
     log.info("run arguments: %s", json.dumps(cfg.to_dict(), indent=4, sort_keys=True))
     if host_shard is not None:
         log.info("multi-host: process %d of %d", host_shard[0], host_shard[1])

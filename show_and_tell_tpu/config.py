@@ -104,6 +104,12 @@ class Config:
     # SIGTERM/SIGINT -> finish the step, save full train state, exit clean
     # (train/preempt.py); resume is bit-continuous
     preempt_save: bool = True
+    # >0: a watchdog thread monitors this process's resident set size and
+    # triggers the SAME clean preempt-save path once it crosses this many
+    # GB — a host memory leak (e.g. a leaking device-transport client)
+    # causes a checkpointed handoff instead of an OOM kill. The epoch-chain
+    # supervisor (cli/train_chain.py) then respawns and resumes. 0 = off.
+    rss_preempt_gb: float = 0.0
 
     # --- Decoding (reference models.py:60 / model2.py:100: hard 20-step cap) ---
     max_decode_len: int = 20
@@ -133,6 +139,13 @@ class Config:
     # precomputed encoder features instead of images — decoder-only training
     # and image-free eval (BASELINE config 2's workflow)
     features_path: Optional[str] = None
+    # decode-free storage (data/memmap.py): directory of pre-decoded uint8
+    # image shards + index. cli.preprocess writes it when set (opt-in; the
+    # reference's resize-to-disk taken to its TPU conclusion,
+    # preprocess.py:86-101); loaders then serve batches by memory-mapped
+    # gather instead of JPEG decode — the host pipeline stops being
+    # codec-bound (one core feeds the chip)
+    memmap_dir: Optional[str] = None
     # cli.caption: also write one attention-overlay contact sheet per image
     # (greedy decode, utils/visualize — the Show-Attend-Tell figure) into
     # this directory

@@ -22,6 +22,7 @@ fresh deterministic shuffle (epoch counter folds into the seed).
 from __future__ import annotations
 
 import logging
+import os
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
@@ -128,6 +129,7 @@ class Loader:
         drop_remainder: bool = False,
         native_decode: Optional[bool] = None,
         on_corrupt: str = "substitute",
+        memmap_images=None,
     ):
         """``native_decode`` selects the C++ batch decoder
         (csrc/image_loader.cpp, GIL-free thread pool over libjpeg-turbo).
@@ -138,6 +140,13 @@ class Loader:
         cli/preprocess, reference preprocess.py:86-101) decode is
         same-size, so both paths are bit-identical
         (tests/test_native.py); ``False`` forces PIL.
+
+        ``memmap_images`` is a :class:`~show_and_tell_tpu.data.memmap.
+        MemmapImages` instance or a shard-directory path (data/memmap.py):
+        records whose ``file_path`` is in its index are served by
+        decode-free memory-mapped gather (bit-identical pixels, pinned in
+        tests/test_memmap.py); missing records fall back to the decode
+        path below, including its corrupt policy.
 
         ``on_corrupt`` is the per-item decode-failure policy:
         ``"substitute"`` (default) replaces a corrupt record's whole row
@@ -175,6 +184,16 @@ class Loader:
                 "built (run `make -C csrc`); use native_decode=None for "
                 "auto-fallback"
             )
+        if isinstance(memmap_images, str):
+            from show_and_tell_tpu.data.memmap import MemmapImages
+
+            memmap_images = MemmapImages(memmap_images)
+        if memmap_images is not None and memmap_images.size != image_size:
+            raise ValueError(
+                f"memmap shards hold {memmap_images.size}px images but the "
+                f"loader wants {image_size}px — repack or drop memmap_images"
+            )
+        self.memmap_images = memmap_images
         self.on_corrupt = on_corrupt
         self.corrupt_skipped = 0  # decode failures substituted so far
         self._epoch = 0
@@ -229,6 +248,11 @@ class Loader:
                 [self._features_lookup(c) for c in meta["cocoids"]]
             ).astype(np.float32)
         elif self.load_images:
+            mm = self.memmap_images
+            if mm is not None and all(p in mm for p in meta["paths"]):
+                # decode-free fast path: memory-mapped gather (no codec)
+                batch["images"] = mm.get_batch(meta["paths"])
+                return batch
             if self.native_decode and not _native_available():
                 raise RuntimeError(
                     "native_decode=True but csrc/libimage_loader.so is not "
@@ -250,6 +274,13 @@ class Loader:
                 ]
                 images = np.stack([im for im, _ in loaded])
                 ok = np.array([o for _, o in loaded], dtype=bool)
+            if mm is not None:
+                # partial hit (only pack-time-undecodable files miss the
+                # index): keep decode results for misses, serve hits from
+                # the shards so their pixels match the fast path exactly
+                for i, p in enumerate(meta["paths"]):
+                    if p in mm:
+                        images[i], ok[i] = mm.get(p), True
             batch["images"] = images
             if not ok.all():
                 self._apply_corrupt_policy(batch, ok, meta["paths"])
@@ -351,6 +382,10 @@ def make_loader(
     (data_loader.py:64-77): batch size / workers / shuffle from config."""
     if features is None and getattr(cfg, "features_path", None):
         features = cfg.features_path  # .npz from cli/extract_features
+    memmap_images = None
+    mm_dir = getattr(cfg, "memmap_dir", None)
+    if mm_dir and os.path.exists(os.path.join(mm_dir, "index.json")):
+        memmap_images = mm_dir  # decode-free shards (data/memmap.py)
     return Loader(
         dataset,
         batch_size=cfg.batch_size,
@@ -363,6 +398,7 @@ def make_loader(
         drop_remainder=(mode == "train"),
         native_decode=getattr(cfg, "native_decode", None),
         on_corrupt=getattr(cfg, "on_corrupt", "substitute"),
+        memmap_images=memmap_images,
     )
 
 

@@ -200,4 +200,17 @@ def preprocess(cfg: Config, resize_images: bool = False, data_root: str = "data"
         json.dump(out, f)
     log.info("saved vocab (%d words) to %s", len(vocab), cfg.vocab_path)
     log.info("saved %d caption records to %s", len(out), cfg.output_json)
+
+    if getattr(cfg, "memmap_dir", None):
+        # opt-in decode-free storage (data/memmap.py): decode every record
+        # image ONCE here so the training loader never touches a codec —
+        # the reference's resize-to-disk (preprocess.py:86-101) taken to
+        # its TPU conclusion
+        from show_and_tell_tpu.data.memmap import pack_memmap
+
+        pack_memmap(
+            [r["file_path"] for r in out],
+            cfg.memmap_dir,
+            num_workers=max(1, int(getattr(cfg, "num_workers", 8))),
+        )
     return cfg.vocab_path, cfg.output_json

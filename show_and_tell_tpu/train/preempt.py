@@ -89,3 +89,91 @@ class PreemptionGuard:
     @property
     def triggered(self) -> bool:
         return self._event.is_set()
+
+
+def current_rss_gb() -> float:
+    """This process's CURRENT resident set size in GB (``/proc/self/statm``
+    resident pages x page size). ``resource.getrusage`` reports the
+    high-water mark, which never comes back down and would keep a watchdog
+    latched after a transient spike; a leak detector needs the live value
+    (on a monotone leak the two coincide, but the contract here is
+    current)."""
+    try:
+        with open("/proc/self/statm") as f:
+            resident_pages = int(f.read().split()[1])
+        return resident_pages * _PAGE_SIZE / 1e9
+    except (OSError, IndexError, ValueError):  # non-Linux fallback
+        import resource
+
+        return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+
+
+_PAGE_SIZE = 4096
+try:
+    import os as _os
+
+    _PAGE_SIZE = _os.sysconf("SC_PAGE_SIZE")
+except (ValueError, OSError, AttributeError):
+    pass
+
+
+class RssWatchdog:
+    """Background thread that converts a host-memory leak into a clean,
+    checkpointed preemption instead of an OOM kill.
+
+    Polls :func:`current_rss_gb` every ``interval_s``; once it crosses
+    ``threshold_gb`` it calls ``guard.trigger()`` — the Trainer's normal
+    preemption path (finish the in-flight step, persist the full train
+    state + infos, return) — and stops. The concrete motivation is this
+    rig's device-transport client, which leaks ~1 byte of host RSS per
+    byte transferred (~91 GB per COCO-scale epoch, docs/STATUS.md); with
+    the watchdog armed, a long run degrades to an epoch-chain handoff
+    (cli/train_chain.py respawns with ``--start_from``) rather than dying
+    at the kernel's hand mid-step. Context manager; ``fired`` tells the
+    caller whether the preemption it observed came from memory pressure.
+    """
+
+    def __init__(
+        self,
+        guard: "PreemptionGuard",
+        threshold_gb: float,
+        interval_s: float = 10.0,
+    ):
+        if threshold_gb <= 0:
+            raise ValueError(f"threshold_gb must be > 0, got {threshold_gb}")
+        self.guard = guard
+        self.threshold_gb = float(threshold_gb)
+        self.interval_s = float(interval_s)
+        self.fired = False
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+
+    def __enter__(self) -> "RssWatchdog":
+        self._thread = threading.Thread(
+            target=self._run, name="rss-watchdog", daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=self.interval_s + 5)
+
+    def _run(self) -> None:
+        while True:
+            # check BEFORE the first sleep: a process already over the
+            # threshold (or a short test run) must preempt immediately
+            rss = current_rss_gb()
+            if rss >= self.threshold_gb:
+                self.fired = True
+                log.warning(
+                    "host RSS %.1f GB crossed the %.1f GB watchdog "
+                    "threshold: triggering clean preemption (train state "
+                    "will be saved; resume with start_from / the epoch "
+                    "chain supervisor)", rss, self.threshold_gb,
+                )
+                self.guard.trigger()
+                return
+            if self._stop.wait(self.interval_s):
+                return

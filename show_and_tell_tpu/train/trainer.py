@@ -181,12 +181,19 @@ class Trainer:
         in-flight step, save full train state + infos, return)."""
         import contextlib
 
-        from show_and_tell_tpu.train.preempt import PreemptionGuard
+        from show_and_tell_tpu.train.preempt import PreemptionGuard, RssWatchdog
 
         with contextlib.ExitStack() as stack:
             guard = preempt_guard
             if guard is None and self.cfg.preempt_save:
                 guard = stack.enter_context(PreemptionGuard())
+            if guard is not None and getattr(self.cfg, "rss_preempt_gb", 0) > 0:
+                # memory-leak containment: past the threshold, the watchdog
+                # triggers the same clean save the SIGTERM path uses — the
+                # epoch-chain supervisor then respawns (train/preempt.py)
+                stack.enter_context(
+                    RssWatchdog(guard, self.cfg.rss_preempt_gb)
+                )
             return self._train_loop(guard)
 
     def _train_loop(self, guard) -> dict:
@@ -241,12 +248,25 @@ class Trainer:
         lr_history = infos.get("lr_history", {})
         best_val_score = infos.get("best_val_score") if cfg.load_best_score else None
 
+        # per-epoch schedule record (the learning-curve artifact needs the
+        # lr/ss values actually applied each epoch, not just the per-gate
+        # lr_history the reference keeps, train.py:163-166)
+        epoch_schedule = infos.get("epoch_schedule", {})
+        # (epoch, it, total_iteration) of work done since the last persist —
+        # a clean loop completion must save it, or an epoch-chain link whose
+        # final iterations fell between checkpoint gates would hand off a
+        # stale (possibly still preempted-flagged) infos blob and the next
+        # link would replay-and-retrain the tail
+        unpersisted = None
+
         for epoch in range(1, 1 + cfg.max_epochs):
             if epoch < loaded_epoch:
                 continue
             lr = lr_for_epoch(cfg, epoch)
             ss_prob = ss_prob_for_epoch(cfg, epoch)
             self.cfg = cfg = cfg.replace(current_lr=lr, ss_prob=ss_prob)
+            epoch_schedule[str(epoch)] = {"lr": lr, "ss_prob": ss_prob}
+            infos["epoch_schedule"] = epoch_schedule
             if hasattr(self.trainloader, "set_epoch"):
                 self.trainloader.set_epoch(epoch)  # resume-deterministic order
 
@@ -293,6 +313,7 @@ class Trainer:
             for off, (batch, dev_batch) in enumerate(_sharded_batches(raw_skip)):
                 it = off + 1 + skip_n
                 total_iteration += 1
+                unpersisted = (epoch, it, total_iteration)
                 self._maybe_quantize_backbone(batch)
 
                 rng = self.keys.key("train", epoch, it)
@@ -335,6 +356,7 @@ class Trainer:
                         lr_history,
                         infos,
                     )
+                    unpersisted = None
                     # eval + checkpoint I/O must not pollute the timing window
                     window_t0 = time.perf_counter()
                     window_items = window_steps = 0
@@ -353,6 +375,18 @@ class Trainer:
                 pending_log = None
             loaded_iteration = 0  # after the resume epoch, run all iterations
 
+        if unpersisted is not None:
+            # end-of-run save of work that fell after the last checkpoint
+            # gate (no validation here — this is the resume/handoff
+            # artifact, the same schema the gate persists)
+            self._persist_state(
+                *unpersisted, best_val_score,
+                val_result_history, loss_history, lr_history, infos,
+            )
+            log.info(
+                "end-of-run train state saved at epoch %d iter %d (total %d)",
+                *unpersisted,
+            )
         return infos
 
     def _log_step_line(self, epoch, it, metrics) -> None:

@@ -13,7 +13,10 @@ import logging
 _CONFIGURED = False
 
 
-def setup_logging(log_file: str = "log.txt") -> logging.Logger:
+def setup_logging(log_file: str = "log.txt", mode: str = "w") -> logging.Logger:
+    """``mode="a"`` is for resumed runs (``--start_from``): an epoch-chain
+    respawn into the same experiment dir must extend the run log, not
+    truncate the previous processes' epochs out of it."""
     global _CONFIGURED
     root = logging.getLogger()
     if _CONFIGURED:
@@ -23,7 +26,7 @@ def setup_logging(log_file: str = "log.txt") -> logging.Logger:
     root.setLevel(logging.INFO)
     logging.getLogger("show_and_tell_tpu").setLevel(logging.DEBUG)
 
-    fh = logging.FileHandler(log_file, mode="w")
+    fh = logging.FileHandler(log_file, mode=mode)
     fh.setLevel(logging.DEBUG)
     fh.setFormatter(
         logging.Formatter(

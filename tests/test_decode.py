@@ -276,3 +276,51 @@ def test_length_penalty_prefers_longer():
     raw = [t for t in np.asarray(ids_raw[0]) if t != PAD_ID]
     lp = [t for t in np.asarray(ids_lp[0]) if t != PAD_ID]
     assert len(lp) >= len(raw)  # normalisation favours the longer hypothesis
+
+
+def test_length_penalty_unfinished_beam_semantics_pinned():
+    """Documents-by-assertion the alpha>0 normalisation contract
+    (decode/beam.py): every beam's returned score is
+    raw_logprob / ((5+len)/6)^alpha where len counts NON-PAD tokens —
+    including <end> for finished beams, and the FULL max_len budget for
+    beams that never emit <end>. The latter deviates from a strict GNMT
+    reading (which would normalise a partial hypothesis by its emitted
+    prefix length as-of <end>, one less than counting an <end> it never
+    produced); the deviation is inert at the default alpha=0 and is
+    recorded in docs/PARITY.md. VERDICT r4 item 7."""
+    alpha = 1.5
+    max_len = 6
+    # beam A finishes in 2 tokens; beam B never finishes (no <end> mass)
+    table = np.full((V, V), -30.0, np.float32)
+    table[START_ID, 5] = 1.0
+    table[START_ID, 8] = 0.8
+    table[5, END_ID] = 0.0      # A: "5 <end>"           -> len 2
+    table[8, 9] = 0.0
+    table[9, 8] = 0.0           # B: "8 9 8 9 8 9"      -> len max_len
+    logp = np.asarray(jax.nn.log_softmax(jnp.asarray(table), axis=-1))
+
+    def step_fn(carry, token_ids):
+        return carry, jnp.asarray(table)[token_ids]
+
+    ids, scores = beam_search(
+        step_fn, {}, batch=1, beam_size=2, max_len=max_len,
+        length_penalty=alpha, return_all=True,
+    )
+    ids, scores = np.asarray(ids[0]), np.asarray(scores[0])
+    for k in range(2):
+        seq = [int(t) for t in ids[k] if t != PAD_ID]
+        raw, prev = 0.0, START_ID
+        for t in seq:
+            raw += logp[prev, t]
+            prev = t
+        # the pinned length: non-pad count — <end> included when emitted,
+        # max_len (the whole budget) when not
+        pinned_len = len(seq)
+        if END_ID not in seq:
+            assert pinned_len == max_len
+        np.testing.assert_allclose(
+            scores[k], raw / ((5.0 + pinned_len) / 6.0) ** alpha, rtol=1e-5
+        )
+    # both shapes appear in the returned beam set
+    lens = sorted(int(np.sum(ids[k] != PAD_ID)) for k in range(2))
+    assert lens == [2, max_len], lens
