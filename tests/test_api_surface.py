@@ -122,7 +122,9 @@ def test_cli_modules_have_main_entry():
 def test_readme_test_count_matches_suite():
     with open(README) as f:
         readme = f.read()
-    m = re.search(r"(\d{2,5})\+? tests", readme)
+    m = re.search(r"(\d{2,5})\+? test functions", readme) or re.search(
+        r"(\d{2,5})\+? tests", readme
+    )
     if not m:
         pytest.skip("README states no test count")
     stated = int(m.group(1))
