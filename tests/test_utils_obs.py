@@ -67,3 +67,42 @@ def test_profile_trace_disabled_and_enabled(tmp_path):
         y = jnp.ones((4,)).sum()
     assert float(y) == 4.0
     assert os.path.isdir(tmp_path / "t")  # trace directory written
+
+
+def test_setup_logging_append_mode_preserves_previous_log(tmp_path):
+    """An epoch-chain respawn (cli.main with --start_from) must append to
+    the shared run log, not truncate the previous links' epochs out of it
+    (utils/logging.py mode param). The handler machinery is process-global
+    (_CONFIGURED), so the file-mode semantics are pinned directly."""
+    import logging as _logging
+
+    from show_and_tell_tpu.utils import logging as log_mod
+
+    path = tmp_path / "log.txt"
+    path.write_text("epoch-1 process wrote this\n")
+
+    # fresh module state: setup_logging is once-per-process
+    old_configured = log_mod._CONFIGURED
+    root = _logging.getLogger()
+    old_handlers = root.handlers[:]
+    try:
+        log_mod._CONFIGURED = False
+        for h in root.handlers[:]:
+            root.removeHandler(h)
+        log_mod.setup_logging(str(path), mode="a")
+        _logging.getLogger("show_and_tell_tpu.test").info("epoch-2 line")
+        for h in root.handlers:
+            h.flush()
+        text = path.read_text()
+        assert "epoch-1 process wrote this" in text  # not truncated
+        assert "epoch-2 line" in text
+    finally:
+        for h in root.handlers[:]:
+            root.removeHandler(h)
+            try:
+                h.close()
+            except Exception:
+                pass
+        for h in old_handlers:
+            root.addHandler(h)
+        log_mod._CONFIGURED = old_configured
