@@ -168,13 +168,17 @@ def int8_quality_gate(
         },
         "pass": exact_ratio >= exact_min_ratio and cider_ratio >= cider_min_ratio,
     }
-    assert record["pass"], (
-        f"int8 quality gate FAILED: exact {int8_exact:.4f} vs bf16 "
-        f"{bf16_exact:.4f} (ratio {exact_ratio:.3f}, min {exact_min_ratio}), "
-        f"CIDEr {int8_cider:.4f} vs {bf16_cider:.4f} (ratio "
-        f"{cider_ratio:.3f}, min {cider_min_ratio}) — quantization is "
-        "costing end-task quality; do not ship the speedup"
-    )
+    if not record["pass"]:
+        # explicit raise, not a bare assert: the gate must still go red
+        # under `python -O` (review fix)
+        raise AssertionError(
+            f"int8 quality gate FAILED: exact {int8_exact:.4f} vs bf16 "
+            f"{bf16_exact:.4f} (ratio {exact_ratio:.3f}, min "
+            f"{exact_min_ratio}), CIDEr {int8_cider:.4f} vs "
+            f"{bf16_cider:.4f} (ratio {cider_ratio:.3f}, min "
+            f"{cider_min_ratio}) — quantization is costing end-task "
+            "quality; do not ship the speedup"
+        )
     return record
 
 

@@ -135,20 +135,35 @@ def run_chain(
     spawn = spawn or _default_spawn
     expr = resolved_expr_dir(cfg)
     os.makedirs(expr, exist_ok=True)
+    # resume the CHAIN itself across supervisor restarts: keep the prior
+    # run's spawn provenance (the trail must stay complete, review fix)
+    # and trust ITS completed_epochs over the infos heuristic — after a
+    # hard crash the infos blob can show a mid-epoch gate's epoch number
+    # with no preempted flag, which is NOT a completed epoch.
     record: dict = {
         "target_epochs": cfg.max_epochs,
         "completed_epochs": 0,
         "spawns": [],
     }
-    # resume the CHAIN itself: completed epochs in an existing infos blob
-    # need no respawn (a supervisor restart must not re-run epoch 1)
+    chain_path = os.path.join(expr, "chain.json")
+    if os.path.exists(chain_path):
+        try:
+            with open(chain_path) as f:
+                prior = json.load(f)
+            record["spawns"] = list(prior.get("spawns", []))
+            record["completed_epochs"] = int(prior.get("completed_epochs", 0))
+        except (json.JSONDecodeError, OSError, ValueError):
+            pass  # torn/old chain.json: fall back to the infos heuristic
     infos = ckpt.load_infos(expr) or {}
-    start_epoch = 1
-    if infos and not infos.get("preempted"):
+    if record["completed_epochs"]:
+        start_epoch = record["completed_epochs"] + 1
+    elif infos and not infos.get("preempted"):
         start_epoch = int(infos.get("epoch", 0)) + 1
+        record["completed_epochs"] = start_epoch - 1
     elif infos:
         start_epoch = int(infos.get("epoch", 1))
-    record["completed_epochs"] = start_epoch - 1
+    else:
+        start_epoch = 1
     last_total_iter = int(infos.get("total_iter", 0))
 
     def _write_record() -> None:

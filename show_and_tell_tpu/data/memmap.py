@@ -73,6 +73,13 @@ def pack_memmap(
                 return index_path
         except (json.JSONDecodeError, OSError):
             pass  # torn/stale index: rebuild
+    if os.path.exists(index_path):
+        # A REBUILD overwrites shard files in place; the old index must go
+        # FIRST, or a crash mid-pack leaves a valid-looking index mapping
+        # rows into half-rewritten shards — silently wrong pixels (review
+        # fix). With no index, readers (make_loader) fall back to the
+        # decode path until the new index lands atomically below.
+        os.remove(index_path)
 
     item_bytes = size * size * 3
     index: Dict = {

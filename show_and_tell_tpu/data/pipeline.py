@@ -249,9 +249,28 @@ class Loader:
             ).astype(np.float32)
         elif self.load_images:
             mm = self.memmap_images
-            if mm is not None and all(p in mm for p in meta["paths"]):
-                # decode-free fast path: memory-mapped gather (no codec)
-                batch["images"] = mm.get_batch(meta["paths"])
+            if mm is not None:
+                paths = meta["paths"]
+                hits = [p in mm for p in paths]
+                if all(hits):
+                    # decode-free fast path: memory-mapped gather (no codec)
+                    batch["images"] = mm.get_batch(paths)
+                    return batch
+                # partial miss (only pack-time-undecodable files miss the
+                # index): decode JUST the misses — the rest of the batch
+                # stays on the decode-free budget (review fix: this used
+                # to decode the whole batch and discard the hit rows)
+                size = self.image_size
+                images = np.empty((len(paths), size, size, 3), np.uint8)
+                ok = np.ones(len(paths), dtype=bool)
+                for i, (p, hit) in enumerate(zip(paths, hits)):
+                    if hit:
+                        images[i] = mm.get(p)
+                    else:
+                        images[i], ok[i] = _load_image_checked(p, size)
+                batch["images"] = images
+                if not ok.all():
+                    self._apply_corrupt_policy(batch, ok, paths)
                 return batch
             if self.native_decode and not _native_available():
                 raise RuntimeError(
@@ -274,13 +293,6 @@ class Loader:
                 ]
                 images = np.stack([im for im, _ in loaded])
                 ok = np.array([o for _, o in loaded], dtype=bool)
-            if mm is not None:
-                # partial hit (only pack-time-undecodable files miss the
-                # index): keep decode results for misses, serve hits from
-                # the shards so their pixels match the fast path exactly
-                for i, p in enumerate(meta["paths"]):
-                    if p in mm:
-                        images[i], ok[i] = mm.get(p), True
             batch["images"] = images
             if not ok.all():
                 self._apply_corrupt_policy(batch, ok, meta["paths"])

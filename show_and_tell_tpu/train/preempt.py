@@ -104,8 +104,14 @@ def current_rss_gb() -> float:
         return resident_pages * _PAGE_SIZE / 1e9
     except (OSError, IndexError, ValueError):  # non-Linux fallback
         import resource
+        import sys
 
-        return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+        peak = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        # ru_maxrss units differ by platform: kilobytes on Linux, BYTES on
+        # macOS/BSD — dividing bytes by 1e6 would over-report 1000x and
+        # fire the watchdog instantly (review fix). High-water, not
+        # current, on this path — documented best-effort.
+        return peak / (1e9 if sys.platform == "darwin" else 1e6)
 
 
 _PAGE_SIZE = 4096

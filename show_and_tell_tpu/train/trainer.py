@@ -187,10 +187,15 @@ class Trainer:
             guard = preempt_guard
             if guard is None and self.cfg.preempt_save:
                 guard = stack.enter_context(PreemptionGuard())
-            if guard is not None and getattr(self.cfg, "rss_preempt_gb", 0) > 0:
+            if getattr(self.cfg, "rss_preempt_gb", 0) > 0:
                 # memory-leak containment: past the threshold, the watchdog
                 # triggers the same clean save the SIGTERM path uses — the
-                # epoch-chain supervisor then respawns (train/preempt.py)
+                # epoch-chain supervisor then respawns (train/preempt.py).
+                # With preempt_save=false there is still a programmatic
+                # latch (no signal hooks) so the knob is never silently
+                # inert (review fix).
+                if guard is None:
+                    guard = PreemptionGuard()  # trigger()-only, not entered
                 stack.enter_context(
                     RssWatchdog(guard, self.cfg.rss_preempt_gb)
                 )
@@ -199,11 +204,18 @@ class Trainer:
     def _train_loop(self, guard) -> dict:
         cfg = self.cfg
         infos = {}
+        stale_preempt_flag = False
         if cfg.start_from is not None and not cfg.load_pretrained:
             loaded = ckpt.load_infos(cfg.start_from)
             if loaded:
                 infos = loaded
-                infos.pop("preempted", None)  # consumed by this resume
+                # consumed by this resume — but the flag is only cleared ON
+                # DISK at the next persist; track it so a resume that runs
+                # zero new steps (preemption landed on an epoch's final
+                # iteration) still rewrites infos, or the epoch-chain
+                # supervisor would see a stale preempted=True forever and
+                # abort a finished epoch as 'no progress' (review fix)
+                stale_preempt_flag = infos.pop("preempted", None) is not None
                 # Prefer the full train state (params + Adam moments + step,
                 # bit-continuous resume); fall back to best-params only.
                 # Either way the restored host arrays must be re-placed on
@@ -243,6 +255,8 @@ class Trainer:
         total_iteration = infos.get("total_iter", 0)
         loaded_iteration = infos.get("iter", 0)
         loaded_epoch = infos.get("epoch", 1)
+        # identity of the restored position, for the zero-new-steps persist
+        resumed_at = (loaded_epoch, loaded_iteration, total_iteration)
         val_result_history = infos.get("val_result_history", {})
         loss_history = infos.get("loss_history", {})
         lr_history = infos.get("lr_history", {})
@@ -357,6 +371,7 @@ class Trainer:
                         infos,
                     )
                     unpersisted = None
+                    stale_preempt_flag = False  # persist rewrote infos
                     # eval + checkpoint I/O must not pollute the timing window
                     window_t0 = time.perf_counter()
                     window_items = window_steps = 0
@@ -375,17 +390,21 @@ class Trainer:
                 pending_log = None
             loaded_iteration = 0  # after the resume epoch, run all iterations
 
-        if unpersisted is not None:
+        if unpersisted is not None or stale_preempt_flag:
             # end-of-run save of work that fell after the last checkpoint
             # gate (no validation here — this is the resume/handoff
-            # artifact, the same schema the gate persists)
+            # artifact, the same schema the gate persists). Also taken when
+            # ZERO new steps ran but the resume consumed a preempted flag:
+            # the rewrite clears it on disk (review fix — see the resume
+            # block above).
+            at = unpersisted if unpersisted is not None else resumed_at
             self._persist_state(
-                *unpersisted, best_val_score,
+                *at, best_val_score,
                 val_result_history, loss_history, lr_history, infos,
             )
             log.info(
                 "end-of-run train state saved at epoch %d iter %d (total %d)",
-                *unpersisted,
+                *at,
             )
         return infos
 

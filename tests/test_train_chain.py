@@ -284,3 +284,81 @@ def test_chain_end_to_end_subprocess(tmp_path):
     # the chain log files exist, one per child
     logs = [f for f in os.listdir(expr) if f.startswith("chain_epoch")]
     assert len(logs) == 2
+
+
+def test_resume_with_zero_steps_clears_stale_preempt_flag(tmp_path):
+    """A preemption on an epoch's FINAL iteration leaves preempted=True in
+    infos; the respawned link replays zero steps — it must still rewrite
+    infos (clearing the flag on disk), or the supervisor would retry the
+    finished epoch forever and abort as 'no progress' (review fix)."""
+    from tests.test_train import _loader, small_cfg
+
+    from show_and_tell_tpu.models.registry import build_model
+    from show_and_tell_tpu.train.preempt import PreemptionGuard
+    from show_and_tell_tpu.train.trainer import Trainer
+
+    cfg = small_cfg(tmp_path, max_epochs=1, save_checkpoint_every=10**9)
+    batches = _loader(n_batches=4)
+
+    class TriggerOnLast:
+        """Trips the guard when the epoch's iterator EXHAUSTS — the
+        trainer's one-batch transfer lookahead drains it while the final
+        step runs, so the guard check after that step sees the latch ->
+        emergency save lands exactly on the epoch's final iteration."""
+
+        def __init__(self, guard):
+            self.guard = guard
+
+        def __len__(self):
+            return len(batches)
+
+        def __iter__(self):
+            yield from batches
+            self.guard.trigger()
+
+    guard = PreemptionGuard()
+    model = build_model(cfg, 30)
+    tr = Trainer(cfg, model, TriggerOnLast(guard))
+    infos = tr.train(preempt_guard=guard)
+    assert infos["preempted"] is True and infos["iter"] == 4
+
+    on_disk = ckpt.load_infos(cfg.expr_dir)
+    assert on_disk.get("preempted") is True
+
+    # the respawned link: same epoch target, zero remaining iterations
+    cfg2 = cfg.replace(start_from=str(cfg.expr_dir))
+    tr2 = Trainer(cfg2, build_model(cfg2, 30), batches)
+    tr2.train()
+    on_disk = ckpt.load_infos(cfg.expr_dir)
+    assert "preempted" not in on_disk, "stale flag must be cleared on disk"
+    assert on_disk["epoch"] == 1 and on_disk["iter"] == 4
+
+
+def test_chain_restart_merges_provenance_and_trusts_chain_progress(tmp_path):
+    from show_and_tell_tpu.cli.train_chain import resolved_expr_dir, run_chain
+
+    cfg = _chain_cfg(tmp_path, max_epochs=3)
+    expr = resolved_expr_dir(cfg)
+    os.makedirs(expr, exist_ok=True)
+    fake = _FakeTrainer(expr)
+    fake.script = ["ok", "ok"] + ["crash_no_progress"] * 3
+    with pytest.raises(RuntimeError):
+        run_chain(cfg, max_retries=2, spawn=fake)
+    n_prior = len(json.load(open(os.path.join(expr, "chain.json")))["spawns"])
+    assert n_prior == 5  # 2 ok + 3 crashes
+
+    # simulate a mid-epoch-3 periodic checkpoint (no preempted flag) that a
+    # hard crash left behind: the infos heuristic alone would call epoch 3
+    # complete; chain.json's completed_epochs=2 must win (review fix)
+    infos = ckpt.load_infos(expr)
+    infos.update(epoch=3, iter=4, total_iter=24)
+    ckpt.save_infos(expr, infos)
+
+    fake2 = _FakeTrainer(expr)
+    record = run_chain(cfg, spawn=fake2)
+    assert [c[0] for c in fake2.calls] == [3]  # re-targets epoch 3, not 4
+    assert record["completed_epochs"] == 3
+    # prior spawns preserved in the merged provenance trail
+    chain = json.load(open(os.path.join(expr, "chain.json")))
+    assert len(chain["spawns"]) == n_prior + 1
+    assert [s["epoch"] for s in chain["spawns"][:2]] == [1, 2]
